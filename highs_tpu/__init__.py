@@ -1,0 +1,35 @@
+"""highs_tpu — a TPU-native linear/quadratic/mixed-integer optimization
+framework with the capabilities of HiGHS.
+
+Solves   min (1/2) x'Qx + c'x   s.t.  L <= Ax <= U,  l <= x <= u
+with Q positive semidefinite (convex QP) and, when Q = 0, integrality /
+semi-continuity on variables (MIP).
+
+Compute path: JAX/XLA/Pallas, designed mesh-first for TPU — the workhorse
+LP algorithm is a restarted reflected-Halpern PDHG (first-order) whose
+inner block runs fully on device, with an interior-point polish stage and
+CPU crossover/cleanup for vertex solutions.
+"""
+
+__version__ = "0.1.0"
+
+from .constants import (HighsStatus, HighsModelStatus, ObjSense,
+                        HighsVarType, HighsBasisStatus, MatrixFormat,
+                        HessianFormat, SolutionStatus, BasisValidity,
+                        SolutionStyle, HighsCallbackType, kHighsInf,
+                        kHighsIInf)
+from .options import HighsOptions
+from .info import HighsInfo
+from .models import (HighsLp, HighsModel, HighsHessian, HighsSparseMatrix,
+                     HighsSolution, HighsBasis, HighsLinearObjective)
+
+from .highs import Highs  # noqa: E402  (facade; imported last)
+
+__all__ = [
+    "Highs", "HighsStatus", "HighsModelStatus", "ObjSense", "HighsVarType",
+    "HighsBasisStatus", "MatrixFormat", "HessianFormat", "SolutionStatus",
+    "BasisValidity", "SolutionStyle", "HighsCallbackType", "kHighsInf",
+    "kHighsIInf", "HighsOptions", "HighsInfo", "HighsLp", "HighsModel",
+    "HighsHessian", "HighsSparseMatrix", "HighsSolution", "HighsBasis",
+    "HighsLinearObjective",
+]

@@ -1,0 +1,351 @@
+"""The Highs orchestration class — user-facing solver object.
+
+Equivalent of the reference `class Highs` (highs/Highs.h:43,
+lp_data/Highs.cpp): pass/read a model, set options, `run()`, query
+solution / basis / info / status.  `run()` dispatches by model class
+(Highs.cpp:1153 optimizeModel: QP -> callSolveQp, MIP -> callSolveMip,
+LP -> presolve + callSolveLp) to the TPU-native solver stack.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+
+from .constants import (BasisValidity, HighsModelStatus, HighsStatus,
+                        HighsVarType, ObjSense, SolutionStatus,
+                        kHighsInf, model_status_to_string)
+from .info import HighsInfo
+from .io.mps import read_mps, write_mps
+from .models.lp import (HighsHessian, HighsLp, HighsModel,
+                        HighsSparseMatrix)
+from .models.solution import HighsBasis, HighsSolution
+from .options import HighsOptions
+from .utils.kkt import compute_kkt, fill_info_from_kkt
+
+
+class Highs:
+    """User-facing solver object (API parity with the reference Highs)."""
+
+    def __init__(self):
+        self._model = HighsModel()
+        self._options = HighsOptions()
+        self._info = HighsInfo()
+        self._solution = HighsSolution()
+        self._basis = HighsBasis()
+        self._model_status = HighsModelStatus.kNotset
+        self._log_callback: Optional[Callable[[int, str], None]] = None
+        self._callbacks = {}
+        self._run_time = 0.0
+
+    # ------------------------------------------------------------------
+    # Model loading
+    # ------------------------------------------------------------------
+    def readModel(self, filename: str) -> HighsStatus:
+        try:
+            if filename.endswith(".lp") or filename.endswith(".lp.gz"):
+                from .io.lp_format import read_lp
+                self._model = read_lp(filename)
+            else:
+                self._model = read_mps(filename)
+        except Exception as err:  # parse errors -> kError like the reference
+            self._log(f"Error reading model file {filename}: {err}")
+            return HighsStatus.kError
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def writeModel(self, filename: str) -> HighsStatus:
+        return write_mps(self._model, filename)
+
+    def passModel(self, model) -> HighsStatus:
+        if isinstance(model, HighsModel):
+            self._model = model
+        elif isinstance(model, HighsLp):
+            self._model = HighsModel(lp=model)
+        else:
+            return HighsStatus.kError
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def passHessian(self, hessian: HighsHessian) -> HighsStatus:
+        if hessian.dim not in (0, self._model.lp.num_col):
+            return HighsStatus.kError
+        self._model.hessian = hessian
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def clearModel(self) -> HighsStatus:
+        self._model = HighsModel()
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    clear = clearModel
+
+    def clearSolver(self) -> HighsStatus:
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def _invalidate_solver_data(self):
+        self._solution.clear()
+        self._basis.clear()
+        self._info.invalidate()
+        self._model_status = HighsModelStatus.kNotset
+
+    # ------------------------------------------------------------------
+    # Options
+    # ------------------------------------------------------------------
+    def setOptionValue(self, name: str, value: Any) -> HighsStatus:
+        status, _ = self._options.set(name, value)
+        return status
+
+    def getOptionValue(self, name: str):
+        status, value = self._options.get(name)
+        if status != HighsStatus.kOk:
+            return None
+        return value
+
+    def resetOptions(self) -> HighsStatus:
+        self._options.reset()
+        return HighsStatus.kOk
+
+    def readOptions(self, filename: str) -> HighsStatus:
+        return self._options.read_options_file(filename)
+
+    def writeOptions(self, filename: str,
+                     report_only_deviations: bool = False) -> HighsStatus:
+        self._options.write_options_file(filename, report_only_deviations)
+        return HighsStatus.kOk
+
+    @property
+    def options(self) -> HighsOptions:
+        return self._options
+
+    # ------------------------------------------------------------------
+    # Accessors
+    # ------------------------------------------------------------------
+    def getModel(self) -> HighsModel:
+        return self._model
+
+    def getLp(self) -> HighsLp:
+        return self._model.lp
+
+    def getNumCol(self) -> int:
+        return self._model.lp.num_col
+
+    def getNumRow(self) -> int:
+        return self._model.lp.num_row
+
+    def getNumNz(self) -> int:
+        return self._model.lp.num_nz
+
+    def getModelStatus(self) -> HighsModelStatus:
+        return self._model_status
+
+    def modelStatusToString(self, status) -> str:
+        return model_status_to_string(status)
+
+    def getSolution(self) -> HighsSolution:
+        return self._solution
+
+    def getBasis(self) -> HighsBasis:
+        return self._basis
+
+    def getInfo(self) -> HighsInfo:
+        return self._info
+
+    def getInfoValue(self, name: str):
+        return self._info.get(name)
+
+    def getObjectiveValue(self) -> float:
+        return self._info.objective_function_value
+
+    def getRunTime(self) -> float:
+        return self._run_time
+
+    def getObjectiveSense(self) -> ObjSense:
+        return self._model.lp.sense
+
+    def changeObjectiveSense(self, sense: ObjSense) -> HighsStatus:
+        self._model.lp.sense = ObjSense(sense)
+        return HighsStatus.kOk
+
+    def changeObjectiveOffset(self, offset: float) -> HighsStatus:
+        self._model.lp.offset = float(offset)
+        return HighsStatus.kOk
+
+    def version(self) -> str:
+        from . import __version__
+        return __version__
+
+    # ------------------------------------------------------------------
+    # Warm start
+    # ------------------------------------------------------------------
+    def setSolution(self, solution: HighsSolution) -> HighsStatus:
+        self._solution = solution
+        return HighsStatus.kOk
+
+    def setBasis(self, basis: Optional[HighsBasis] = None) -> HighsStatus:
+        if basis is None:
+            self._basis = HighsBasis()
+        else:
+            self._basis = basis
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
+    # Callbacks / logging
+    # ------------------------------------------------------------------
+    def setLogCallback(self, callback) -> HighsStatus:
+        self._log_callback = callback
+        return HighsStatus.kOk
+
+    def setCallback(self, callback, user_data=None) -> HighsStatus:
+        self._callbacks["general"] = (callback, user_data)
+        return HighsStatus.kOk
+
+    def _log(self, msg: str):
+        if not self._options.output_flag:
+            return
+        if self._log_callback is not None:
+            self._log_callback(1, msg)
+        elif self._options.log_to_console:
+            print(msg)
+
+    # ------------------------------------------------------------------
+    # run()
+    # ------------------------------------------------------------------
+    def run(self) -> HighsStatus:
+        t0 = time.perf_counter()
+        status = self._optimize_model()
+        self._run_time = time.perf_counter() - t0
+        return status
+
+    def _optimize_model(self) -> HighsStatus:
+        lp = self._model.lp
+        if lp.is_empty():
+            self._model_status = HighsModelStatus.kModelEmpty
+            self._solution = HighsSolution(
+                value_valid=True, dual_valid=True)
+            self._info.valid = True
+            self._info.objective_function_value = lp.offset
+            return HighsStatus.kOk
+
+        if np.any(lp.col_lower > lp.col_upper) or (
+                lp.num_row and np.any(lp.row_lower > lp.row_upper)):
+            self._model_status = HighsModelStatus.kInfeasible
+            self._info.valid = True
+            return HighsStatus.kOk
+
+        if self._model.is_qp() and self._model.is_mip():
+            self._log("MIQP is not supported")
+            self._model_status = HighsModelStatus.kNotset
+            return HighsStatus.kError
+
+        if self._model.is_mip() and not self._options.solve_relaxation:
+            return self._call_solve_mip()
+        if self._model.is_qp():
+            return self._call_solve_qp()
+        return self._call_solve_lp()
+
+    # ------------------------------------------------------------------
+    def _call_solve_lp(self, lp: Optional[HighsLp] = None) -> HighsStatus:
+        lp = lp if lp is not None else self._model.lp
+        if self._model.is_mip() and self._options.solve_relaxation:
+            lp = lp.copy()
+            lp.integrality = np.zeros(0, dtype=np.uint8)
+
+        run_presolve = self._options.presolve != "off"
+        solver = self._options.solver
+
+        from .solvers.dispatch import solve_lp
+        status, solution, lp_info = solve_lp(
+            lp, self._options, log=self._log,
+            presolve=run_presolve,
+            basis=self._basis if self._basis.valid else None,
+            warm_solution=(self._solution
+                           if self._solution.value_valid else None))
+
+        self._model_status = status
+        self._solution = solution
+        self._fill_info_lp(lp, lp_info)
+        return HighsStatus.kOk
+
+    def _call_solve_qp(self) -> HighsStatus:
+        from .solvers.qp.wrapper import solve_qp
+        status, solution, qp_info = solve_qp(
+            self._model, self._options, log=self._log)
+        self._model_status = status
+        self._solution = solution
+        self._fill_info_lp(self._model.lp, qp_info,
+                           hessian=self._model.hessian)
+        return HighsStatus.kOk
+
+    def _call_solve_mip(self) -> HighsStatus:
+        from .solvers.mip.solver import solve_mip
+        status, solution, mip_info = solve_mip(
+            self._model.lp, self._options, log=self._log,
+            callbacks=self._callbacks)
+        self._model_status = status
+        self._solution = solution
+        self._fill_info_lp(self._model.lp, mip_info)
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
+    def _fill_info_lp(self, lp: HighsLp, lp_info, hessian=None):
+        self._info.invalidate()
+        self._info.valid = True
+        for attr in ("simplex_iteration_count", "ipm_iteration_count",
+                     "crossover_iteration_count", "pdlp_iteration_count",
+                     "qp_iteration_count", "mip_node_count",
+                     "mip_dual_bound", "mip_gap"):
+            if hasattr(lp_info, attr):
+                setattr(self._info, attr, getattr(lp_info, attr))
+        if getattr(lp_info, "iterations", None) is not None and \
+                self._info.pdlp_iteration_count in (-1, 0):
+            self._info.pdlp_iteration_count = lp_info.iterations
+
+        if self._solution.value_valid:
+            rep = compute_kkt(
+                lp, self._solution,
+                self._options.primal_feasibility_tolerance,
+                self._options.dual_feasibility_tolerance,
+                self._options.primal_residual_tolerance,
+                self._options.dual_residual_tolerance)
+            fill_info_from_kkt(self._info, rep)
+            obj = rep.objective_function_value
+            if hessian is not None and hessian.dim > 0:
+                obj += hessian.quad_value(self._solution.col_value)
+            self._info.objective_function_value = obj
+            self._info.primal_solution_status = int(
+                SolutionStatus.kSolutionStatusFeasible if rep.primal_feasible
+                else SolutionStatus.kSolutionStatusInfeasible)
+            if self._solution.dual_valid:
+                self._info.dual_solution_status = int(
+                    SolutionStatus.kSolutionStatusFeasible
+                    if rep.dual_feasible
+                    else SolutionStatus.kSolutionStatusInfeasible)
+            if len(lp.integrality):
+                integ = np.asarray(lp.integrality)
+                is_int = (integ == int(HighsVarType.kInteger)) | (
+                    integ == int(HighsVarType.kSemiInteger))
+                if np.any(is_int):
+                    frac = np.abs(self._solution.col_value[is_int] -
+                                  np.round(self._solution.col_value[is_int]))
+                    self._info.max_integrality_violation = float(
+                        np.max(frac, initial=0.0))
+        self._info.basis_validity = int(
+            BasisValidity.kBasisValidityValid if self._basis.valid
+            else BasisValidity.kBasisValidityInvalid)
+
+    # ------------------------------------------------------------------
+    # Solution output
+    # ------------------------------------------------------------------
+    def writeSolution(self, filename: str = "", style: int = 0
+                      ) -> HighsStatus:
+        from .io.solution_writer import write_solution
+        return write_solution(self, filename, style)
+
+    def solutionStatusToString(self, status: int) -> str:
+        return {0: "None", 1: "Infeasible", 2: "Feasible"}.get(
+            int(status), "Unknown")

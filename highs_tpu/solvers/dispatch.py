@@ -1,0 +1,112 @@
+"""LP solver selection and dispatch.
+
+Equivalent of the reference's free function `solveLp`
+(lp_data/HighsSolve.cpp:20, selection :41-117): picks the solver from the
+`solver` option, runs presolve when enabled, solves the (reduced) LP and
+postsolves.  Solver strings follow the reference
+(HighsOptions.h:274-280): "simplex" / "choose" / "ipm" / "ipx" / "hipo" /
+"pdlp" / "hipdlp" / "qpasm".
+
+On TPU the workhorse is PDLP (restarted Halpern PDHG); "ipm" runs the
+TPU interior-point solver; "simplex" runs the (host) dual simplex
+cleanup solver once available, else falls back to IPM polish.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..constants import HighsModelStatus, HighsStatus
+from ..models.lp import HighsLp
+from ..models.solution import HighsBasis, HighsSolution
+from ..options import HighsOptions
+
+
+@dataclasses.dataclass
+class LpSolveInfo:
+    iterations: int = 0
+    simplex_iteration_count: int = -1
+    ipm_iteration_count: int = -1
+    crossover_iteration_count: int = -1
+    pdlp_iteration_count: int = -1
+    solve_time: float = 0.0
+
+
+def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
+             presolve: bool = True,
+             basis: Optional[HighsBasis] = None,
+             warm_solution: Optional[HighsSolution] = None
+             ) -> Tuple[HighsModelStatus, HighsSolution, LpSolveInfo]:
+    info = LpSolveInfo()
+    solver = options.solver or "choose"
+
+    reduced_lp = lp
+    postsolve_stack = None
+    if presolve:
+        from ..presolve.presolve import presolve_lp
+        presolve_result = presolve_lp(lp, options)
+        if presolve_result.status == HighsModelStatus.kInfeasible:
+            return HighsModelStatus.kInfeasible, HighsSolution(), info
+        if presolve_result.status == HighsModelStatus.kUnbounded:
+            return HighsModelStatus.kUnbounded, HighsSolution(), info
+        if presolve_result.status == \
+                HighsModelStatus.kUnboundedOrInfeasible:
+            return (HighsModelStatus.kUnboundedOrInfeasible,
+                    HighsSolution(), info)
+        reduced_lp = presolve_result.reduced_lp
+        postsolve_stack = presolve_result
+
+    status, solution, raw_info = _solve_core(
+        reduced_lp, options, solver, log, basis, warm_solution)
+
+    info.iterations = raw_info.iterations
+    info.pdlp_iteration_count = raw_info.iterations
+    info.solve_time = raw_info.solve_time
+    info.ipm_iteration_count = getattr(raw_info, "ipm_iterations", -1)
+
+    if postsolve_stack is not None and solution.value_valid:
+        from ..presolve.presolve import postsolve_lp
+        solution = postsolve_lp(lp, postsolve_stack, solution)
+    return status, solution, info
+
+
+def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
+                basis, warm_solution):
+    x0 = warm_solution.col_value if (
+        warm_solution is not None and options.use_warm_start and
+        len(warm_solution.col_value) == lp.num_col) else None
+    y0 = warm_solution.row_dual if (
+        warm_solution is not None and options.use_warm_start and
+        warm_solution.dual_valid and
+        len(warm_solution.row_dual) == lp.num_row) else None
+
+    if solver in ("ipm", "ipx", "hipo"):
+        from .ipm.wrapper import solve_lp_ipm
+        return solve_lp_ipm(lp, options, log=log)
+    if solver == "simplex":
+        from .simplex.wrapper import solve_lp_simplex
+        return solve_lp_simplex(lp, options, log=log, basis=basis)
+
+    # choose / pdlp / hipdlp -> PDHG workhorse
+    from .pdlp.wrapper import solve_lp_pdlp
+    status, solution, info = solve_lp_pdlp(lp, options, x0=x0, y0=y0)
+
+    if solver == "choose" and status not in (
+            HighsModelStatus.kOptimal, HighsModelStatus.kInfeasible,
+            HighsModelStatus.kUnbounded):
+        # reference behavior: an "unwelcome" first-order status falls back
+        # to a cleanup solve (HighsSolve.cpp:123-163); use IPM polish
+        try:
+            from .ipm.wrapper import solve_lp_ipm
+            status2, solution2, info2 = solve_lp_ipm(
+                lp, options, log=log,
+                x0=solution.col_value if solution.value_valid else None)
+            if status2 == HighsModelStatus.kOptimal:
+                info2.iterations += info.iterations
+                return status2, solution2, info2
+        except Exception:
+            pass
+    return status, solution, info

@@ -1,0 +1,413 @@
+"""Restarted reflected-Halpern PDHG — the TPU workhorse LP solver.
+
+Re-implements the algorithmic behavior of the reference HiPDLP solver
+(highs/pdlp/hipdlp/pdhg.cc, the cuPDLPx-style reflected-Halpern restarted
+PDHG with kUseCupdlpx = true, pdhg.hpp:35) as an idiomatic JAX program:
+
+- the inner block of `check_interval` (default 40, pdhg.cc:32
+  PDHG_CHECK_INTERVAL) steps is ONE jitted `lax.fori_loop` that stays on
+  device — the TPU equivalent of the reference's CUDA-graph capture of
+  the same block (pdhg.cc:610-632);
+- each inner step is 2 SpMV/matvecs + elementwise ops
+  (performHalpernPdhgStep, pdhg.cc:961): primal gradient step + box
+  projection, reflection, dual step + cone projection, reflection, then
+  the Halpern anchor blend with weight (k+1)/(k+2);
+- between blocks the host reads a handful of scalars (residuals, gap,
+  fixed-point error) and runs the restart / primal-weight / termination
+  logic (checkRestartCriteria pdhg.cc:901, restart.hpp:85-95 constants);
+- step size eta = 0.998 / ||A||_2 from a jitted power method
+  (initializeStepSizes pdhg.cc:1944, powerMethod :1529); primal weight
+  omega balances primal and dual steps and is updated at restarts.
+
+Convergence is assessed on the UNSCALED problem (relative L2 residuals
+and gap, checkConvergence pdhg.cc:1474,1518-1526) by keeping the inverse
+scaling vectors on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import HighsModelStatus
+from ..pdlp.preprocess import StandardFormLP
+from ...ops.linops import LinOp
+
+
+class PdhgProblem(NamedTuple):
+    """Device-side scaled standard-form problem."""
+
+    k_op: LinOp  # scaled K
+    b: jax.Array  # scaled rhs q~
+    c: jax.Array  # scaled cost c~
+    lo: jax.Array  # scaled lower bounds
+    up: jax.Array  # scaled upper bounds
+    is_eq: jax.Array  # (m,) 1.0 for equality rows
+    lo_fin: jax.Array  # (n,) 1.0 where lower bound finite
+    up_fin: jax.Array  # (n,) 1.0 where upper bound finite
+    inv_row_scale: jax.Array  # 1/Dr diagonal (unscaling residuals)
+    inv_col_scale: jax.Array  # 1/Dc diagonal
+    norm_b: jax.Array  # scalar: ||unscaled b||_2
+    norm_c: jax.Array  # scalar: ||unscaled c||_2
+
+
+class PdhgState(NamedTuple):
+    x: jax.Array  # Halpern iterate (primal)
+    y: jax.Array  # Halpern iterate (dual)
+    x_pd: jax.Array  # last un-reflected PDHG iterate
+    y_pd: jax.Array
+    x_anchor: jax.Array
+    y_anchor: jax.Array
+    aty: jax.Array  # K' y cache
+    k: jax.Array  # inner iteration count since restart (int32)
+    eta: jax.Array  # step size
+    omega: jax.Array  # primal weight
+
+
+class PdhgMetrics(NamedTuple):
+    primal_res: jax.Array  # unscaled L2 primal residual
+    dual_res: jax.Array  # unscaled L2 dual residual
+    primal_obj: jax.Array
+    dual_obj: jax.Array
+    fp_err: jax.Array  # weighted fixed-point error of the halpern iterate
+    dx_norm: jax.Array  # || x_pd - x_anchor ||
+    dy_norm: jax.Array  # || y_pd - y_anchor ||
+    # infeasibility-certificate diagnostics from the normalized
+    # anchor-difference direction:
+    inf_dual_ray_obj: jax.Array  # b' dy / ||dy||  (positive => primal infeas)
+    inf_dual_ray_res: jax.Array  # || proj-violation of K' dy || / ||dy||
+    inf_primal_ray_obj: jax.Array  # c' dx / ||dx|| (negative => unbounded)
+    inf_primal_ray_res: jax.Array  # constraint violation of dx direction
+
+
+@dataclasses.dataclass
+class PdhgSettings:
+    eps_optimal: float = 1e-7
+    eps_infeasible: float = 1e-10
+    iteration_limit: int = 2**31 - 1
+    time_limit: float = math.inf
+    check_interval: int = 40
+    halpern_gamma: float = 1.0  # reflection coefficient rho
+    restart_strategy: int = 2  # 0 none / 1 fixed / 2 adaptive-Halpern
+    # restart constants (reference restart.hpp:85-95)
+    sufficient_decay: float = 0.2
+    necessary_decay: float = 0.8
+    artificial_restart_fraction: float = 0.36
+    omega_smoothing: float = 0.5
+    omega_init: Optional[float] = None
+    power_method_iters: int = 30
+    dtype: str = "float64"
+
+
+@dataclasses.dataclass
+class PdhgResult:
+    status: HighsModelStatus
+    x: np.ndarray  # unscaled standard-form primal
+    y: np.ndarray  # unscaled standard-form dual
+    z: np.ndarray  # unscaled reduced costs c - K'y
+    iterations: int
+    primal_obj: float
+    dual_obj: float
+    primal_res: float
+    dual_res: float
+    rel_gap: float
+    solve_time: float
+    restarts: int = 0
+
+
+def _halpern_step(problem: PdhgProblem, state: PdhgState,
+                  gamma: float) -> PdhgState:
+    """One reflected-Halpern PDHG step (pdhg.cc:961 behavior)."""
+    tau = state.eta / state.omega
+    sigma = state.eta * state.omega
+
+    x_pd = jnp.clip(state.x - tau * (problem.c - state.aty),
+                    problem.lo, problem.up)
+    x_r = 2.0 * x_pd - state.x
+
+    ax_r = problem.k_op.mv(x_r)
+    y_raw = state.y + sigma * (problem.b - ax_r)
+    y_pd = jnp.where(problem.is_eq > 0, y_raw, jnp.maximum(y_raw, 0.0))
+    y_r = 2.0 * y_pd - state.y
+
+    kf = state.k.astype(x_pd.dtype)
+    w = (kf + 1.0) / (kf + 2.0)
+    x_new = w * (gamma * x_r + (1.0 - gamma) * state.x) + \
+        (1.0 - w) * state.x_anchor
+    y_new = w * (gamma * y_r + (1.0 - gamma) * state.y) + \
+        (1.0 - w) * state.y_anchor
+
+    aty_new = problem.k_op.rmv(y_new)
+    return state._replace(x=x_new, y=y_new, x_pd=x_pd, y_pd=y_pd,
+                          aty=aty_new, k=state.k + 1)
+
+
+def _compute_metrics(problem: PdhgProblem, state: PdhgState) -> PdhgMetrics:
+    """Residuals/gap on the UNSCALED problem at the PDHG iterate."""
+    x, y = state.x_pd, state.y_pd
+    ax = problem.k_op.mv(x)
+    r = problem.b - ax
+    # eq rows: |r|; ineq rows: violation of Kx >= q is max(r, 0)
+    r_eff = jnp.where(problem.is_eq > 0, r, jnp.maximum(r, 0.0))
+    r_unscaled = r_eff * problem.inv_row_scale
+    primal_res = jnp.linalg.norm(r_unscaled)
+
+    z = problem.c - problem.k_op.rmv(y)
+    z_plus = jnp.maximum(z, 0.0) * problem.lo_fin
+    z_minus = jnp.minimum(z, 0.0) * problem.up_fin
+    dres = (z - z_plus - z_minus) * problem.inv_col_scale
+    dual_res = jnp.linalg.norm(dres)
+
+    primal_obj = jnp.dot(problem.c, x)
+    lo_safe = jnp.where(problem.lo_fin > 0, problem.lo, 0.0)
+    up_safe = jnp.where(problem.up_fin > 0, problem.up, 0.0)
+    dual_obj = (jnp.dot(problem.b, y) + jnp.dot(lo_safe, z_plus) +
+                jnp.dot(up_safe, z_minus))
+
+    # fixed-point error of the halpern iterate (omega-weighted)
+    dxh = state.x_pd - state.x
+    dyh = state.y_pd - state.y
+    fp_err = jnp.sqrt(state.omega * jnp.sum(dxh * dxh) +
+                      jnp.sum(dyh * dyh) / state.omega)
+
+    dx = x - state.x_anchor
+    dy = y - state.y_anchor
+    dx_norm = jnp.linalg.norm(dx)
+    dy_norm = jnp.linalg.norm(dy)
+
+    # --- infeasibility certificates from the anchor-difference rays -------
+    eps_div = jnp.asarray(1e-30, dtype=x.dtype)
+    dyn = dy / jnp.maximum(dy_norm, eps_div)
+    # dual ray must satisfy: K'dy <= 0 on vars at finite upper only, etc.
+    # residual of the Farkas condition  K' dy (+) bound-compatible signs:
+    kt_dy = problem.k_op.rmv(dyn)
+    # components of K'dy that cannot be absorbed: positive parts need a
+    # finite lower bound, negative parts a finite upper bound
+    viol = (jnp.maximum(kt_dy, 0.0) * (1.0 - problem.lo_fin) +
+            jnp.minimum(kt_dy, 0.0) * (1.0 - problem.up_fin))
+    # Farkas dual objective: b'dy + l'[K'dy]_+ + u'[K'dy]_-
+    ray_obj = (jnp.dot(problem.b, dyn) +
+               jnp.dot(lo_safe, jnp.maximum(kt_dy, 0.0)) +
+               jnp.dot(up_safe, jnp.minimum(kt_dy, 0.0)))
+    inf_dual_ray_obj = ray_obj
+    inf_dual_ray_res = jnp.linalg.norm(viol)
+
+    dxn = dx / jnp.maximum(dx_norm, eps_div)
+    k_dx = problem.k_op.mv(dxn)
+    prim_viol = jnp.where(problem.is_eq > 0, jnp.abs(k_dx),
+                          jnp.maximum(-k_dx, 0.0))
+    # ray must respect bound directions: positive where upper infinite only
+    bnd_viol = (jnp.maximum(dxn, 0.0) * problem.up_fin +
+                jnp.minimum(dxn, 0.0) * problem.lo_fin)
+    inf_primal_ray_obj = jnp.dot(problem.c, dxn)
+    inf_primal_ray_res = jnp.sqrt(jnp.sum(prim_viol**2) +
+                                  jnp.sum(bnd_viol**2))
+
+    return PdhgMetrics(
+        primal_res=primal_res, dual_res=dual_res,
+        primal_obj=primal_obj, dual_obj=dual_obj, fp_err=fp_err,
+        dx_norm=dx_norm, dy_norm=dy_norm,
+        inf_dual_ray_obj=inf_dual_ray_obj,
+        inf_dual_ray_res=inf_dual_ray_res,
+        inf_primal_ray_obj=inf_primal_ray_obj,
+        inf_primal_ray_res=inf_primal_ray_res)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "gamma"))
+def pdhg_block(problem: PdhgProblem, state: PdhgState, n_steps: int,
+               gamma: float):
+    """Run n_steps inner steps fully on device, then compute metrics.
+
+    The TPU analogue of the reference's CUDA-graph-captured 40-step block
+    (pdhg.cc:610-632): no host synchronization inside.
+    """
+    def body(_, s):
+        return _halpern_step(problem, s, gamma)
+
+    state = jax.lax.fori_loop(0, n_steps, body, state)
+    metrics = _compute_metrics(problem, state)
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("n", "iters", "dtype"))
+def power_method(k_op: LinOp, n: int, iters: int, dtype):
+    """Estimate ||K||_2 via power iteration on K'K (pdhg.cc:1529)."""
+    # deterministic start vector (avoids host RNG in the jit)
+    v = jnp.ones((n,), dtype=dtype) / jnp.sqrt(jnp.asarray(n, dtype=dtype))
+
+    def body(_, v):
+        w = k_op.rmv(k_op.mv(v))
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = k_op.rmv(k_op.mv(v))
+    lam = jnp.dot(v, w)
+    return jnp.sqrt(jnp.maximum(lam, 1e-30))
+
+
+@jax.jit
+def _restart_state(state: PdhgState, new_omega: jax.Array) -> PdhgState:
+    """Reset the Halpern anchor to the current PDHG iterate."""
+    return state._replace(
+        x=state.x_pd, y=state.y_pd,
+        x_anchor=state.x_pd, y_anchor=state.y_pd,
+        k=jnp.zeros_like(state.k), omega=new_omega)
+
+
+def solve_pdhg(problem: PdhgProblem, n: int, m: int,
+               settings: PdhgSettings,
+               x0: Optional[np.ndarray] = None,
+               y0: Optional[np.ndarray] = None,
+               offset: float = 0.0,
+               log=None) -> PdhgResult:
+    """Host-side driver: restart/termination control around pdhg_block."""
+    t_start = time.perf_counter()
+    dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
+
+    norm_k = power_method(problem.k_op, n, settings.power_method_iters,
+                          dtype)
+    eta0 = 0.998 / float(norm_k)
+
+    norm_b = float(problem.norm_b)
+    norm_c = float(problem.norm_c)
+    if settings.omega_init is not None:
+        omega0 = settings.omega_init
+    elif norm_b > 1e-12 and norm_c > 1e-12:
+        omega0 = norm_c / norm_b
+    else:
+        omega0 = 1.0
+
+    x_init = (jnp.asarray(x0, dtype=dtype) if x0 is not None else
+              jnp.clip(jnp.zeros((n,), dtype=dtype),
+                       problem.lo, problem.up))
+    y_init = (jnp.asarray(y0, dtype=dtype) if y0 is not None
+              else jnp.zeros((m,), dtype=dtype))
+
+    state = PdhgState(
+        x=x_init, y=y_init, x_pd=x_init, y_pd=y_init,
+        x_anchor=x_init, y_anchor=y_init,
+        aty=problem.k_op.rmv(y_init),
+        k=jnp.zeros((), dtype=jnp.int32),
+        eta=jnp.asarray(eta0, dtype=dtype),
+        omega=jnp.asarray(omega0, dtype=dtype))
+
+    total_iters = 0
+    restarts = 0
+    fp_err_at_restart = None
+    last_fp_err = None
+    status = HighsModelStatus.kNotset
+    eps = settings.eps_optimal
+    gamma = settings.halpern_gamma
+    infeas_hits = 0
+    unbounded_hits = 0
+    mlast = None
+
+    while True:
+        state, metrics = pdhg_block(problem, state,
+                                    settings.check_interval, gamma)
+        total_iters += settings.check_interval
+        mlast = jax.device_get(metrics)
+
+        pobj = float(mlast.primal_obj) + offset
+        dobj = float(mlast.dual_obj) + offset
+        rel_p = float(mlast.primal_res) / (1.0 + norm_b)
+        rel_d = float(mlast.dual_res) / (1.0 + norm_c)
+        rel_gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+
+        if log is not None:
+            log(total_iters, pobj, dobj, rel_p, rel_d, rel_gap)
+
+        if rel_p < eps and rel_d < eps and rel_gap < eps:
+            status = HighsModelStatus.kOptimal
+            break
+
+        # --- infeasibility detection via certificate rays ---------------
+        ray_obj = float(mlast.inf_dual_ray_obj)
+        ray_res = float(mlast.inf_dual_ray_res)
+        if (float(mlast.dy_norm) > 1e-8 and ray_obj > 1e-6 and
+                ray_res < 1e-8 * max(1.0, ray_obj) and rel_p > eps):
+            infeas_hits += 1
+            if infeas_hits >= 3:
+                status = HighsModelStatus.kInfeasible
+                break
+        else:
+            infeas_hits = 0
+        pray_obj = float(mlast.inf_primal_ray_obj)
+        pray_res = float(mlast.inf_primal_ray_res)
+        if (float(mlast.dx_norm) > 1e-8 and pray_obj < -1e-6 and
+                pray_res < 1e-8 * max(1.0, -pray_obj)):
+            unbounded_hits += 1
+            if unbounded_hits >= 3:
+                status = HighsModelStatus.kUnbounded
+                break
+        else:
+            unbounded_hits = 0
+
+        if total_iters >= settings.iteration_limit:
+            status = HighsModelStatus.kIterationLimit
+            break
+        if time.perf_counter() - t_start > settings.time_limit:
+            status = HighsModelStatus.kTimeLimit
+            break
+
+        # --- restart logic (checkRestartCriteria behavior) ---------------
+        if settings.restart_strategy > 0:
+            fp_err = float(mlast.fp_err)
+            inner = int(jax.device_get(state.k))
+            do_restart = False
+            if fp_err_at_restart is None:
+                fp_err_at_restart = fp_err
+            if fp_err <= settings.sufficient_decay * fp_err_at_restart:
+                do_restart = True
+            elif (fp_err <= settings.necessary_decay * fp_err_at_restart
+                  and last_fp_err is not None and fp_err > last_fp_err):
+                do_restart = True
+            elif inner >= settings.artificial_restart_fraction * total_iters:
+                do_restart = True
+            last_fp_err = fp_err
+            if do_restart:
+                dxn = float(mlast.dx_norm)
+                dyn = float(mlast.dy_norm)
+                omega = float(jax.device_get(state.omega))
+                if dxn > 1e-12 and dyn > 1e-12:
+                    theta = settings.omega_smoothing
+                    log_om = (theta * math.log(dyn / dxn) +
+                              (1.0 - theta) * math.log(omega))
+                    omega = math.exp(min(max(log_om, -12.0), 12.0))
+                state = _restart_state(
+                    state, jnp.asarray(omega, dtype=dtype))
+                restarts += 1
+                fp_err_at_restart = None
+                last_fp_err = None
+
+    x = np.asarray(jax.device_get(state.x_pd), dtype=np.float64)
+    y = np.asarray(jax.device_get(state.y_pd), dtype=np.float64)
+    # unscale: x = Dc x~, y = Dr y~, z = Dc^-1 z~
+    inv_col = np.asarray(jax.device_get(problem.inv_col_scale),
+                         dtype=np.float64)
+    inv_row = np.asarray(jax.device_get(problem.inv_row_scale),
+                         dtype=np.float64)
+    z_scaled = np.asarray(
+        jax.device_get(problem.c - problem.k_op.rmv(state.y_pd)),
+        dtype=np.float64)
+    x_unscaled = x / inv_col  # Dc = 1/inv_col
+    y_unscaled = y / inv_row
+    z_unscaled = z_scaled * inv_col
+
+    pobj = float(mlast.primal_obj) + offset if mlast is not None else 0.0
+    dobj = float(mlast.dual_obj) + offset if mlast is not None else 0.0
+    return PdhgResult(
+        status=status, x=x_unscaled, y=y_unscaled, z=z_unscaled,
+        iterations=total_iters,
+        primal_obj=pobj, dual_obj=dobj,
+        primal_res=float(mlast.primal_res) if mlast is not None else np.inf,
+        dual_res=float(mlast.dual_res) if mlast is not None else np.inf,
+        rel_gap=(abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))),
+        solve_time=time.perf_counter() - t_start,
+        restarts=restarts)

@@ -1,0 +1,197 @@
+"""PDLP solver pipeline: preprocess -> scale -> device solve -> recover.
+
+Equivalent of the reference wrapper highs/pdlp/HiPdlpWrapper.cpp:26
+(pipeline = preprocess, scale, solve, unscale, postprocess), returning a
+HighsSolution plus iteration/status info to the Highs facade.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import HighsModelStatus, ObjSense, kHighsInf
+from ...models.lp import HighsLp
+from ...models.solution import HighsSolution
+from ...options import HighsOptions
+from ...ops import linops
+from .pdhg import (PdhgProblem, PdhgResult, PdhgSettings, solve_pdhg)
+from .preprocess import preprocess_lp, recover_solution
+from .scaling import scale_problem
+
+
+@dataclasses.dataclass
+class PdlpRunInfo:
+    status: HighsModelStatus = HighsModelStatus.kNotset
+    iterations: int = 0
+    primal_obj: float = 0.0
+    dual_obj: float = 0.0
+    rel_gap: float = math.inf
+    solve_time: float = 0.0
+    restarts: int = 0
+
+
+def _bucket(x: int) -> int:
+    """Pad dimension for jit-cache sharing and MXU tile alignment:
+    next power of two (min 128) below 4096, then next multiple of 1024."""
+    if x <= 4096:
+        r = 128
+        while r < x:
+            r *= 2
+        return r
+    return ((x + 1023) // 1024) * 1024
+
+
+def _solve_bound_lp(lp: HighsLp) -> Tuple[HighsModelStatus, HighsSolution]:
+    """LP with no rows: minimize each cost independently over its bounds
+    (reference: unconstrained-LP direct solve, HighsSolve.cpp:178+)."""
+    sense = float(lp.sense)
+    c = sense * lp.col_cost
+    lo, up = lp.col_lower, lp.col_upper
+    if np.any(lo > up):
+        return HighsModelStatus.kInfeasible, HighsSolution()
+    x = np.where(c > 0, lo, np.where(c < 0, up, np.clip(0.0, lo, up)))
+    unbounded = ((c > 0) & ~np.isfinite(lo)) | ((c < 0) & ~np.isfinite(up))
+    if np.any(unbounded):
+        return HighsModelStatus.kUnbounded, HighsSolution()
+    sol = HighsSolution(
+        value_valid=True, dual_valid=True,
+        col_value=x.astype(np.float64),
+        col_dual=(sense * c).astype(np.float64),
+        row_value=np.zeros(0), row_dual=np.zeros(0))
+    return HighsModelStatus.kOptimal, sol
+
+
+def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
+                  x0: Optional[np.ndarray] = None,
+                  y0: Optional[np.ndarray] = None,
+                  log_callback=None
+                  ) -> Tuple[HighsModelStatus, HighsSolution, PdlpRunInfo]:
+    info = PdlpRunInfo()
+    if lp.num_row == 0:
+        status, sol = _solve_bound_lp(lp)
+        info.status = status
+        if sol.value_valid:
+            info.primal_obj = float(lp.col_cost @ sol.col_value) + lp.offset
+            info.dual_obj = info.primal_obj
+            info.rel_gap = 0.0
+        return status, sol, info
+
+    std = preprocess_lp(lp)
+    dtype = jnp.float64 if options.tpu_dtype == "float64" else jnp.float32
+
+    scaled_a, scales = scale_problem(
+        std.a, mode=options.pdlp_scaling_mode,
+        ruiz_iterations=options.pdlp_ruiz_iterations)
+    dr, dc = scales.row_scale, scales.col_scale
+
+    b_s = dr * std.b
+    c_s = dc * std.c
+    with np.errstate(invalid="ignore"):
+        lo_s = np.where(np.isfinite(std.col_lower), std.col_lower / dc,
+                        std.col_lower)
+        up_s = np.where(np.isfinite(std.col_upper), std.col_upper / dc,
+                        std.col_upper)
+
+    is_eq = (np.arange(std.num_row) < std.num_eq).astype(np.float64)
+    lo_fin = np.isfinite(std.col_lower).astype(np.float64)
+    up_fin = np.isfinite(std.col_upper).astype(np.float64)
+
+    # bounds must be finite-representable on device: replace +-inf by huge
+    big = np.asarray(np.finfo(np.float64 if dtype == jnp.float64
+                              else np.float32).max / 4)
+    lo_dev = np.where(np.isfinite(lo_s), lo_s, -big)
+    up_dev = np.where(np.isfinite(up_s), up_s, big)
+
+    # pad (n, m) to bucketed sizes: compiled PDHG blocks are reused across
+    # instances of the same bucket, and tiles align with the 128-wide MXU.
+    # padded columns are fixed at 0 with zero cost; padded rows are 0 = 0
+    # equalities — both are exact no-ops for every iterate and metric.
+    n_std, m_std = std.num_col, std.num_row
+    n_pad, m_pad = _bucket(n_std), _bucket(m_std)
+
+    def padc(v, fill):
+        return np.concatenate([v, np.full(n_pad - n_std, fill, dtype=v.dtype)])
+
+    def padr(v, fill):
+        return np.concatenate([v, np.full(m_pad - m_std, fill, dtype=v.dtype)])
+
+    import scipy.sparse as _sp
+    scaled_pad = _sp.csr_matrix((scaled_a.data, scaled_a.indices,
+                                 np.concatenate([
+                                     scaled_a.indptr,
+                                     np.full(m_pad - m_std,
+                                             scaled_a.indptr[-1],
+                                             dtype=scaled_a.indptr.dtype)])),
+                                shape=(m_pad, n_pad))
+    k_op = linops.from_scipy(scaled_pad, fmt=options.tpu_matrix_format,
+                             dtype=dtype)
+
+    problem = PdhgProblem(
+        k_op=k_op,
+        b=jnp.asarray(padr(b_s, 0.0), dtype=dtype),
+        c=jnp.asarray(padc(c_s, 0.0), dtype=dtype),
+        lo=jnp.asarray(padc(lo_dev, 0.0), dtype=dtype),
+        up=jnp.asarray(padc(up_dev, 0.0), dtype=dtype),
+        is_eq=jnp.asarray(padr(is_eq, 1.0), dtype=dtype),
+        lo_fin=jnp.asarray(padc(lo_fin, 1.0), dtype=dtype),
+        up_fin=jnp.asarray(padc(up_fin, 1.0), dtype=dtype),
+        inv_row_scale=jnp.asarray(padr(1.0 / dr, 1.0), dtype=dtype),
+        inv_col_scale=jnp.asarray(padc(1.0 / dc, 1.0), dtype=dtype),
+        norm_b=jnp.asarray(np.linalg.norm(std.b), dtype=dtype),
+        norm_c=jnp.asarray(np.linalg.norm(std.c), dtype=dtype))
+
+    settings = PdhgSettings(
+        eps_optimal=options.pdlp_optimality_tolerance,
+        iteration_limit=options.pdlp_iteration_limit,
+        time_limit=options.time_limit,
+        check_interval=options.tpu_check_interval,
+        restart_strategy=options.pdlp_restart_strategy,
+        dtype=options.tpu_dtype)
+
+    x0_s = None
+    y0_s = None
+    if x0 is not None and len(x0) == lp.num_col:
+        # scale a warm start into standard form: pad slacks with row values
+        x_std = np.concatenate([
+            x0, np.zeros(std.num_col - std.orig_num_col)])
+        slack_rows = np.nonzero(std.row_slack_col >= 0)[0]
+        if len(slack_rows):
+            ax = lp.a_matrix.to_scipy() @ x0
+            x_std[std.row_slack_col[slack_rows]] = ax[slack_rows]
+        x0_s = padc(x_std / dc, 0.0)
+    if y0 is not None and len(y0) == lp.num_row:
+        y_std = np.zeros(std.num_row)
+        y_std[std.row_new_idx] = y0 * np.where(
+            std.row_class == 2, -1.0, 1.0) * std.sense_mult
+        y0_s = padr(y_std / dr, 0.0)
+
+    result = solve_pdhg(problem, n_pad, m_pad, settings,
+                        x0=x0_s, y0=y0_s, offset=std.offset,
+                        log=log_callback)
+
+    info.status = result.status
+    info.iterations = result.iterations
+    info.rel_gap = result.rel_gap
+    info.solve_time = result.solve_time
+    info.restarts = result.restarts
+    # objective back in the original sense
+    info.primal_obj = std.sense_mult * result.primal_obj
+    info.dual_obj = std.sense_mult * result.dual_obj
+
+    if result.status in (HighsModelStatus.kInfeasible,
+                         HighsModelStatus.kUnbounded):
+        return result.status, HighsSolution(), info
+
+    col_value, row_dual, col_dual = recover_solution(
+        std, result.x[:n_std], result.y[:m_std], result.z[:n_std])
+    row_value = (lp.a_matrix.to_scipy() @ col_value if lp.num_row
+                 else np.zeros(0))
+    sol = HighsSolution(
+        value_valid=True, dual_valid=True,
+        col_value=col_value, col_dual=col_dual,
+        row_value=row_value, row_dual=row_dual)
+    return result.status, sol, info

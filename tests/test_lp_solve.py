@@ -1,0 +1,130 @@
+"""End-to-end LP solves against reference objective anchors
+(check/CMakeLists.txt:207-218 objectives; BASELINE.md)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from highs_tpu import Highs, HighsModelStatus, HighsLp, ObjSense, kHighsInf
+from highs_tpu.models.lp import HighsSparseMatrix
+
+from conftest import instance_path
+
+# instance -> reference objective (check/CMakeLists.txt:208-218)
+LP_OBJECTIVES = {
+    "afiro": -4.6475314286e2,
+    "adlittle": 2.2549496316e5,
+}
+
+
+@pytest.mark.parametrize("name,ref_obj", sorted(LP_OBJECTIVES.items()))
+def test_netlib_objective(instances_dir, name, ref_obj):
+    h = Highs()
+    assert h.readModel(instance_path(f"{name}.mps")) == 0
+    h.setOptionValue("output_flag", False)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    obj = h.getObjectiveValue()
+    assert abs(obj - ref_obj) / max(1.0, abs(ref_obj)) < 1e-5
+
+
+def _small_lp():
+    # min -x - 2y  s.t. x + y <= 4, x + 3y <= 6, x,y >= 0
+    a = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 3.0]]))
+    return HighsLp(
+        num_col=2, num_row=2,
+        col_cost=np.array([-1.0, -2.0]),
+        col_lower=np.zeros(2), col_upper=np.array([kHighsInf, kHighsInf]),
+        row_lower=np.array([-kHighsInf, -kHighsInf]),
+        row_upper=np.array([4.0, 6.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a))
+
+
+def test_small_lp():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(_small_lp())
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # optimum at x=3, y=1, obj=-5
+    assert abs(h.getObjectiveValue() - (-5.0)) < 1e-5
+    sol = h.getSolution()
+    np.testing.assert_allclose(sol.col_value, [3.0, 1.0], atol=1e-4)
+    # duals: y1 = -(1/2), y2 = -(1/2) for <= rows in minimize
+    assert sol.dual_valid
+
+
+def test_maximize_sense():
+    lp = _small_lp()
+    lp.col_cost = -lp.col_cost
+    lp.sense = ObjSense.kMaximize
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - 5.0) < 1e-5
+
+
+def test_bound_lp_no_rows():
+    lp = HighsLp(
+        num_col=2, num_row=0,
+        col_cost=np.array([1.0, -1.0]),
+        col_lower=np.array([-1.0, -2.0]),
+        col_upper=np.array([5.0, 3.0]),
+        row_lower=np.zeros(0), row_upper=np.zeros(0),
+        a_matrix=HighsSparseMatrix(num_col=2, num_row=0,
+                                   start=np.zeros(3, dtype=np.int64)))
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - (-1.0 - 3.0)) < 1e-9
+
+
+def test_unbounded_lp():
+    lp = HighsLp(
+        num_col=1, num_row=0,
+        col_cost=np.array([-1.0]),
+        col_lower=np.array([0.0]), col_upper=np.array([kHighsInf]),
+        row_lower=np.zeros(0), row_upper=np.zeros(0),
+        a_matrix=HighsSparseMatrix(num_col=1, num_row=0,
+                                   start=np.zeros(2, dtype=np.int64)))
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kUnbounded
+
+
+def test_infeasible_bounds():
+    lp = _small_lp()
+    lp.col_lower = np.array([5.0, 0.0])
+    lp.col_upper = np.array([4.0, 1.0])
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kInfeasible
+
+
+def test_kkt_info_filled(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    info = h.getInfo()
+    assert info.valid
+    assert info.pdlp_iteration_count > 0
+    assert info.max_primal_infeasibility < 1e-4
+    assert info.max_dual_infeasibility < 1e-4
+    # first-order solutions guarantee relative-L2 accuracy; entrywise
+    # counts at 1e-7 become zero once the IPM polish stage lands
+    assert info.max_relative_primal_infeasibility < 1e-5
+
+
+def test_empty_model():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kModelEmpty
