@@ -301,10 +301,6 @@ class Highs:
                      "mip_dual_bound", "mip_gap"):
             if hasattr(lp_info, attr):
                 setattr(self._info, attr, getattr(lp_info, attr))
-        if getattr(lp_info, "iterations", None) is not None and \
-                self._info.pdlp_iteration_count in (-1, 0):
-            self._info.pdlp_iteration_count = lp_info.iterations
-
         if self._solution.value_valid:
             rep = compute_kkt(
                 lp, self._solution,

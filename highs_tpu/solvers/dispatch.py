@@ -63,9 +63,12 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
         reduced_lp, options, solver, log, basis, warm_solution)
 
     info.iterations = raw_info.iterations
-    info.pdlp_iteration_count = raw_info.iterations
     info.solve_time = raw_info.solve_time
-    info.ipm_iteration_count = getattr(raw_info, "ipm_iterations", -1)
+    ipm_iters = getattr(raw_info, "ipm_iterations", -1)
+    if ipm_iters > 0:
+        info.ipm_iteration_count = ipm_iters
+    else:
+        info.pdlp_iteration_count = raw_info.iterations
 
     if postsolve_stack is not None and solution.value_valid:
         from ..presolve.presolve import postsolve_lp
@@ -90,13 +93,39 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
         from .simplex.wrapper import solve_lp_simplex
         return solve_lp_simplex(lp, options, log=log, basis=basis)
 
-    # choose / pdlp / hipdlp -> PDHG workhorse
+    # dense-IPM capacity: the normal matrix is (m x m) dense and K is
+    # materialized dense (m x n_std) — both must fit comfortably
+    ipm_ok = (lp.num_row <= 8192 and
+              lp.num_row * (lp.num_col + lp.num_row) <= (1 << 26))
+
+    if solver == "choose" and ipm_ok:
+        # "choose": high-accuracy IPM first on problems where the dense
+        # normal-equations solve fits; PDHG is the fallback and the
+        # workhorse at scale
+        from .ipm.wrapper import solve_lp_ipm
+        status, solution, info = solve_lp_ipm(lp, options, log=log)
+        if status in (HighsModelStatus.kOptimal,
+                      HighsModelStatus.kInfeasible,
+                      HighsModelStatus.kUnbounded):
+            return status, solution, info
+        # IPM could not conclude: classify infeasible/unbounded exactly
+        # via elastic feasibility LPs (reference analogue: simplex
+        # phase 1 / IPX termination states)
+        from .classify import classify_inconclusive
+        verdict = classify_inconclusive(lp, options, log=log)
+        if verdict in (HighsModelStatus.kInfeasible,
+                       HighsModelStatus.kUnbounded):
+            return verdict, HighsSolution(), info
+        from .pdlp.wrapper import solve_lp_pdlp
+        return solve_lp_pdlp(lp, options, x0=x0, y0=y0)
+
+    # pdlp / hipdlp / large "choose" -> PDHG workhorse
     from .pdlp.wrapper import solve_lp_pdlp
     status, solution, info = solve_lp_pdlp(lp, options, x0=x0, y0=y0)
 
     if solver == "choose" and status not in (
             HighsModelStatus.kOptimal, HighsModelStatus.kInfeasible,
-            HighsModelStatus.kUnbounded):
+            HighsModelStatus.kUnbounded) and ipm_ok:
         # reference behavior: an "unwelcome" first-order status falls back
         # to a cleanup solve (HighsSolve.cpp:123-163); use IPM polish
         try:

@@ -1,21 +1,458 @@
-"""IPM core (temporary delegation).
+"""TPU interior-point LP solver.
 
-The real normal-equations predictor-corrector IPM lands in the next
-milestone; until then "ipm" solves via PDHG at the IPM tolerance.
+Re-implements the behavior of the reference interior-point solvers
+(highs/ipm/hipo/ipm/Solver.cpp regularized predictor-corrector;
+highs/ipm/ipx/ipm.cc Mehrotra predictor-corrector) in a TPU-native
+formulation (SURVEY §7.4, BASELINE.json): each Newton system is solved
+through the DENSE normal equations
+
+    (K Theta_x K' + Theta_s + delta_d I) dy = r
+
+on the standard form produced by the PDHG preprocessor (equality rows
+first, inequality rows get a surplus slack s >= 0, so the slack block
+contributes only a diagonal on inequality rows).  Forming K Theta K' is
+two dense matmuls — exactly what the MXU is built for — and the
+factorization is a dense Cholesky.  One jitted call per IPM iteration:
+
+  residuals -> Theta -> M = K Theta K' + D_s -> Cholesky
+  predictor solve -> affine steps -> mu_aff -> sigma = (mu_aff/mu)^3
+  corrector solve (same factor) -> fraction-to-boundary steps -> update
+
+Fixed variables (l == u) are frozen out of the barrier (Theta = 0, step
+0); free variables get a capped Theta.  Primal/dual regularization
+follows the HiPO style.
 """
 from __future__ import annotations
 
-from typing import Optional
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from ...constants import HighsModelStatus, kHighsInf
 from ...models.lp import HighsLp
+from ...models.solution import HighsSolution
 from ...options import HighsOptions
+from ..pdlp.preprocess import preprocess_lp, recover_solution
+
+
+class IpmProblem(NamedTuple):
+    a: jax.Array  # dense (m, n_std) standard-form K (scaled)
+    b: jax.Array  # (m,) rhs
+    c: jax.Array  # (n_std,) cost (minimization sense, scaled)
+    slack_mask: jax.Array  # (m,) 1.0 on inequality rows (these have slacks)
+    # over the n_std + m stacked variables (x then row slacks):
+    lo: jax.Array
+    up: jax.Array
+    lo_fin: jax.Array  # 1.0 where lower bound finite AND var not fixed
+    up_fin: jax.Array  # 1.0 where upper bound finite AND var not fixed
+    active: jax.Array  # 0.0 for fixed vars (l == u) and eq-row slacks
+    norm_c: jax.Array
+    norm_b: jax.Array
+
+
+class IpmState(NamedTuple):
+    x: jax.Array  # (n_std + m,) stacked primal (x, s)
+    xl: jax.Array
+    xu: jax.Array
+    y: jax.Array  # (m,)
+    zl: jax.Array
+    zu: jax.Array
+
+
+class IpmMetrics(NamedTuple):
+    primal_res: jax.Array
+    dual_res: jax.Array
+    mu: jax.Array
+    primal_obj: jax.Array
+    dual_obj: jax.Array
+    alpha_p: jax.Array
+    alpha_d: jax.Array
+
+
+@dataclasses.dataclass
+class IpmSettings:
+    tolerance: float = 1e-9
+    iteration_limit: int = 200
+    time_limit: float = math.inf
+    sigma_min: float = 1e-4
+    sigma_max: float = 0.9
+    fraction_to_boundary: float = 0.9995
+    theta_max: float = 1e10
+    reg_primal: float = 1e-10
+    reg_dual: float = 1e-10
+
+
+def _mv(problem: IpmProblem, xs: jax.Array) -> jax.Array:
+    """[K, -I_slack] @ (x, s)."""
+    n = problem.a.shape[1]
+    return problem.a @ xs[:n] - problem.slack_mask * xs[n:]
+
+
+def _rmv(problem: IpmProblem, y: jax.Array) -> jax.Array:
+    """[K, -I_slack]' @ y."""
+    return jnp.concatenate([y @ problem.a, -problem.slack_mask * y])
+
+
+def _residuals(problem: IpmProblem, state: IpmState):
+    m, n = problem.a.shape
+    c_full = jnp.concatenate([problem.c,
+                              jnp.zeros(m, dtype=problem.c.dtype)])
+    rb = problem.b - _mv(problem, state.x)
+    rc = c_full - _rmv(problem, state.y) - state.zl + state.zu
+    # stationarity on inactive (fixed) vars is satisfied by definition:
+    # their reduced cost is free
+    rc = rc * problem.active
+    rl = (problem.lo - state.x + state.xl) * problem.lo_fin
+    ru = (problem.up - state.x - state.xu) * problem.up_fin
+    return rb, rc, rl, ru, c_full
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
+             settings: Tuple) -> Tuple[IpmState, IpmMetrics]:
+    """One Mehrotra predictor-corrector iteration, fully on device.
+
+    `regs` = device array (reg_primal, reg_dual) — dynamic so the host
+    can escalate regularization (on Cholesky breakdown) without
+    recompilation.  `settings` = (sigma_min, sigma_max, ftb, theta_max).
+    """
+    (sigma_min, sigma_max, ftb, theta_max) = settings
+    reg_p, reg_d = regs[0], regs[1]
+    m, n = problem.a.shape
+    dtype = problem.a.dtype
+    eps = jnp.asarray(1e-30, dtype=dtype)
+
+    rb, rc, rl, ru, c_full = _residuals(problem, state)
+
+    n_fin = jnp.sum(problem.lo_fin) + jnp.sum(problem.up_fin)
+    gap_sum = (jnp.sum(state.xl * state.zl * problem.lo_fin) +
+               jnp.sum(state.xu * state.zu * problem.up_fin))
+    mu = gap_sum / jnp.maximum(n_fin, 1.0)
+
+    # diagonal D = Zl/Xl + Zu/Xu + reg; Theta = 1/D, 0 for fixed vars
+    d = (state.zl / jnp.maximum(state.xl, eps) * problem.lo_fin +
+         state.zu / jnp.maximum(state.xu, eps) * problem.up_fin + reg_p)
+    theta = jnp.where(problem.active > 0,
+                      jnp.clip(1.0 / d, 0.0, theta_max), 0.0)
+    theta_x, theta_s = theta[:n], theta[n:]
+
+    # normal matrix M = K Theta_x K' + Theta_s (ineq diag) + reg_d I
+    at_weighted = problem.a * theta_x[None, :]
+    mmat = at_weighted @ problem.a.T
+    diag_extra = theta_s * problem.slack_mask + reg_d
+    mmat = mmat + jnp.diag(diag_extra)
+    chol = jnp.linalg.cholesky(mmat)
+
+    def solve_newton(rmu_l, rmu_u):
+        rhs_x = (rc -
+                 rmu_l / jnp.maximum(state.xl, eps) * problem.lo_fin -
+                 state.zl * rl / jnp.maximum(state.xl, eps) *
+                 problem.lo_fin +
+                 rmu_u / jnp.maximum(state.xu, eps) * problem.up_fin -
+                 state.zu * ru / jnp.maximum(state.xu, eps) *
+                 problem.up_fin)
+        w = theta * rhs_x
+        rhs_y = rb + _mv(problem, w)
+        dy = jax.scipy.linalg.cho_solve((chol, True), rhs_y)
+        dx = theta * (_rmv(problem, dy) - rhs_x)
+        dxl = (dx - rl) * problem.lo_fin
+        dxu = (ru - dx) * problem.up_fin
+        dzl = ((rmu_l - state.zl * dxl) /
+               jnp.maximum(state.xl, eps)) * problem.lo_fin
+        dzu = ((rmu_u - state.zu * dxu) /
+               jnp.maximum(state.xu, eps)) * problem.up_fin
+        return dx, dy, dxl, dxu, dzl, dzu
+
+    def max_step(v, dv, mask):
+        ratio = jnp.where((dv < 0) & (mask > 0), -v / jnp.minimum(dv, -eps),
+                          jnp.inf)
+        return jnp.minimum(1.0, jnp.min(ratio))
+
+    # ---- predictor (affine scaling) --------------------------------------
+    rmu_l_aff = -state.xl * state.zl * problem.lo_fin
+    rmu_u_aff = -state.xu * state.zu * problem.up_fin
+    dxa, dya, dxla, dxua, dzla, dzua = solve_newton(rmu_l_aff, rmu_u_aff)
+
+    ap_aff = jnp.minimum(max_step(state.xl, dxla, problem.lo_fin),
+                         max_step(state.xu, dxua, problem.up_fin))
+    ad_aff = jnp.minimum(max_step(state.zl, dzla, problem.lo_fin),
+                         max_step(state.zu, dzua, problem.up_fin))
+    mu_aff = ((jnp.sum((state.xl + ap_aff * dxla) *
+                       (state.zl + ad_aff * dzla) * problem.lo_fin) +
+               jnp.sum((state.xu + ap_aff * dxua) *
+                       (state.zu + ad_aff * dzua) * problem.up_fin)) /
+              jnp.maximum(n_fin, 1.0))
+    sigma = jnp.clip((mu_aff / jnp.maximum(mu, eps))**3,
+                     sigma_min, sigma_max)
+
+    # ---- corrector (combined) --------------------------------------------
+    rmu_l = (sigma * mu - state.xl * state.zl -
+             dxla * dzla) * problem.lo_fin
+    rmu_u = (sigma * mu - state.xu * state.zu -
+             dxua * dzua) * problem.up_fin
+    dx, dy, dxl, dxu, dzl, dzu = solve_newton(rmu_l, rmu_u)
+
+    alpha_p = ftb * jnp.minimum(max_step(state.xl, dxl, problem.lo_fin),
+                                max_step(state.xu, dxu, problem.up_fin))
+    alpha_d = ftb * jnp.minimum(max_step(state.zl, dzl, problem.lo_fin),
+                                max_step(state.zu, dzu, problem.up_fin))
+
+    new_state = IpmState(
+        x=state.x + alpha_p * dx,
+        xl=jnp.where(problem.lo_fin > 0, state.xl + alpha_p * dxl, 1.0),
+        xu=jnp.where(problem.up_fin > 0, state.xu + alpha_p * dxu, 1.0),
+        y=state.y + alpha_d * dy,
+        zl=jnp.where(problem.lo_fin > 0, state.zl + alpha_d * dzl, 0.0),
+        zu=jnp.where(problem.up_fin > 0, state.zu + alpha_d * dzu, 0.0))
+
+    # ---- metrics at the new point ----------------------------------------
+    rb2, rc2, _, _, _ = _residuals(problem, new_state)
+    gap2 = (jnp.sum(new_state.xl * new_state.zl * problem.lo_fin) +
+            jnp.sum(new_state.xu * new_state.zu * problem.up_fin))
+    mu2 = gap2 / jnp.maximum(n_fin, 1.0)
+    pobj = jnp.dot(problem.c, new_state.x[:n])
+    lo_safe = jnp.where(problem.lo_fin > 0, problem.lo, 0.0)
+    up_safe = jnp.where(problem.up_fin > 0, problem.up, 0.0)
+    # dual objective: b'y + l'zl - u'zu + fixed-var contribution
+    fixed_mask = 1.0 - problem.active
+    c_fixed = jnp.concatenate([problem.c, jnp.zeros(m, dtype=dtype)])
+    z_fixed = (c_fixed - _rmv(problem, new_state.y)) * fixed_mask
+    dobj = (jnp.dot(problem.b, new_state.y) +
+            jnp.dot(lo_safe, new_state.zl * problem.lo_fin) -
+            jnp.dot(up_safe, new_state.zu * problem.up_fin) +
+            jnp.dot(problem.lo * fixed_mask, z_fixed))
+    metrics = IpmMetrics(
+        primal_res=jnp.linalg.norm(rb2),
+        dual_res=jnp.linalg.norm(rc2),
+        mu=mu2, primal_obj=pobj, dual_obj=dobj,
+        alpha_p=alpha_p, alpha_d=alpha_d)
+    return new_state, metrics
+
+
+@jax.jit
+def _starting_point(problem: IpmProblem):
+    """Mehrotra-style least-squares starting point (reference analogue:
+    ipx ComputeStartingPoint ipm.cc:23 / HiPO starting-point heuristics).
+
+    x0 = argmin ||x||^2 s.t. K_std x = b  (via one Cholesky of K K' + I),
+    y0 = argmin ||c - K_std'y||, then shift slacks/duals positive.
+    """
+    m, n = problem.a.shape
+    dtype = problem.a.dtype
+    lo, up = problem.lo, problem.up
+    lo_fin, up_fin = problem.lo_fin, problem.up_fin
+    fixed = problem.active <= 0
+
+    # Gram matrix of [K, -I_slack]: K K' + slack diag + reg
+    gram = (problem.a @ problem.a.T +
+            jnp.diag(problem.slack_mask + 1e-8))
+    chol = jnp.linalg.cholesky(gram)
+    # x0 = K'(KK')^-1 b : minimum-norm solution of K_std x = b
+    v = jax.scipy.linalg.cho_solve((chol, True), problem.b)
+    x0 = _rmv(problem, v)
+    # y0 from least squares on the cost: K_std K_std' y = K_std c
+    c_full = jnp.concatenate([problem.c, jnp.zeros(m, dtype=dtype)])
+    y0 = jax.scipy.linalg.cho_solve((chol, True), _mv(problem, c_full))
+    z0 = (c_full - _rmv(problem, y0)) * problem.active
+
+    # shift into the interior (Mehrotra's delta heuristics)
+    xl_raw = jnp.where(lo_fin > 0, x0 - lo, 1.0)
+    xu_raw = jnp.where(up_fin > 0, up - x0, 1.0)
+    shift_p = jnp.maximum(0.0, -1.5 * jnp.minimum(
+        jnp.min(jnp.where(lo_fin > 0, xl_raw, jnp.inf)),
+        jnp.min(jnp.where(up_fin > 0, xu_raw, jnp.inf)))) + 0.1
+    shift_p = jnp.where(jnp.isfinite(shift_p), shift_p, 1.0)
+    xl0 = jnp.where(lo_fin > 0, xl_raw + shift_p, 1.0)
+    xu0 = jnp.where(up_fin > 0, xu_raw + shift_p, 1.0)
+
+    zl_raw = jnp.where(lo_fin > 0, jnp.maximum(z0, 0.0), 0.0)
+    zu_raw = jnp.where(up_fin > 0, jnp.maximum(-z0, 0.0), 0.0)
+    shift_d = 0.1 + 0.1 * problem.norm_c / jnp.sqrt(
+        jnp.asarray(n + m, dtype=dtype))
+    zl0 = jnp.where(lo_fin > 0, zl_raw + shift_d, 0.0)
+    zu0 = jnp.where(up_fin > 0, zu_raw + shift_d, 0.0)
+
+    x_init = jnp.where(fixed, lo, x0)
+    return IpmState(x=x_init, xl=xl0, xu=xu0, y=y0, zl=zl0, zu=zu0)
+
+
+@dataclasses.dataclass
+class IpmRunInfo:
+    status: HighsModelStatus = HighsModelStatus.kNotset
+    iterations: int = 0
+    ipm_iterations: int = 0
+    primal_obj: float = 0.0
+    dual_obj: float = 0.0
+    solve_time: float = 0.0
 
 
 def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
-                        x0: Optional[np.ndarray] = None):
-    from ..pdlp.wrapper import solve_lp_pdlp
-    import copy
-    opts = copy.copy(options)
-    return solve_lp_pdlp(lp, options, x0=x0)
+                        x0: Optional[np.ndarray] = None
+                        ) -> Tuple[HighsModelStatus, HighsSolution,
+                                   IpmRunInfo]:
+    """Solve an LP with the dense normal-equations IPM."""
+    t0 = time.perf_counter()
+    info = IpmRunInfo()
+    if lp.num_row == 0:
+        from ..pdlp.wrapper import _solve_bound_lp
+        status, sol = _solve_bound_lp(lp)
+        info.status = status
+        if sol.value_valid:
+            info.primal_obj = float(lp.col_cost @ sol.col_value) + lp.offset
+        return status, sol, info
+
+    dtype = jnp.float64
+    std = preprocess_lp(lp)
+    m, n_std = std.num_row, std.num_col
+    a_np = std.a.toarray()
+
+    # geometric-mean equilibration for numerical stability
+    def _geo_scale(mat, axis):
+        amax = mat.max(axis=axis, initial=0.0)
+        amin = np.where(mat > 0, mat, np.inf).min(axis=axis,
+                                                  initial=np.inf)
+        ok = (amax > 0) & np.isfinite(amin)
+        return np.where(ok, 1.0 / np.sqrt(np.where(ok, amax * amin, 1.0)),
+                        1.0)
+
+    abs_a = np.abs(a_np)
+    row_s = _geo_scale(abs_a, 1)
+    col_s = _geo_scale(np.abs(row_s[:, None] * a_np), 0)
+    a_scaled = row_s[:, None] * a_np * col_s[None, :]
+    b_scaled = row_s * std.b
+    c_scaled = std.c * col_s
+
+    # stacked bounds: x~ = x / col_s; surplus slacks s >= 0 on ineq rows
+    with np.errstate(invalid="ignore"):
+        lo_x = std.col_lower / col_s
+        up_x = std.col_upper / col_s
+    is_ineq = (np.arange(m) >= std.num_eq).astype(np.float64)
+    lo_slack = np.zeros(m)  # s >= 0 on ineq rows; fixed at 0 on eq rows
+    up_slack = np.where(is_ineq > 0, np.inf, 0.0)
+    lo = np.concatenate([lo_x, lo_slack])
+    up = np.concatenate([up_x, up_slack])
+
+    fixed = np.zeros(n_std + m, dtype=bool)
+    with np.errstate(invalid="ignore"):
+        fixed[:n_std] = np.isfinite(lo_x) & np.isfinite(up_x) & (
+            up_x - lo_x <= 1e-14 * (1.0 + np.abs(lo_x)))
+    fixed[n_std:] = is_ineq == 0  # eq-row slacks fixed at 0
+    active = (~fixed).astype(np.float64)
+    lo_fin = (np.isfinite(lo) & ~fixed).astype(np.float64)
+    up_fin = (np.isfinite(up) & ~fixed).astype(np.float64)
+    big = 1e30
+    lo_dev = np.where(np.isfinite(lo), lo, -big)
+    up_dev = np.where(np.isfinite(up), up, big)
+
+    problem = IpmProblem(
+        a=jnp.asarray(a_scaled, dtype=dtype),
+        b=jnp.asarray(b_scaled, dtype=dtype),
+        c=jnp.asarray(c_scaled, dtype=dtype),
+        slack_mask=jnp.asarray(is_ineq, dtype=dtype),
+        lo=jnp.asarray(lo_dev, dtype=dtype),
+        up=jnp.asarray(up_dev, dtype=dtype),
+        lo_fin=jnp.asarray(lo_fin, dtype=dtype),
+        up_fin=jnp.asarray(up_fin, dtype=dtype),
+        active=jnp.asarray(active, dtype=dtype),
+        norm_c=jnp.asarray(np.linalg.norm(c_scaled), dtype=dtype),
+        norm_b=jnp.asarray(np.linalg.norm(b_scaled), dtype=dtype))
+
+    settings = IpmSettings(
+        tolerance=options.ipm_optimality_tolerance,
+        iteration_limit=min(options.ipm_iteration_limit, 300),
+        time_limit=options.time_limit)
+    sett_tuple = (settings.sigma_min, settings.sigma_max,
+                  settings.fraction_to_boundary, settings.theta_max)
+    regs = np.array([settings.reg_primal, settings.reg_dual])
+
+    state = _starting_point(problem)
+
+    norm_c_h = float(problem.norm_c)
+    norm_b_h = float(problem.norm_b)
+    it = 0
+    status = HighsModelStatus.kNotset
+    stall = 0
+    best_err = np.inf
+    nan_retries = 0
+    while it < settings.iteration_limit:
+        prev_state = state
+        state, metrics = ipm_step(problem, state,
+                                  jnp.asarray(regs, dtype=dtype),
+                                  sett_tuple)
+        it += 1
+        mh = jax.device_get(metrics)
+        if not np.isfinite(float(mh.mu)):
+            # Cholesky breakdown (degenerate basis as mu -> 0): keep the
+            # previous iterate and escalate regularization
+            # (reference analogue: HiPO dynamic regularization,
+            # FactorHiGHS regularization; IPX switches to stabilized
+            # basis preconditioning)
+            state = prev_state
+            nan_retries += 1
+            regs = regs * 100.0
+            if nan_retries > 4:
+                status = HighsModelStatus.kUnknown
+                break
+            continue
+        pres = float(mh.primal_res)
+        dres = float(mh.dual_res)
+        mu = float(mh.mu)
+        pobj = float(mh.primal_obj)
+        dobj = float(mh.dual_obj)
+        rel_p = pres / (1.0 + norm_b_h)
+        rel_d = dres / (1.0 + norm_c_h)
+        rel_gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+        if log is not None:
+            log(f"ipm {it:3d} pobj={pobj:.10e} mu={mu:.2e} "
+                f"rp={rel_p:.2e} rd={rel_d:.2e} gap={rel_gap:.2e} "
+                f"ap={float(mh.alpha_p):.2f} ad={float(mh.alpha_d):.2f}")
+        err = rel_p + rel_d + rel_gap
+        if err < best_err * 0.99:
+            best_err = err
+            stall = 0
+        else:
+            stall += 1
+        if (rel_p < settings.tolerance and rel_d < settings.tolerance and
+                rel_gap < settings.tolerance):
+            status = HighsModelStatus.kOptimal
+            break
+        if float(mh.alpha_p) < 1e-8 and float(mh.alpha_d) < 1e-8:
+            stall += 5
+        if stall > 12:
+            status = HighsModelStatus.kUnknown
+            break
+        if time.perf_counter() - t0 > settings.time_limit:
+            status = HighsModelStatus.kTimeLimit
+            break
+    if status == HighsModelStatus.kNotset:
+        status = HighsModelStatus.kIterationLimit
+
+    # ---- recover original-space solution ---------------------------------
+    sh = jax.device_get(state)
+    xs = np.asarray(sh.x, dtype=np.float64)
+    y_sc = np.asarray(sh.y, dtype=np.float64)
+    # unscale standard-form quantities: x = col_s x~, y = row_s y~,
+    # z = z~ / col_s where z~ = c~ - K~'y~
+    x_std = xs[:n_std] * col_s
+    y_std = y_sc * row_s
+    z_std = (c_scaled - (y_sc @ a_scaled)) / col_s
+
+    col_value, row_dual, col_dual = recover_solution(
+        std, x_std, y_std, z_std)
+    row_value = lp.a_matrix.to_scipy() @ col_value
+    sol = HighsSolution(
+        value_valid=True, dual_valid=True,
+        col_value=col_value, col_dual=col_dual,
+        row_value=row_value, row_dual=row_dual)
+    info.status = status
+    info.iterations = it
+    info.ipm_iterations = it
+    info.primal_obj = float(lp.col_cost @ col_value) + lp.offset
+    info.solve_time = time.perf_counter() - t0
+    return status, sol, info

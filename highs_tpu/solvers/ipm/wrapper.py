@@ -1,11 +1,9 @@
 """Interior-point LP solver (TPU, normal-equations based).
 
-Target design (SURVEY §7.4): regularized predictor-corrector IPM on the
-normal equations A·diag(theta)·A', batched Cholesky / preconditioned CG
-on device, used both standalone ("ipm" solver option) and as the polish
-stage after PDHG.  Until the IPM core lands, this wrapper delegates to
-the PDHG solver at the IPM optimality tolerance so the "ipm"/"ipx"/
-"hipo" solver options behave.
+Regularized predictor-corrector IPM on the dense normal equations
+A·diag(theta)·A' (SURVEY §7.4): see solver.py.  Used both standalone
+("ipm" / "ipx" / "hipo" solver options) and as the high-accuracy polish
+stage after PDHG.
 """
 from __future__ import annotations
 

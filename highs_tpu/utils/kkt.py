@@ -139,30 +139,21 @@ def compute_kkt(lp: HighsLp, solution: HighsSolution,
                                                         initial=0.0))
 
     # --- dual infeasibilities ---------------------------------------------
-    # at-bound classification tolerance: relative to the bound magnitude
-    # and no tighter than the solution's own achieved primal accuracy, so
-    # first-order solutions (accurate in a relative/L2 sense) classify
-    # their active sets consistently
-    at_bound_base = max(primal_feasibility_tolerance,
-                        10.0 * rep.max_primal_infeasibility)
-
     def dual_infeas(value, lower, upper, dual):
-        tol_l = at_bound_base * (
-            1.0 + np.abs(np.where(np.isfinite(lower), lower, 0.0)))
-        tol_u = at_bound_base * (
-            1.0 + np.abs(np.where(np.isfinite(upper), upper, 0.0)))
-        at_lower = value <= lower + tol_l
-        at_upper = value >= upper - tol_u
-        fixed = at_lower & at_upper
-        # minimization convention: dual >= 0 at lower, <= 0 at upper;
-        # for maximization the reported duals flip sign, so testing
-        # sense*dual restores the minimization convention
+        # A dual value is infeasible when its sign cannot be supported by
+        # any bound: in the minimization convention a positive reduced
+        # cost requires a finite lower bound, a negative one a finite
+        # upper bound.  (Complementarity with the *current* point is
+        # measured separately as max_complementarity_violation — this
+        # split matches first-order/IPM semantics and the reference's
+        # uniform KKT census, which reports both.)  For maximization the
+        # reported duals flip sign; testing sense*dual restores the
+        # minimization convention.
         sdual = sense * dual
-        infeas = np.where(
-            fixed, 0.0,
-            np.where(at_lower, np.maximum(-sdual, 0.0),
-                     np.where(at_upper, np.maximum(sdual, 0.0),
-                              np.abs(sdual))))
+        lo_fin = np.isfinite(lower)
+        up_fin = np.isfinite(upper)
+        infeas = (np.where(lo_fin, 0.0, np.maximum(sdual, 0.0)) +
+                  np.where(up_fin, 0.0, np.maximum(-sdual, 0.0)))
         return infeas
 
     col_dinf = dual_infeas(x, lp.col_lower, lp.col_upper, z)
