@@ -265,10 +265,32 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                x0: Optional[np.ndarray] = None,
                y0: Optional[np.ndarray] = None,
                offset: float = 0.0,
+               mesh=None,
                log=None) -> PdhgResult:
-    """Host-side driver: restart/termination control around pdhg_block."""
+    """Host-side driver: restart/termination control around pdhg_block.
+
+    With `mesh`, the problem/state are laid out row-sharded over the mesh
+    (parallel/mesh.py) and jit/GSPMD turns K'y and row-space reductions
+    into ICI collectives — the multi-chip scaling path.
+    """
     t_start = time.perf_counter()
     dtype = jnp.float64 if settings.dtype == "float64" else jnp.float32
+
+    if mesh is not None:
+        from ...parallel.mesh import shard_pdhg
+        # shard the problem before any device compute; the dummy state is
+        # replaced below but establishes the layout
+        _dummy = PdhgState(
+            x=jnp.zeros((n,), dtype=dtype), y=jnp.zeros((m,), dtype=dtype),
+            x_pd=jnp.zeros((n,), dtype=dtype),
+            y_pd=jnp.zeros((m,), dtype=dtype),
+            x_anchor=jnp.zeros((n,), dtype=dtype),
+            y_anchor=jnp.zeros((m,), dtype=dtype),
+            aty=jnp.zeros((n,), dtype=dtype),
+            k=jnp.zeros((), dtype=jnp.int32),
+            eta=jnp.zeros((), dtype=dtype),
+            omega=jnp.zeros((), dtype=dtype))
+        problem, _dummy = shard_pdhg(problem, _dummy, mesh)
 
     norm_k = power_method(problem.k_op, n, settings.power_method_iters,
                           dtype)
@@ -296,6 +318,9 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         k=jnp.zeros((), dtype=jnp.int32),
         eta=jnp.asarray(eta0, dtype=dtype),
         omega=jnp.asarray(omega0, dtype=dtype))
+    if mesh is not None:
+        from ...parallel.mesh import shard_pdhg
+        problem, state = shard_pdhg(problem, state, mesh)
 
     total_iters = 0
     restarts = 0

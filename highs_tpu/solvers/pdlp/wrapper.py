@@ -169,9 +169,17 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
             std.row_class == 2, -1.0, 1.0) * std.sense_mult
         y0_s = padr(y_std / dr, 0.0)
 
+    mesh = None
+    mesh_shape_opt = options.tpu_mesh_shape
+    if mesh_shape_opt:
+        from ...parallel.mesh import make_mesh, parse_mesh_shape
+        shape = parse_mesh_shape(mesh_shape_opt)
+        if shape is not None:
+            mesh = make_mesh(shape)
+
     result = solve_pdhg(problem, n_pad, m_pad, settings,
                         x0=x0_s, y0=y0_s, offset=std.offset,
-                        log=log_callback)
+                        mesh=mesh, log=log_callback)
 
     info.status = result.status
     info.iterations = result.iterations
