@@ -279,6 +279,7 @@ class Highs:
         self._solution = solution
         self._fill_info_lp(self._model.lp, qp_info,
                            hessian=self._model.hessian)
+        self._info.qp_iteration_count = qp_info.iterations
         return HighsStatus.kOk
 
     def _call_solve_mip(self) -> HighsStatus:

@@ -117,3 +117,63 @@ def classify_inconclusive(lp: HighsLp, options: HighsOptions,
             # primal feasible + dual infeasible => unbounded
             return HighsModelStatus.kUnbounded
     return HighsModelStatus.kUnknown
+
+
+def build_qp_ray_lp(model) -> HighsLp:
+    """LP over ray directions d: minimize c'd (minimization sense) over
+    the recession cone of the feasible set intersected with null(Q) and
+    the [-1, 1] box.  Optimum < 0  <=>  the QP is unbounded (given a
+    feasible point), since the objective is linear along null(Q) rays.
+    """
+    lp = model.lp
+    m, n = lp.num_row, lp.num_col
+    sense = float(lp.sense)
+    a = lp.a_matrix.to_scipy().tocsc()
+    q = sense * model.hessian.to_scipy_full()
+
+    lo_fin_r = np.isfinite(lp.row_lower)
+    up_fin_r = np.isfinite(lp.row_upper)
+    # recession cone of L <= Ax <= U:
+    row_lower = np.where(lo_fin_r, 0.0, -kHighsInf)
+    row_upper = np.where(up_fin_r, 0.0, kHighsInf)
+
+    d_lower = np.where(np.isfinite(lp.col_lower), 0.0, -1.0)
+    d_upper = np.where(np.isfinite(lp.col_upper), 0.0, 1.0)
+
+    big_a = sp.vstack([a, q], format="csc")
+    return HighsLp(
+        num_col=n, num_row=m + n,
+        col_cost=sense * lp.col_cost,
+        col_lower=d_lower, col_upper=d_upper,
+        row_lower=np.concatenate([row_lower, np.zeros(n)]),
+        row_upper=np.concatenate([row_upper, np.zeros(n)]),
+        a_matrix=HighsSparseMatrix.from_scipy(big_a),
+        sense=ObjSense.kMinimize, offset=0.0)
+
+
+def classify_qp_inconclusive(model, options: HighsOptions,
+                             log=None) -> HighsModelStatus:
+    """Resolve a QP kUnknown into kInfeasible / kUnbounded / kUnknown."""
+    from .ipm.wrapper import solve_lp_ipm
+    lp = model.lp
+    tol = max(options.primal_feasibility_tolerance, 1e-9)
+
+    feas_lp = build_primal_feasibility_lp(lp)
+    st, sol, info = solve_lp_ipm(feas_lp, options, log=None)
+    if st == HighsModelStatus.kOptimal:
+        scale = 1.0 + float(np.linalg.norm(
+            np.where(np.isfinite(lp.row_lower), lp.row_lower, 0.0)) +
+            np.linalg.norm(
+                np.where(np.isfinite(lp.row_upper), lp.row_upper, 0.0)))
+        if info.primal_obj > tol * scale:
+            return HighsModelStatus.kInfeasible
+    else:
+        return HighsModelStatus.kUnknown
+
+    ray_lp = build_qp_ray_lp(model)
+    st2, sol2, info2 = solve_lp_ipm(ray_lp, options, log=None)
+    if st2 == HighsModelStatus.kOptimal:
+        scale2 = 1.0 + float(np.linalg.norm(lp.col_cost))
+        if info2.primal_obj < -tol * scale2:
+            return HighsModelStatus.kUnbounded
+    return HighsModelStatus.kUnknown

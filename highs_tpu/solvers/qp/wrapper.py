@@ -1,8 +1,9 @@
-"""Convex QP solver entry (placeholder until the QP prox-PDHG lands).
+"""Convex QP solver entry.
 
-Design (SURVEY §7.6): add 1/2 x'Qx to the PDHG primal step — the primal
-update becomes a proximal step, still elementwise-plus-SpMV — and to the
-IPM.  Reference behavior: qpsolver/a_quass.cpp active set / HiPO QP.
+Dispatches to the QP interior-point solver (ipm_qp.py) — the TPU-native
+replacement for the reference's QUASS active set (qpsolver/a_quass.cpp)
+and HiPO-QP (Highs.cpp:4160).  A prox-PDHG path (Q in the primal prox
+step) is the planned large-scale alternative (SURVEY §7.6).
 """
 from __future__ import annotations
 
@@ -13,5 +14,14 @@ from ...options import HighsOptions
 
 
 def solve_qp(model: HighsModel, options: HighsOptions, log=None):
-    from .pdqp import solve_qp_pdhg
-    return solve_qp_pdhg(model, options, log=log)
+    from .ipm_qp import solve_qp_ipm
+    status, solution, info = solve_qp_ipm(model, options, log=log)
+    if status in (HighsModelStatus.kUnknown,
+                  HighsModelStatus.kIterationLimit):
+        from ..classify import classify_qp_inconclusive
+        verdict = classify_qp_inconclusive(model, options, log=log)
+        if verdict in (HighsModelStatus.kInfeasible,
+                       HighsModelStatus.kUnbounded):
+            info.status = verdict
+            return verdict, HighsSolution(), info
+    return status, solution, info
