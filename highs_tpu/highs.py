@@ -24,9 +24,10 @@ from .models.lp import (HighsHessian, HighsLp, HighsModel,
 from .models.solution import HighsBasis, HighsSolution
 from .options import HighsOptions
 from .utils.kkt import compute_kkt, fill_info_from_kkt
+from .model_api import HighsModelApi
 
 
-class Highs:
+class Highs(HighsModelApi):
     """User-facing solver object (API parity with the reference Highs)."""
 
     def __init__(self):

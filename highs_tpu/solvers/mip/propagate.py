@@ -1,0 +1,138 @@
+"""Activity-based domain propagation.
+
+Vectorized re-implementation of the core rule of the reference's
+HighsDomain (highs/mip/HighsDomain.cpp bound propagation over rows):
+for each row  L <= a'x <= U  and each entry a_ij, the partial minimal /
+maximal activity of the other variables implies
+
+    x_j <= (U - minact_{-j}) / a_ij   (a_ij > 0)
+    x_j >= (L - maxact_{-j}) / a_ij   (a_ij > 0)
+
+(and mirrored for a_ij < 0).  Integer variables round the implied
+bounds.  Passes repeat until fixpoint or `max_rounds`.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+
+class Propagator:
+    def __init__(self, a: sp.csr_matrix, row_lower: np.ndarray,
+                 row_upper: np.ndarray, is_integer: np.ndarray,
+                 feastol: float = 1e-6):
+        self.a = a.tocsr()
+        self.a_csc = a.tocsc()
+        self.row_lower = row_lower
+        self.row_upper = row_upper
+        self.is_integer = is_integer.astype(bool)
+        self.feastol = feastol
+        ap = self.a.copy()
+        ap.data = np.maximum(ap.data, 0.0)
+        an = self.a.copy()
+        an.data = np.minimum(an.data, 0.0)
+        self.a_pos = ap
+        self.a_neg = an
+
+    def propagate(self, lo: np.ndarray, up: np.ndarray,
+                  max_rounds: int = 8
+                  ) -> Tuple[bool, np.ndarray, np.ndarray]:
+        """Tighten (lo, up).  Returns (feasible, lo, up)."""
+        lo = lo.copy()
+        up = up.copy()
+        m, n = self.a.shape
+        if m == 0:
+            return bool(np.all(lo <= up + self.feastol)), lo, up
+        inf = np.inf
+        for _ in range(max_rounds):
+            if np.any(lo > up + self.feastol):
+                return False, lo, up
+            lo_c = np.where(np.isfinite(lo), lo, 0.0)
+            up_c = np.where(np.isfinite(up), up, 0.0)
+            # min activity: pos coeffs * lo + neg coeffs * up
+            minact = self.a_pos @ lo_c + self.a_neg @ up_c
+            maxact = self.a_pos @ up_c + self.a_neg @ lo_c
+            # infinite contributions
+            n_min_inf = (self.a_pos @ (~np.isfinite(lo)).astype(float) +
+                         self.a_neg @ (~np.isfinite(up)).astype(float))
+            n_max_inf = (self.a_pos @ (~np.isfinite(up)).astype(float) +
+                         self.a_neg @ (~np.isfinite(lo)).astype(float))
+            # row infeasibility check
+            min_ok = np.where(n_min_inf > 0, -inf, minact)
+            max_ok = np.where(n_max_inf > 0, inf, maxact)
+            if np.any(min_ok > self.row_upper + self.feastol *
+                      (1 + np.abs(self.row_upper))):
+                return False, lo, up
+            if np.any(max_ok < self.row_lower - self.feastol *
+                      (1 + np.abs(self.row_lower))):
+                return False, lo, up
+
+            changed = False
+            coo = self.a.tocoo()
+            r, c, v = coo.row, coo.col, coo.data
+            lo_j = lo[c]
+            up_j = up[c]
+            lo_fin = np.isfinite(lo_j)
+            up_fin = np.isfinite(up_j)
+            pos = v > 0
+            # contribution of x_j to minact / maxact of its row
+            contrib_min = np.where(pos, v * np.where(lo_fin, lo_j, 0.0),
+                                   v * np.where(up_fin, up_j, 0.0))
+            contrib_max = np.where(pos, v * np.where(up_fin, up_j, 0.0),
+                                   v * np.where(lo_fin, lo_j, 0.0))
+            j_min_inf = np.where(pos, ~lo_fin, ~up_fin)
+            j_max_inf = np.where(pos, ~up_fin, ~lo_fin)
+            other_min_inf = n_min_inf[r] - j_min_inf
+            other_max_inf = n_max_inf[r] - j_max_inf
+            minact_other = minact[r] - contrib_min
+            maxact_other = maxact[r] - contrib_max
+
+            ru = self.row_upper[r]
+            rl = self.row_lower[r]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # upper bound candidates
+                ub_cand = np.where(
+                    pos & (other_min_inf == 0) & np.isfinite(ru),
+                    (ru - minact_other) / v, inf)
+                ub_cand2 = np.where(
+                    ~pos & (other_max_inf == 0) & np.isfinite(rl),
+                    (rl - maxact_other) / v, inf)
+                lb_cand = np.where(
+                    pos & (other_max_inf == 0) & np.isfinite(rl),
+                    (rl - maxact_other) / v, -inf)
+                lb_cand2 = np.where(
+                    ~pos & (other_min_inf == 0) & np.isfinite(ru),
+                    (ru - minact_other) / v, -inf)
+            ub_all = np.minimum(ub_cand, ub_cand2)
+            lb_all = np.maximum(lb_cand, lb_cand2)
+
+            new_up = up.copy()
+            np.minimum.at(new_up, c, ub_all + self.feastol)
+            new_lo = lo.copy()
+            np.maximum.at(new_lo, c, lb_all - self.feastol)
+            # only accept meaningful tightenings
+            with np.errstate(invalid="ignore"):
+                tighten_up = new_up < up - 1e-9 * (
+                    1 + np.abs(np.where(np.isfinite(up), up, 0.0)))
+                tighten_lo = new_lo > lo + 1e-9 * (
+                    1 + np.abs(np.where(np.isfinite(lo), lo, 0.0)))
+            if self.is_integer.any():
+                new_up_i = np.floor(new_up + self.feastol)
+                new_lo_i = np.ceil(new_lo - self.feastol)
+                new_up = np.where(self.is_integer & np.isfinite(new_up),
+                                  new_up_i, new_up)
+                new_lo = np.where(self.is_integer & np.isfinite(new_lo),
+                                  new_lo_i, new_lo)
+                tighten_up |= self.is_integer & (new_up < up - 0.5)
+                tighten_lo |= self.is_integer & (new_lo > lo + 0.5)
+            if np.any(tighten_up):
+                up = np.where(tighten_up, new_up, up)
+                changed = True
+            if np.any(tighten_lo):
+                lo = np.where(tighten_lo, new_lo, lo)
+                changed = True
+            if not changed:
+                break
+        return bool(np.all(lo <= up + self.feastol)), lo, up
