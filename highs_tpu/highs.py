@@ -269,6 +269,8 @@ class Highs(HighsModelApi):
 
         self._model_status = status
         self._solution = solution
+        if getattr(lp_info, "basis", None) is not None:
+            self._basis = lp_info.basis
         self._fill_info_lp(lp, lp_info)
         return HighsStatus.kOk
 
@@ -335,6 +337,52 @@ class Highs(HighsModelApi):
         self._info.basis_validity = int(
             BasisValidity.kBasisValidityValid if self._basis.valid
             else BasisValidity.kBasisValidityInvalid)
+
+    # ------------------------------------------------------------------
+    # Reporting
+    # ------------------------------------------------------------------
+    def reportSolvedStats(self):
+        """Report solve statistics in the reference's exact format
+        (Highs.cpp:5020-5061 reportSolvedLpQpStats)."""
+        if not self._options.output_flag:
+            return
+        lp = self._model.lp
+        if lp.model_name:
+            self._log(f"Model name          : {lp.model_name}")
+        self._log("Model status        : "
+                  f"{model_status_to_string(self._model_status)}")
+        info = self._info
+        if info.valid:
+            if info.simplex_iteration_count > 0:
+                self._log("Simplex   iterations: "
+                          f"{info.simplex_iteration_count}")
+            if info.ipm_iteration_count > 0:
+                self._log("IPM       iterations: "
+                          f"{info.ipm_iteration_count}")
+            if info.crossover_iteration_count > 0:
+                self._log("Crossover iterations: "
+                          f"{info.crossover_iteration_count}")
+            if info.pdlp_iteration_count > 0:
+                self._log("PDLP      iterations: "
+                          f"{info.pdlp_iteration_count}")
+            if info.qp_iteration_count > 0:
+                self._log("QP ASM    iterations: "
+                          f"{info.qp_iteration_count}")
+            if self._model.is_mip() and info.mip_node_count >= 0:
+                self._log(f"MIP nodes           : {info.mip_node_count}")
+                if math.isfinite(info.mip_gap):
+                    self._log(f"MIP gap             : "
+                              f"{100.0 * info.mip_gap:.4g}%")
+            if self._solution.value_valid or \
+                    self._model_status == HighsModelStatus.kModelEmpty:
+                self._log("Objective value     : "
+                          f"{info.objective_function_value:17.10e}")
+        if self._solution.dual_valid and math.isfinite(
+                info.primal_dual_objective_error):
+            self._log("P-D objective error : "
+                      f"{info.primal_dual_objective_error:17.10e}")
+        if not self._options.timeless_log:
+            self._log(f"HiGHS run time      : {self._run_time:13.2f}")
 
     # ------------------------------------------------------------------
     # Solution output

@@ -33,6 +33,7 @@ class LpSolveInfo:
     crossover_iteration_count: int = -1
     pdlp_iteration_count: int = -1
     solve_time: float = 0.0
+    basis: Optional[HighsBasis] = None
 
 
 def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
@@ -65,10 +66,14 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
     info.iterations = raw_info.iterations
     info.solve_time = raw_info.solve_time
     ipm_iters = getattr(raw_info, "ipm_iterations", -1)
-    if ipm_iters > 0:
+    simplex_iters = getattr(raw_info, "simplex_iterations", -1)
+    if simplex_iters > 0:
+        info.simplex_iteration_count = simplex_iters
+    elif ipm_iters > 0:
         info.ipm_iteration_count = ipm_iters
     else:
         info.pdlp_iteration_count = raw_info.iterations
+    info.basis = getattr(raw_info, "basis", None)
 
     if postsolve_stack is not None and solution.value_valid:
         from ..presolve.presolve import postsolve_lp
@@ -97,6 +102,18 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
     # materialized dense (m x n_std) — both must fit comfortably
     ipm_ok = (lp.num_row <= 8192 and
               lp.num_row * (lp.num_col + lp.num_row) <= (1 << 26))
+
+    if solver == "choose" and lp.num_row <= 1500:
+        # small problems: the native simplex gives an exact vertex
+        # solution with a basis fastest (the reference's default LP
+        # solver is also simplex)
+        from .simplex.wrapper import solve_lp_simplex
+        status, solution, info = solve_lp_simplex(lp, options, log=log,
+                                                  basis=basis)
+        if status in (HighsModelStatus.kOptimal,
+                      HighsModelStatus.kInfeasible,
+                      HighsModelStatus.kUnbounded):
+            return status, solution, info
 
     if solver == "choose" and ipm_ok:
         # "choose": high-accuracy IPM first on problems where the dense

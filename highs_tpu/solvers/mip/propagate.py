@@ -35,6 +35,13 @@ class Propagator:
         an.data = np.minimum(an.data, 0.0)
         self.a_pos = ap
         self.a_neg = an
+        # 0/1 patterns for counting infinite-bound contributions
+        pp = self.a.copy()
+        pp.data = (pp.data > 0).astype(np.float64)
+        pn = self.a.copy()
+        pn.data = (pn.data < 0).astype(np.float64)
+        self.pat_pos = pp
+        self.pat_neg = pn
 
     def propagate(self, lo: np.ndarray, up: np.ndarray,
                   max_rounds: int = 8
@@ -54,11 +61,11 @@ class Propagator:
             # min activity: pos coeffs * lo + neg coeffs * up
             minact = self.a_pos @ lo_c + self.a_neg @ up_c
             maxact = self.a_pos @ up_c + self.a_neg @ lo_c
-            # infinite contributions
-            n_min_inf = (self.a_pos @ (~np.isfinite(lo)).astype(float) +
-                         self.a_neg @ (~np.isfinite(up)).astype(float))
-            n_max_inf = (self.a_pos @ (~np.isfinite(up)).astype(float) +
-                         self.a_neg @ (~np.isfinite(lo)).astype(float))
+            # infinite contributions (counted via 0/1 patterns)
+            n_min_inf = (self.pat_pos @ (~np.isfinite(lo)).astype(float) +
+                         self.pat_neg @ (~np.isfinite(up)).astype(float))
+            n_max_inf = (self.pat_pos @ (~np.isfinite(up)).astype(float) +
+                         self.pat_neg @ (~np.isfinite(lo)).astype(float))
             # row infeasibility check
             min_ok = np.where(n_min_inf > 0, -inf, minact)
             max_ok = np.where(n_max_inf > 0, inf, maxact)

@@ -55,6 +55,12 @@ class _Node:
     lo: np.ndarray = dataclasses.field(compare=False)
     up: np.ndarray = dataclasses.field(compare=False)
     depth: int = dataclasses.field(compare=False, default=0)
+    # branching metadata for pseudocost updates at child-LP solve time
+    branch_j: int = dataclasses.field(compare=False, default=-1)
+    branch_dir: int = dataclasses.field(compare=False, default=0)
+    branch_frac: float = dataclasses.field(compare=False, default=0.0)
+    parent_obj: float = dataclasses.field(compare=False, default=0.0)
+    basis: object = dataclasses.field(compare=False, default=None)
 
 
 class _Pseudocost:
@@ -90,8 +96,12 @@ class _Pseudocost:
                 self.dn_cnt[j] >= self.min_reliable)
 
     def averages(self):
-        up = (self.up_sum.sum() / max(self.up_cnt.sum(), 1))
-        dn = (self.dn_sum.sum() / max(self.dn_cnt.sum(), 1))
+        # default 1.0 so that, with no history, the score degrades to
+        # the most-fractional rule f_dn * f_up
+        up = (self.up_sum.sum() / self.up_cnt.sum()
+              if self.up_cnt.sum() > 0 else 1.0)
+        dn = (self.dn_sum.sum() / self.dn_cnt.sum()
+              if self.dn_cnt.sum() > 0 else 1.0)
         return max(up, 1e-6), max(dn, 1e-6)
 
 
@@ -127,8 +137,34 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     import copy as _copy
     node_options = _copy.copy(options)
 
-    def solve_node_lp(lo, up):
-        """Returns (feasible, obj_minimize, x) for the node relaxation."""
+    # node relaxations: hot-started native simplex when the dense basis
+    # inverse fits (the reference's node engine is hot-started dual
+    # simplex, HighsLpRelaxation); IPM otherwise
+    use_simplex = lp.num_row <= 2000
+    a_node_csc = lp.a_matrix.to_scipy().tocsc() if use_simplex else None
+    mip_feastol = feastol
+
+    def solve_node_lp(lo, up, warm_basis=None):
+        """Returns (feasible, obj_minimize, x, basis) for the node
+        relaxation."""
+        if use_simplex:
+            from ..simplex.native import (RESULT_INFEASIBLE,
+                                          RESULT_OPTIMAL,
+                                          RESULT_UNBOUNDED,
+                                          simplex_solve)
+            result, x, y, z, basis_out, iters = simplex_solve(
+                a_node_csc, sense * lp.col_cost, lo, up,
+                lp.row_lower, lp.row_upper, basis_in=warm_basis,
+                tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+            info.iterations += iters
+            if result == RESULT_OPTIMAL:
+                return True, float(sense * lp.col_cost @ x), x, basis_out
+            if result == RESULT_INFEASIBLE:
+                return False, math.inf, None, None
+            if result == RESULT_UNBOUNDED:
+                return True, -math.inf, None, None
+            # numerical failure: fall through to IPM below
+
         node_lp = relax
         node_lp.col_lower = lo
         node_lp.col_upper = up
@@ -136,9 +172,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.iterations += lp_info.iterations
         if st == HighsModelStatus.kOptimal:
             return True, sense * (lp_info.primal_obj - lp.offset), \
-                sol.col_value
+                sol.col_value, None
         if st in (HighsModelStatus.kInfeasible,):
-            return False, math.inf, None
+            return False, math.inf, None, None
         # inconclusive: confirm with elastic feasibility LP
         from ..classify import build_primal_feasibility_lp
         feas_lp = build_primal_feasibility_lp(node_lp)
@@ -146,17 +182,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if st2 == HighsModelStatus.kOptimal and inf2.primal_obj > \
                 1e-7 * (1.0 + float(np.abs(lp.row_upper[
                     np.isfinite(lp.row_upper)]).sum())):
-            return False, math.inf, None
+            return False, math.inf, None, None
         # numerically hard but feasible: retry with the PDHG solver
         from ..pdlp.wrapper import solve_lp_pdlp
         pd_options = _copy.copy(options)
         st3, sol3, inf3 = solve_lp_pdlp(node_lp, pd_options)
         if st3 == HighsModelStatus.kOptimal:
             return True, sense * (inf3.primal_obj - lp.offset), \
-                sol3.col_value
+                sol3.col_value, None
         if st3 == HighsModelStatus.kInfeasible:
-            return False, math.inf, None
-        return True, -math.inf, None  # keep node with trivial bound
+            return False, math.inf, None, None
+        return True, -math.inf, None, None  # keep node, trivial bound
 
     def violation(x):
         """Max integrality/semi violation of a point."""
@@ -231,7 +267,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if not ok:
             return None
         if not np.all(is_int | is_semi):
-            feasible, obj, xc = solve_node_lp(lo3, up3)
+            feasible, obj, xc, _ = solve_node_lp(lo3, up3)
             if not feasible or xc is None:
                 return None
             return xc
@@ -245,7 +281,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
-    feasible, root_bound, root_x = solve_node_lp(root_lo_p, root_up_p)
+    feasible, root_bound, root_x, root_basis = solve_node_lp(
+        root_lo_p, root_up_p)
     info.mip_node_count = 1
     if not feasible:
         info.status = HighsModelStatus.kInfeasible
@@ -257,13 +294,39 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if cand is not None:
             try_incumbent(cand, "rounding")
 
+    def run_feasibility_jump(x_start, lo, up, seed=0):
+        """Feasibility-jump + LP completion (reference:
+        mip_heuristic_run_feasibility_jump)."""
+        from .feasibility_jump import feasibility_jump
+        # time-boxed per mip_heuristic_effort (reference option)
+        budget = max(2.0, options.mip_heuristic_effort *
+                     min(options.time_limit, 600.0))
+        xfj = feasibility_jump(
+            a_csr, lp.row_lower, lp.row_upper, lo, up,
+            sense * lp.col_cost, is_int | is_semi,
+            x0=x_start, feastol=feastol, seed=seed,
+            time_budget=budget)
+        if xfj is None:
+            return False
+        if try_incumbent(xfj, "feasibility jump"):
+            pass
+        # polish: fix integers, optimal continuous completion
+        cand = round_and_repair(xfj, lo, up)
+        if cand is not None:
+            return try_incumbent(cand, "feasibility jump + LP") or True
+        return True
+
+    if options.mip_heuristic_run_feasibility_jump and \
+            incumbent_obj == math.inf:
+        run_feasibility_jump(root_x, root_lo_p, root_up_p)
+
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
 
     heap: List[_Node] = []
     seq = 0
     if root_x is not None or root_bound > -math.inf:
         heapq.heappush(heap, _Node(root_bound, seq, root_lo_p, root_up_p,
-                                   0))
+                                   0, basis=root_basis))
     seq += 1
     abs_gap = options.mip_abs_gap
     rel_gap = options.mip_rel_gap
@@ -275,7 +338,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return abs(incumbent_obj - dual_bound) / max(
             1.0, abs(incumbent_obj))
 
-    while heap:
+    current: Optional[_Node] = None
+    nodes_since_fj = 0
+    while heap or current is not None:
         if time.perf_counter() - t0 > options.time_limit:
             status = HighsModelStatus.kTimeLimit
             break
@@ -285,22 +350,29 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if n_improving >= options.mip_max_improving_sols:
             status = HighsModelStatus.kSolutionLimit
             break
-        node = heapq.heappop(heap)
+        if current is not None:
+            node = current
+            current = None
+        else:
+            node = heapq.heappop(heap)
         dual_bound = min(node.bound,
                          min((nd.bound for nd in heap),
                              default=node.bound))
         if incumbent_obj < math.inf:
-            if node.bound >= incumbent_obj - abs_gap or \
-                    current_gap(dual_bound) <= rel_gap:
-                # everything remaining is dominated
-                if node.bound >= incumbent_obj - abs_gap and heap and \
-                        min(nd.bound for nd in heap) < \
-                        incumbent_obj - abs_gap:
-                    continue  # just this node pruned
+            if current_gap(dual_bound) <= rel_gap:
                 break
+            if node.bound >= incumbent_obj - abs_gap:
+                continue  # dominated node
 
-        feasible, obj_bound, x = solve_node_lp(node.lo, node.up)
+        feasible, obj_bound, x, node_basis = solve_node_lp(
+            node.lo, node.up, warm_basis=node.basis)
         info.mip_node_count += 1
+        nodes_since_fj += 1
+        if node.branch_j >= 0 and feasible and \
+                math.isfinite(obj_bound):
+            pscost.update(node.branch_j, node.branch_dir,
+                          node.branch_frac,
+                          obj_bound - node.parent_obj)
         if not feasible or obj_bound >= incumbent_obj - abs_gap:
             continue
         if x is None:
@@ -310,11 +382,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             try_incumbent(x, "branching")
             continue
 
-        # occasionally run the rounding heuristic during the search
+        # occasionally run heuristics during the search
         if info.mip_node_count % 20 == 0:
             cand = round_and_repair(x, node.lo, node.up)
             if cand is not None:
                 try_incumbent(cand, "rounding")
+        if incumbent_obj == math.inf and nodes_since_fj >= 200 and \
+                options.mip_heuristic_run_feasibility_jump:
+            nodes_since_fj = 0
+            run_feasibility_jump(x, node.lo, node.up,
+                                 seed=info.mip_node_count)
 
         # ---- choose a branching variable ---------------------------------
         frac = np.abs(x - np.round(x))
@@ -339,6 +416,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             lo2, up2 = node.lo.copy(), node.up.copy()
             lo2[j] = lp.col_lower[j]
             children = [(lo1, up1), (lo2, up2)]
+            plunge_child = 1 if x[j] >= 0.5 * lp.col_lower[j] else 0
         else:
             avg_up, avg_dn = pscost.averages()
             f = x[cand_int] - np.floor(x[cand_int])
@@ -352,22 +430,33 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             lo2, up2 = node.lo.copy(), node.up.copy()
             lo2[j] = math.ceil(x[j])  # up branch
             children = [(lo1, up1), (lo2, up2)]
+            # plunge toward the nearer integer (depth-first dive,
+            # reference: HighsSearch::dive / backtrackPlunge)
+            plunge_child = 1 if fj > 0.5 else 0
 
+        built = []
         for ci, (clo, cup) in enumerate(children):
             ok, plo, pup = prop.propagate(clo, cup)
             if not ok:
+                built.append(None)
                 continue
-            # child LP solved lazily at pop; estimate bound as parent's
-            child = _Node(obj_bound, seq, plo, pup, node.depth + 1)
+            child = _Node(obj_bound, seq, plo, pup, node.depth + 1,
+                          basis=node_basis)
+            if not semi_cand:
+                child.branch_j = j
+                # child 0 = down branch, child 1 = up branch
+                child.branch_dir = -1 if ci == 0 else +1
+                child.branch_frac = fj if ci == 0 else 1.0 - fj
+                child.parent_obj = obj_bound
             seq += 1
-            heapq.heappush(heap, child)
-
-        # pseudocost update from child bounds when both solved would be
-        # ideal; cheap variant: update on pop (handled implicitly since
-        # node.bound carries the parent estimate)
-        if not semi_cand:
-            pscost.update(j, +1, 1.0 - fj, 0.0)
-            pscost.update(j, -1, fj, 0.0)
+            built.append(child)
+        other = 1 - plunge_child
+        if built[other] is not None:
+            heapq.heappush(heap, built[other])
+        if built[plunge_child] is not None and node.depth < 400:
+            current = built[plunge_child]
+        elif built[plunge_child] is not None:
+            heapq.heappush(heap, built[plunge_child])
 
     # ---- wrap up ----------------------------------------------------------
     open_bound = min((nd.bound for nd in heap), default=math.inf)

@@ -1,0 +1,125 @@
+"""ctypes binding + build for the native simplex library.
+
+The reference keeps its simplex core native (highs/simplex/HEkk*,
+util/HFactor — C++); highs_tpu does the same for the sequential
+cleanup/crossover stage (native/hsimplex.cpp).  The shared library is
+built on demand with the system compiler and cached next to the
+sources.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[3] / "native"
+_SRC = _NATIVE_DIR / "hsimplex.cpp"
+_LIB = _NATIVE_DIR / "libhsimplex.so"
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _build() -> pathlib.Path:
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+           str(_SRC), "-o", str(_LIB)]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise NativeBuildError(
+            f"native simplex build failed:\n{proc.stderr}")
+    return _LIB
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB.exists() or \
+                _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.hx_simplex_solve.restype = ctypes.c_int
+        lib.hx_simplex_solve.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            ctypes.c_void_p,  # basis_in (nullable)
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int8),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+        return lib
+
+
+# result codes from hsimplex.cpp
+RESULT_OPTIMAL = 0
+RESULT_INFEASIBLE = 1
+RESULT_UNBOUNDED = 2
+RESULT_ITER_LIMIT = 3
+RESULT_SINGULAR = 4
+
+
+def simplex_solve(a_csc, col_cost, col_lower, col_upper, row_lower,
+                  row_upper, basis_in: Optional[np.ndarray] = None,
+                  tol_p: float = 1e-9, tol_d: float = 1e-9,
+                  max_iter: int = 200000
+                  ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray,
+                             np.ndarray, int]:
+    """Solve min c'x s.t. L <= Ax <= U, l <= x <= u with the native
+    simplex.  Returns (result, x, y, z, basis_status(n+m), iters)."""
+    lib = get_lib()
+    m, n = a_csc.shape
+    big = 1e30
+    ap = np.ascontiguousarray(a_csc.indptr, dtype=np.int64)
+    ai = np.ascontiguousarray(a_csc.indices, dtype=np.int32)
+    ax = np.ascontiguousarray(a_csc.data, dtype=np.float64)
+    c = np.ascontiguousarray(col_cost, dtype=np.float64)
+    cl = np.ascontiguousarray(
+        np.where(np.isfinite(col_lower), col_lower, -big),
+        dtype=np.float64)
+    cu = np.ascontiguousarray(
+        np.where(np.isfinite(col_upper), col_upper, big), dtype=np.float64)
+    rl = np.ascontiguousarray(
+        np.where(np.isfinite(row_lower), row_lower, -big),
+        dtype=np.float64)
+    ru = np.ascontiguousarray(
+        np.where(np.isfinite(row_upper), row_upper, big), dtype=np.float64)
+
+    x = np.zeros(n)
+    y = np.zeros(m)
+    z = np.zeros(n)
+    basis_out = np.zeros(n + m, dtype=np.int8)
+    iters = ctypes.c_int(0)
+    status = ctypes.c_int(-1)
+
+    basis_ptr = None
+    if basis_in is not None:
+        basis_arr = np.ascontiguousarray(basis_in, dtype=np.int8)
+        basis_ptr = basis_arr.ctypes.data_as(ctypes.c_void_p)
+
+    lib.hx_simplex_solve(
+        m, n, ap, ai, ax, c, cl, cu, rl, ru,
+        basis_ptr, tol_p, tol_d, max_iter,
+        x, y, z, basis_out, ctypes.byref(iters), ctypes.byref(status))
+    return int(status.value), x, y, z, basis_out, int(iters.value)

@@ -115,7 +115,9 @@ def test_kkt_info_filled(instances_dir):
     h.run()
     info = h.getInfo()
     assert info.valid
-    assert info.pdlp_iteration_count > 0 or info.ipm_iteration_count > 0
+    assert (info.pdlp_iteration_count > 0 or
+            info.ipm_iteration_count > 0 or
+            info.simplex_iteration_count > 0)
     assert info.max_primal_infeasibility < 1e-7
     assert info.max_dual_infeasibility < 1e-6
     assert info.num_primal_infeasibilities == 0

@@ -1,0 +1,98 @@
+"""MIP solver tests vs reference objective expectations
+(check/CMakeLists.txt:268-280)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from highs_tpu import (Highs, HighsLp, HighsModelStatus, HighsVarType,
+                      ObjSense, kHighsInf)
+from highs_tpu.models.lp import HighsSparseMatrix
+
+from conftest import instance_path
+
+# fast reference MIP instances: name -> objective
+MIP_OBJECTIVES = {
+    "small_mip": 3.2368421,
+    "flugpl": 1201500.0,
+    "egout": 568.1007,
+    "rgn": 82.19999924,
+}
+
+
+@pytest.mark.parametrize("name,ref_obj", sorted(MIP_OBJECTIVES.items()))
+def test_mip_objective(instances_dir, name, ref_obj):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 120.0)
+    assert h.readModel(instance_path(f"{name}.mps")) == 0
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - ref_obj) / max(1.0, abs(ref_obj)) \
+        < 1e-5
+    # integrality of the incumbent
+    assert h.getInfo().max_integrality_violation < 1e-5
+
+
+def test_mip_infeasible():
+    # x + y <= 1, x + y >= 2, x,y binary
+    a = sp.csc_matrix(np.array([[1.0, 1.0]]))
+    lp = HighsLp(
+        num_col=2, num_row=1,
+        col_cost=np.array([1.0, 1.0]),
+        col_lower=np.zeros(2), col_upper=np.ones(2),
+        row_lower=np.array([1.6]), row_upper=np.array([1.8]),
+        a_matrix=HighsSparseMatrix.from_scipy(a),
+        integrality=np.array([1, 1], dtype=np.uint8))
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kInfeasible
+
+
+def test_mip_simple_knapsack():
+    # max 8a + 11b + 6c + 4d s.t. 5a+7b+4c+3d <= 14, binary
+    a = sp.csc_matrix(np.array([[5.0, 7.0, 4.0, 3.0]]))
+    lp = HighsLp(
+        num_col=4, num_row=1,
+        col_cost=np.array([8.0, 11.0, 6.0, 4.0]),
+        col_lower=np.zeros(4), col_upper=np.ones(4),
+        row_lower=np.array([-kHighsInf]), row_upper=np.array([14.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a),
+        sense=ObjSense.kMaximize,
+        integrality=np.ones(4, dtype=np.uint8))
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # optimum: b + c + d = 21 (weight 14)
+    assert abs(h.getObjectiveValue() - 21.0) < 1e-6
+
+
+def test_solve_relaxation_option(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solve_relaxation", True)
+    h.readModel(instance_path("flugpl.mps"))
+    h.run()
+    # LP relaxation optimum ~1167185.73 < MIP optimum
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert h.getObjectiveValue() < 1201500.0 - 1.0
+
+
+def test_semi_continuous(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("semi-continuous.lp"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # semi variables must be 0 or within their [l, u]
+    lp = h.getLp()
+    sol = h.getSolution()
+    integ = np.asarray(lp.integrality)
+    semi = (integ == int(HighsVarType.kSemiContinuous)) | (
+        integ == int(HighsVarType.kSemiInteger))
+    for j in np.nonzero(semi)[0]:
+        v = sol.col_value[j]
+        assert abs(v) < 1e-5 or v >= lp.col_lower[j] - 1e-5
