@@ -287,12 +287,30 @@ class Highs(HighsModelApi):
 
     def _call_solve_mip(self) -> HighsStatus:
         from .solvers.mip.solver import solve_mip
+        from .presolve.presolve import postsolve_lp, presolve_lp
+        lp = self._model.lp
+        presolve_result = None
+        if self._options.presolve != "off":
+            presolve_result = presolve_lp(lp, self._options)
+            if presolve_result.status in (
+                    HighsModelStatus.kInfeasible,
+                    HighsModelStatus.kUnbounded,
+                    HighsModelStatus.kUnboundedOrInfeasible):
+                self._model_status = presolve_result.status
+                self._info.valid = True
+                return HighsStatus.kOk
+            mip_lp = presolve_result.reduced_lp
+        else:
+            mip_lp = lp
         status, solution, mip_info = solve_mip(
-            self._model.lp, self._options, log=self._log,
+            mip_lp, self._options, log=self._log,
             callbacks=self._callbacks)
+        if presolve_result is not None and presolve_result.reduced and \
+                solution.value_valid:
+            solution = postsolve_lp(lp, presolve_result, solution)
         self._model_status = status
         self._solution = solution
-        self._fill_info_lp(self._model.lp, mip_info)
+        self._fill_info_lp(lp, mip_info)
         return HighsStatus.kOk
 
     # ------------------------------------------------------------------

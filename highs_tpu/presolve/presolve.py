@@ -28,6 +28,10 @@ class PresolveResult:
     # postsolve metadata (filled by rules.py when reductions happen)
     stack: List = dataclasses.field(default_factory=list)
     reduced: bool = False
+    keep_rows: Optional[object] = None  # np.ndarray of kept row indices
+    keep_cols: Optional[object] = None
+    orig_num_row: int = 0
+    orig_num_col: int = 0
 
 
 def presolve_lp(lp: HighsLp, options: HighsOptions) -> PresolveResult:

@@ -1,24 +1,476 @@
-"""Vectorized presolve rule loop (placeholder: identity).
+"""Vectorized presolve rule loop with stack-replay postsolve.
 
-Full rules (singleton rows/cols, doubleton equations, forcing/redundant
-rows, parallel rows/cols, dominated cols, dual fixing — reference
-HPresolve.cpp + HighsPostsolveStack.h) land in a later milestone; until
-then this is a correct no-op so the pipeline exercises the same code
-path.
+Re-implements the high-value rules of the reference presolve
+(highs/presolve/HPresolve.cpp rule loop :5780) as numpy/scipy passes:
+
+- empty rows (kPresolveRuleEmptyRow) / redundant rows
+  (kPresolveRuleRedundantRow, activity-implied),
+- singleton rows -> column bound (kPresolveRuleSingletonRow),
+- empty columns (kPresolveRuleEmptyCol),
+- fixed columns substituted out (kPresolveRuleFixedCol),
+- doubleton equations (kPresolveRuleDoubletonEquation): the second
+  variable is eliminated by substitution into all of its rows.
+
+Postsolve replays the reduction stack in reverse recovering primal AND
+dual values (reference: HighsPostsolveStack.h reduction replay).  The
+`presolve_rule_off` bitmask disables individual rules
+(PresolveRuleType bit positions, as in the reference).
 """
 from __future__ import annotations
 
-from ..constants import HighsModelStatus
-from ..models.lp import HighsLp
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..constants import (HighsModelStatus, HighsVarType, PresolveRuleType,
+                         kHighsInf)
+from ..models.lp import HighsLp, HighsSparseMatrix
 from ..models.solution import HighsSolution
 from ..options import HighsOptions
 from .presolve import PresolveResult
 
 
+def _rule_on(options: HighsOptions, rule: PresolveRuleType) -> bool:
+    return not (options.presolve_rule_off >> int(rule)) & 1
+
+
 def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
-    return PresolveResult(HighsModelStatus.kNotset, lp, reduced=False)
+    tol = options.primal_feasibility_tolerance
+    m, n = lp.num_row, lp.num_col
+    if n == 0 or lp.is_mip() and False:
+        return PresolveResult(HighsModelStatus.kNotset, lp, reduced=False)
+
+    is_mip = lp.is_mip()
+    integ = (np.asarray(lp.integrality).copy()
+             if len(lp.integrality) == n else
+             np.zeros(n, dtype=np.uint8))
+    is_int = (integ == int(HighsVarType.kInteger)) | (
+        integ == int(HighsVarType.kSemiInteger))
+    has_semi = lp.has_semi_variables()
+
+    a = lp.a_matrix.to_scipy().tolil().tocsc()
+    a_csr = a.tocsr()
+    cost = lp.col_cost.copy()
+    cl = lp.col_lower.copy()
+    cu = lp.col_upper.copy()
+    rl = lp.row_lower.copy()
+    ru = lp.row_upper.copy()
+    offset = 0.0
+
+    row_active = np.ones(m, dtype=bool)
+    col_active = np.ones(n, dtype=bool)
+    stack: List[tuple] = []
+
+    sense = float(lp.sense)
+
+    def col_rows(j):
+        s, e = a.indptr[j], a.indptr[j + 1]
+        idx = a.indices[s:e]
+        val = a.data[s:e]
+        keep = row_active[idx] & (val != 0.0)
+        return idx[keep], val[keep]
+
+    def row_cols(i):
+        s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+        idx = a_csr.indices[s:e]
+        val = a_csr.data[s:e]
+        keep = col_active[idx] & (val != 0.0)
+        return idx[keep], val[keep]
+
+    max_passes = 6
+    infeasible = False
+    unbounded = False
+    changed_any = False
+    for _pass in range(max_passes):
+        changed = False
+
+        # rebuild row/col structures for active entries
+        # (cheap: a few sparse ops per pass)
+        mask_r = sp.diags(row_active.astype(np.float64))
+        mask_c = sp.diags(col_active.astype(np.float64))
+        aa = (mask_r @ a @ mask_c).tocsc()
+        aa.eliminate_zeros()
+        a = aa
+        a_csr = a.tocsr()
+        row_nnz = np.diff(a_csr.indptr)
+        col_nnz = np.diff(a.indptr)
+
+        # --- empty rows ---------------------------------------------------
+        if _rule_on(options, PresolveRuleType.kEmptyRow):
+            empty = row_active & (row_nnz == 0)
+            if np.any(empty):
+                bad = empty & ((rl > tol) | (ru < -tol))
+                if np.any(bad):
+                    infeasible = True
+                    break
+                for i in np.nonzero(empty)[0]:
+                    stack.append(("empty_row", int(i)))
+                row_active[empty] = False
+                changed = True
+
+        # --- singleton rows ----------------------------------------------
+        if _rule_on(options, PresolveRuleType.kSingletonRow):
+            singles = np.nonzero(row_active & (row_nnz == 1))[0]
+            for i in singles:
+                cols, vals = row_cols(i)
+                if len(cols) != 1:
+                    continue
+                j = int(cols[0])
+                if has_semi and integ[j] in (
+                        int(HighsVarType.kSemiContinuous),
+                        int(HighsVarType.kSemiInteger)):
+                    continue  # bound semantics differ for semi-variables
+                v = float(vals[0])
+                lo_i = rl[i] / v if np.isfinite(rl[i]) else None
+                up_i = ru[i] / v if np.isfinite(ru[i]) else None
+                if v < 0:
+                    lo_i, up_i = up_i, lo_i
+                old_cl, old_cu = cl[j], cu[j]
+                new_cl = max(cl[j], lo_i) if lo_i is not None else cl[j]
+                new_cu = min(cu[j], up_i) if up_i is not None else cu[j]
+                if is_int[j]:
+                    new_cl = np.ceil(new_cl - tol) if np.isfinite(new_cl) \
+                        else new_cl
+                    new_cu = np.floor(new_cu + tol) if np.isfinite(new_cu) \
+                        else new_cu
+                if new_cl > new_cu + tol:
+                    infeasible = True
+                    break
+                stack.append(("singleton_row", int(i), j, v,
+                              float(old_cl), float(old_cu),
+                              float(new_cl), float(new_cu),
+                              float(rl[i]), float(ru[i])))
+                cl[j], cu[j] = new_cl, new_cu
+                row_active[i] = False
+                changed = True
+            if infeasible:
+                break
+
+        # --- fixed columns -----------------------------------------------
+        if _rule_on(options, PresolveRuleType.kFixedCol):
+            with np.errstate(invalid="ignore"):
+                fixed = col_active & np.isfinite(cl) & np.isfinite(cu) & \
+                    (cu - cl <= tol * (1.0 + np.abs(cl)))
+            if has_semi:
+                semi_mask = (integ == int(HighsVarType.kSemiContinuous)) \
+                    | (integ == int(HighsVarType.kSemiInteger))
+                fixed &= ~semi_mask
+            for j in np.nonzero(fixed)[0]:
+                xj = 0.5 * (cl[j] + cu[j])
+                rows, vals = col_rows(j)
+                stack.append(("fixed_col", int(j), float(xj),
+                              float(cost[j]),
+                              rows.copy(), vals.copy()))
+                # move contribution into row bounds
+                rl[rows] = np.where(np.isfinite(rl[rows]),
+                                    rl[rows] - vals * xj, rl[rows])
+                ru[rows] = np.where(np.isfinite(ru[rows]),
+                                    ru[rows] - vals * xj, ru[rows])
+                offset += cost[j] * xj
+                col_active[j] = False
+                changed = True
+
+        # --- empty columns -----------------------------------------------
+        if _rule_on(options, PresolveRuleType.kEmptyCol):
+            # recompute active col nnz after fixed-col removal
+            mask_r2 = sp.diags(row_active.astype(np.float64))
+            col_nnz2 = np.asarray(
+                (mask_r2 @ (a != 0)).sum(axis=0)).ravel()
+            empty_c = col_active & (col_nnz2 == 0)
+            for j in np.nonzero(empty_c)[0]:
+                cj = sense * cost[j]  # minimization-sense cost
+                if cj > tol:
+                    if not np.isfinite(cl[j]):
+                        unbounded = True
+                        break
+                    xj = cl[j]
+                elif cj < -tol:
+                    if not np.isfinite(cu[j]):
+                        unbounded = True
+                        break
+                    xj = cu[j]
+                else:
+                    xj = np.clip(0.0, cl[j], cu[j])
+                    if not np.isfinite(xj):
+                        xj = cl[j] if np.isfinite(cl[j]) else (
+                            cu[j] if np.isfinite(cu[j]) else 0.0)
+                stack.append(("empty_col", int(j), float(xj),
+                              float(cost[j])))
+                offset += cost[j] * xj
+                col_active[j] = False
+                changed = True
+            if unbounded:
+                break
+
+        # --- redundant rows (activity-implied) ----------------------------
+        if _rule_on(options, PresolveRuleType.kRedundantRow):
+            lo_c = np.where(col_active & np.isfinite(cl), cl, 0.0)
+            up_c = np.where(col_active & np.isfinite(cu), cu, 0.0)
+            act = a.copy().tocsr()
+            ap = act.copy()
+            ap.data = np.maximum(ap.data, 0.0)
+            an = act.copy()
+            an.data = np.minimum(an.data, 0.0)
+            minact = ap @ lo_c + an @ up_c
+            maxact = ap @ up_c + an @ lo_c
+            pat_p = act.copy()
+            pat_p.data = (pat_p.data > 0).astype(np.float64)
+            pat_n = act.copy()
+            pat_n.data = (pat_n.data < 0).astype(np.float64)
+            inf_lo = (~np.isfinite(cl) & col_active).astype(np.float64)
+            inf_up = (~np.isfinite(cu) & col_active).astype(np.float64)
+            n_min_inf = pat_p @ inf_lo + pat_n @ inf_up
+            n_max_inf = pat_p @ inf_up + pat_n @ inf_lo
+            min_ok = np.where(n_min_inf > 0, -np.inf, minact)
+            max_ok = np.where(n_max_inf > 0, np.inf, maxact)
+            # infeasibility check
+            if np.any(row_active & (min_ok > ru + tol * (1 + np.abs(ru)))) \
+                    or np.any(row_active &
+                              (max_ok < rl - tol * (1 + np.abs(rl)))):
+                infeasible = True
+                break
+            redundant = row_active & \
+                (min_ok >= rl - tol * (1 + np.abs(rl))) & \
+                (max_ok <= ru + tol * (1 + np.abs(ru)))
+            # rows with no active entries handled by empty-row rule
+            redundant &= np.diff(a_csr.indptr) > 0
+            for i in np.nonzero(redundant)[0]:
+                stack.append(("redundant_row", int(i)))
+                row_active[i] = False
+                changed = True
+
+        # --- doubleton equations ------------------------------------------
+        if _rule_on(options, PresolveRuleType.kDoubletonEquation) and \
+                not is_mip:
+            a_csr = (sp.diags(row_active.astype(float)) @ a @
+                     sp.diags(col_active.astype(float))).tocsr()
+            a_csr.eliminate_zeros()
+            row_nnz = np.diff(a_csr.indptr)
+            doubletons = np.nonzero(row_active & (row_nnz == 2) &
+                                    np.isfinite(rl) & np.isfinite(ru) &
+                                    (np.abs(ru - rl) <= tol))[0]
+            a_lil = None
+            # rows/cols whose snapshot entries became stale this pass:
+            # doubletons touching them wait for the next pass
+            touched_rows: set = set()
+            touched_cols: set = set()
+            for i in doubletons[:200]:
+                if int(i) in touched_rows:
+                    continue
+                cols, vals = row_cols(i)
+                if len(cols) != 2:
+                    continue
+                if int(cols[0]) in touched_cols or \
+                        int(cols[1]) in touched_cols:
+                    continue
+                jx, jy = int(cols[0]), int(cols[1])
+                ax_, ay_ = float(vals[0]), float(vals[1])
+                if abs(ay_) < abs(ax_):
+                    jx, jy = jy, jx
+                    ax_, ay_ = ay_, ax_
+                if abs(ay_) < 1e-10:
+                    continue
+                d = rl[i]
+                # y = (d - ax x)/ay: update y's other rows and cost
+                ratio = ax_ / ay_
+                y_rows, y_vals = col_rows(jy)
+                keep = y_rows != i
+                y_rows_o, y_vals_o = y_rows[keep], y_vals[keep]
+                x_rows, x_vals = col_rows(jx)
+                stack.append((
+                    "doubleton_eq", int(i), jx, jy, ax_, ay_, float(d),
+                    float(cost[jy]), float(cl[jy]), float(cu[jy]),
+                    float(cl[jx]), float(cu[jx]),
+                    y_rows_o.copy(), y_vals_o.copy()))
+                if a_lil is None:
+                    a_lil = a.tolil()
+                # fold y out of its other rows:
+                # a_iy * y = a_iy*(d - ax x)/ay
+                for rr, vv in zip(y_rows_o, y_vals_o):
+                    a_lil[rr, jx] = a_lil[rr, jx] - vv * ratio
+                    shift = vv * d / ay_
+                    if np.isfinite(rl[rr]):
+                        rl[rr] -= shift
+                    if np.isfinite(ru[rr]):
+                        ru[rr] -= shift
+                    a_lil[rr, jy] = 0.0
+                # bounds on x implied by bounds on y
+                # y in [cl_y, cu_y] -> (d - ay*... ) x in ...
+                if ratio != 0.0:
+                    b1 = (d - ay_ * cl[jy]) / ax_
+                    b2 = (d - ay_ * cu[jy]) / ax_
+                    lo_x, up_x = (min(b1, b2), max(b1, b2))
+                    cl[jx] = max(cl[jx], lo_x) if np.isfinite(lo_x) \
+                        else cl[jx]
+                    cu[jx] = min(cu[jx], up_x) if np.isfinite(up_x) \
+                        else cu[jx]
+                    if cl[jx] > cu[jx] + tol:
+                        infeasible = True
+                        break
+                # objective: c_y*y = c_y*(d - ax x)/ay
+                cost[jx] -= cost[jy] * ratio
+                offset += cost[jy] * d / ay_
+                cost[jy] = 0.0
+                col_active[jy] = False
+                row_active[i] = False
+                touched_rows.add(int(i))
+                touched_rows.update(int(r) for r in y_rows_o)
+                touched_cols.add(jx)
+                touched_cols.add(jy)
+                changed = True
+            if a_lil is not None:
+                a = a_lil.tocsc()
+                a_csr = a.tocsr()
+            if infeasible:
+                break
+
+        changed_any |= changed
+        if not changed:
+            break
+
+    if infeasible:
+        return PresolveResult(HighsModelStatus.kInfeasible, lp,
+                              stack=stack, reduced=False)
+    if unbounded:
+        return PresolveResult(HighsModelStatus.kUnbounded, lp,
+                              stack=stack, reduced=False)
+    if not changed_any:
+        return PresolveResult(HighsModelStatus.kNotset, lp, reduced=False)
+
+    # ---- build the reduced LP --------------------------------------------
+    keep_rows = np.nonzero(row_active)[0]
+    keep_cols = np.nonzero(col_active)[0]
+    a_red = a.tocsr()[keep_rows][:, keep_cols].tocsc()
+    reduced = HighsLp(
+        num_col=len(keep_cols), num_row=len(keep_rows),
+        col_cost=cost[keep_cols],
+        col_lower=cl[keep_cols], col_upper=cu[keep_cols],
+        row_lower=rl[keep_rows], row_upper=ru[keep_rows],
+        a_matrix=HighsSparseMatrix.from_scipy(a_red),
+        sense=lp.sense,
+        # `offset` accumulated in the original cost space
+        offset=lp.offset + offset,
+        integrality=(integ[keep_cols]
+                     if len(lp.integrality) else
+                     np.zeros(0, dtype=np.uint8)))
+
+    result = PresolveResult(HighsModelStatus.kNotset, reduced,
+                            stack=stack, reduced=True)
+    result.keep_rows = keep_rows
+    result.keep_cols = keep_cols
+    result.orig_num_row = m
+    result.orig_num_col = n
+    return result
 
 
-def postsolve_rules(original_lp: HighsLp, presolve_result: PresolveResult,
+def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                     solution: HighsSolution) -> HighsSolution:
-    return solution
+    m, n = pr.orig_num_row, pr.orig_num_col
+    x = np.zeros(n)
+    z = np.zeros(n)
+    y = np.zeros(m)
+    have_dual = solution.dual_valid
+
+    x[pr.keep_cols] = solution.col_value
+    if have_dual:
+        z[pr.keep_cols] = solution.col_dual
+        y[pr.keep_rows] = solution.row_dual
+
+    cost = original_lp.col_cost
+    sense = float(original_lp.sense)
+    a_csc = original_lp.a_matrix.to_scipy().tocsc()
+    a_csr = a_csc.tocsr()
+
+    for rec in reversed(pr.stack):
+        kind = rec[0]
+        if kind == "empty_row" or kind == "redundant_row":
+            i = rec[1]
+            y[i] = 0.0
+        elif kind == "singleton_row":
+            (_, i, j, v, old_cl, old_cu, new_cl, new_cu,
+             rl_i, ru_i) = rec
+            # distribute the reduced cost between x's own bound and the
+            # row dual so both keep valid signs (reference: singleton-row
+            # postsolve in HighsPostsolveStack)
+            if have_dual:
+                zj = z[j]
+                rv = v * x[j]
+                eps_s = 1e-9 * (1.0 + abs(zj))
+                tol_b = 1e-7
+                at_row_lo = np.isfinite(rl_i) and \
+                    abs(rv - rl_i) <= tol_b * (1 + abs(rl_i))
+                at_row_up = np.isfinite(ru_i) and \
+                    abs(rv - ru_i) <= tol_b * (1 + abs(ru_i))
+                # validity must be judged against the TRUE original
+                # bounds: presolve-tightened bounds are implied, and a
+                # multiplier on an implied bound belongs to the rows
+                # that implied it
+                tcl = original_lp.col_lower[j]
+                tcu = original_lp.col_upper[j]
+                at_orig_lo = np.isfinite(tcl) and \
+                    abs(x[j] - tcl) <= tol_b * (1 + abs(tcl))
+                at_orig_up = np.isfinite(tcu) and \
+                    abs(x[j] - tcu) <= tol_b * (1 + abs(tcu))
+                y_cand = zj / v
+                sy = sense * y_cand
+                row_valid = ((at_row_lo and sy >= -eps_s) or
+                             (at_row_up and sy <= eps_s))
+                sz = sense * zj
+                col_valid = ((at_orig_lo and sz >= -eps_s) or
+                             (at_orig_up and sz <= eps_s) or
+                             abs(zj) <= eps_s)
+                if col_valid or not row_valid:
+                    y[i] = 0.0
+                else:
+                    y[i] = y_cand
+                    z[j] = 0.0
+        elif kind == "fixed_col":
+            (_, j, xj, cj, rows, vals) = rec
+            x[j] = xj
+            if have_dual:
+                # stationarity over the rows active at fixing time —
+                # all of them are already recovered at this point of the
+                # reverse replay; rows removed earlier replay later and
+                # adjust z[j] themselves (e.g. singleton-row transfer)
+                z[j] = cj - (float(vals @ y[rows]) if len(rows) else 0.0)
+        elif kind == "empty_col":
+            (_, j, xj, cj) = rec
+            x[j] = xj
+            if have_dual:
+                z[j] = cj
+        elif kind == "doubleton_eq":
+            (_, i, jx, jy, ax_, ay_, d, cy, cly, cuy, clx, cux,
+             y_rows_o, y_vals_o) = rec
+            x[jy] = (d - ax_ * x[jx]) / ay_
+            if have_dual:
+                # Two-case dual recovery (reference: doubleton-equation
+                # postsolve in HighsPostsolveStack).  `other` = the
+                # contribution of y's other rows (all already restored
+                # by the reverse replay order).
+                other = float(y_vals_o @ y[y_rows_o]) \
+                    if len(y_rows_o) else 0.0
+                at_orig = (x[jx] <= clx + 1e-8 * (1 + abs(clx)) or
+                           x[jx] >= cux - 1e-8 * (1 + abs(cux)))
+                if at_orig or abs(ax_) < 1e-12:
+                    # multiplier stays on x's own bound: choose y_r so
+                    # that z_x is unchanged, which forces z_y = 0
+                    # (always sign-valid)
+                    y[i] = (cy - other) / ay_
+                    z[jy] = 0.0
+                else:
+                    # x is interior to its original bounds (it sat at a
+                    # bound implied by y): move the multiplier onto y
+                    zx = z[jx]
+                    y[i] = zx / ax_ + (cy - other) / ay_
+                    z[jy] = -(ay_ / ax_) * zx
+                    z[jx] = 0.0
+        else:
+            raise RuntimeError(f"unknown postsolve record {kind!r}")
+
+    row_value = a_csr @ x if m else np.zeros(0)
+    return HighsSolution(
+        value_valid=True, dual_valid=have_dual,
+        col_value=x, col_dual=z,
+        row_value=row_value, row_dual=y)
