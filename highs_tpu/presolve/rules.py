@@ -63,6 +63,14 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
     col_active = np.ones(n, dtype=bool)
     stack: List[tuple] = []
 
+    # integer bounds round to integrality up front (reference: initial
+    # sweep kPresolveRuleInitialSweep behavior)
+    if is_int.any():
+        with np.errstate(invalid="ignore"):
+            cl = np.where(is_int & np.isfinite(cl), np.ceil(cl - tol), cl)
+            cu = np.where(is_int & np.isfinite(cu), np.floor(cu + tol),
+                          cu)
+
     sense = float(lp.sense)
 
     def col_rows(j):
