@@ -1,0 +1,388 @@
+"""Analysis / advanced API mixin: ranging, IIS, condition number,
+basis files, feasibility relaxation, multi-objective optimization.
+
+Reference behavior: Highs::getRanging (HighsRanging.cpp), Highs::getIis
+(HighsIis.cpp deletion filter), getKappa (Highs.h:644), read/writeBasis
+(HighsBasis file v2), feasibilityRelaxation (Highs.h:634),
+multi-objective solve (HighsInterface.cpp:3940 blend/lexicographic).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .constants import (HighsBasisStatus, HighsModelStatus, HighsStatus,
+                        IisBoundStatus, ObjSense, kHighsInf)
+from .models.lp import HighsLp
+from .models.solution import HighsBasis, HighsLinearObjective
+
+
+@dataclasses.dataclass
+class HighsIis:
+    valid: bool = False
+    strategy: int = 0
+    col_index: List[int] = dataclasses.field(default_factory=list)
+    row_index: List[int] = dataclasses.field(default_factory=list)
+    col_bound: List[int] = dataclasses.field(default_factory=list)
+    row_bound: List[int] = dataclasses.field(default_factory=list)
+
+
+_BASIS_CHAR = {HighsBasisStatus.kLower: "L", HighsBasisStatus.kBasic: "B",
+               HighsBasisStatus.kUpper: "U", HighsBasisStatus.kZero: "Z",
+               HighsBasisStatus.kNonbasic: "N"}
+_CHAR_BASIS = {v: k for k, v in _BASIS_CHAR.items()}
+
+
+class HighsAnalysisApi:
+    """Mixin over the Highs facade (self provides _model, _options,
+    _solution, _basis, _model_status, run, ...)."""
+
+    # ------------------------------------------------------------------
+    # Ranging
+    # ------------------------------------------------------------------
+    def getRanging(self):
+        """Return (status, HighsRanging).  Needs an optimal basis: if
+        the last solve did not produce one, a simplex cleanup runs
+        first (reference requires an optimal basic solution too)."""
+        from .utils.ranging import compute_ranging
+        if self._model_status != HighsModelStatus.kOptimal:
+            return HighsStatus.kError, None
+        if not self._basis.valid or self._basis.alien:
+            from .solvers.simplex.wrapper import solve_lp_simplex
+            status, solution, info = solve_lp_simplex(
+                self._model.lp, self._options,
+                basis=None)
+            if status != HighsModelStatus.kOptimal or info.basis is None:
+                return HighsStatus.kError, None
+            self._solution = solution
+            self._basis = info.basis
+        ranging = compute_ranging(
+            self._model.lp, self._solution, self._basis,
+            self._info.objective_function_value)
+        if not ranging.valid:
+            return HighsStatus.kError, None
+        return HighsStatus.kOk, ranging
+
+    # ------------------------------------------------------------------
+    # Condition number
+    # ------------------------------------------------------------------
+    def getKappa(self, exact: bool = False, report: bool = False):
+        """1-norm condition estimate of the current basis matrix
+        (reference Highs::getKappa)."""
+        if not self._basis.valid:
+            return HighsStatus.kError, None
+        lp = self._model.lp
+        m, n = lp.num_row, lp.num_col
+        a = lp.a_matrix.to_scipy().tocsc()
+        w = sp.hstack([a, -sp.identity(m, format="csc")], format="csc")
+        statuses = list(self._basis.col_status) + \
+            list(self._basis.row_status)
+        basic = [j for j in range(n + m)
+                 if statuses[j] == HighsBasisStatus.kBasic]
+        if len(basic) != m:
+            return HighsStatus.kError, None
+        b_mat = w[:, basic].tocsc()
+        try:
+            if exact:
+                b_dense = b_mat.toarray()
+                kappa = float(np.linalg.cond(b_dense, 1))
+            else:
+                import scipy.sparse.linalg as spla
+                lu = spla.splu(b_mat)
+                norm_b = spla.norm(b_mat, 1)
+                # power-iteration-free estimate via a few solves
+                x = np.ones(m) / m
+                for _ in range(4):
+                    x = lu.solve(x)
+                    nx = np.abs(x).sum()
+                    if nx == 0:
+                        break
+                    x /= nx
+                norm_binv = np.abs(lu.solve(x)).sum() / max(
+                    np.abs(x).sum(), 1e-30)
+                kappa = float(norm_b * norm_binv)
+        except Exception:
+            return HighsStatus.kError, None
+        return HighsStatus.kOk, kappa
+
+    # ------------------------------------------------------------------
+    # Basis files (reference v2 format-compatible layout)
+    # ------------------------------------------------------------------
+    def writeBasis(self, filename: str) -> HighsStatus:
+        if not self._basis.valid:
+            return HighsStatus.kError
+        lp = self._model.lp
+        lines = ["HiGHS v2"]
+        lines.append("Valid")
+        lines.append(f"# Columns {lp.num_col}")
+        lines.append(" ".join(str(int(s)) for s in
+                              self._basis.col_status))
+        lines.append(f"# Rows {lp.num_row}")
+        lines.append(" ".join(str(int(s)) for s in
+                              self._basis.row_status))
+        with open(filename, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return HighsStatus.kOk
+
+    def readBasis(self, filename: str) -> HighsStatus:
+        lp = self._model.lp
+        try:
+            with open(filename) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+        except OSError:
+            return HighsStatus.kError
+        if not lines or not lines[0].startswith("HiGHS"):
+            return HighsStatus.kError
+        if len(lines) < 6 or lines[1] != "Valid":
+            return HighsStatus.kError
+        try:
+            col_status = [HighsBasisStatus(int(t))
+                          for t in lines[3].split()]
+            row_status = [HighsBasisStatus(int(t))
+                          for t in lines[5].split()]
+        except (ValueError, IndexError):
+            return HighsStatus.kError
+        if len(col_status) != lp.num_col or len(row_status) != lp.num_row:
+            return HighsStatus.kError
+        self._basis = HighsBasis(valid=True, col_status=col_status,
+                                 row_status=row_status)
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
+    # Feasibility relaxation (elastic programming)
+    # ------------------------------------------------------------------
+    def feasibilityRelaxation(self, global_lower_penalty: float = 1.0,
+                              global_upper_penalty: float = 1.0,
+                              global_rhs_penalty: float = 1.0,
+                              local_lower_penalty=None,
+                              local_upper_penalty=None,
+                              local_rhs_penalty=None) -> HighsStatus:
+        """Solve the elastic relaxation minimizing weighted violations
+        (reference Highs::feasibilityRelaxation Highs.h:634): negative
+        penalty means the bound may not be violated."""
+        lp = self._model.lp
+        m, n = lp.num_row, lp.num_col
+        lower_pen = (np.asarray(local_lower_penalty)
+                     if local_lower_penalty is not None
+                     else np.full(n, global_lower_penalty))
+        upper_pen = (np.asarray(local_upper_penalty)
+                     if local_upper_penalty is not None
+                     else np.full(n, global_upper_penalty))
+        rhs_pen = (np.asarray(local_rhs_penalty)
+                   if local_rhs_penalty is not None
+                   else np.full(m, global_rhs_penalty))
+
+        a = lp.a_matrix.to_scipy().tocsc()
+        blocks = [a]
+        costs = [lp.col_cost.copy()]
+        lowers = [lp.col_lower.copy()]
+        uppers = [lp.col_upper.copy()]
+
+        # row elastics: L - p <= Ax <= U + q (column-bound elastics are
+        # representable by first moving bounds into singleton rows)
+        elastic_cols = []
+        elastic_cost = []
+        for i in range(m):
+            if rhs_pen[i] >= 0:
+                elastic_cols.append((i, +1.0))
+                elastic_cost.append(rhs_pen[i])
+                elastic_cols.append((i, -1.0))
+                elastic_cost.append(rhs_pen[i])
+        if elastic_cols:
+            data = [v for _, v in elastic_cols]
+            rows = [i for i, _ in elastic_cols]
+            cols = list(range(len(elastic_cols)))
+            e_mat = sp.csc_matrix(
+                (data, (rows, cols)), shape=(m, len(elastic_cols)))
+            blocks.append(e_mat)
+            costs.append(np.asarray(elastic_cost))
+            lowers.append(np.zeros(len(elastic_cols)))
+            uppers.append(np.full(len(elastic_cols), kHighsInf))
+
+        big_a = sp.hstack(blocks, format="csc")
+        from .models.lp import HighsSparseMatrix
+        relaxed = HighsLp(
+            num_col=big_a.shape[1], num_row=m,
+            col_cost=np.concatenate(costs),
+            col_lower=np.concatenate(lowers),
+            col_upper=np.concatenate(uppers),
+            row_lower=lp.row_lower.copy(), row_upper=lp.row_upper.copy(),
+            a_matrix=HighsSparseMatrix.from_scipy(big_a),
+            sense=ObjSense.kMinimize, offset=lp.offset)
+        from .solvers.dispatch import solve_lp
+        status, solution, info = solve_lp(relaxed, self._options,
+                                          presolve=False)
+        if solution.value_valid:
+            from .models.solution import HighsSolution
+            self._solution = HighsSolution(
+                value_valid=True, dual_valid=False,
+                col_value=solution.col_value[:n],
+                row_value=(lp.a_matrix.to_scipy() @
+                           solution.col_value[:n]) if m else np.zeros(0))
+            self._model_status = status
+            self._fill_info_lp(lp, info)
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
+    # IIS (deletion filter)
+    # ------------------------------------------------------------------
+    def getIis(self):
+        """Return (status, HighsIis) for an infeasible LP via the
+        deletion filter (reference HighsIis.cpp, strategy light)."""
+        lp = self._model.lp
+        iis = HighsIis(strategy=self._options.iis_strategy)
+        if self._model_status == HighsModelStatus.kNotset:
+            self.run()
+        if self._model_status != HighsModelStatus.kInfeasible:
+            return HighsStatus.kOk, iis  # empty IIS: model feasible
+
+        import copy as _copy
+        opts = _copy.copy(self._options)
+        from .solvers.classify import build_primal_feasibility_lp
+        from .solvers.ipm.wrapper import solve_lp_ipm
+
+        def is_infeasible(test_lp) -> bool:
+            feas = build_primal_feasibility_lp(test_lp)
+            st, _, info = solve_lp_ipm(feas, opts)
+            if st != HighsModelStatus.kOptimal:
+                return False
+            return info.primal_obj > 1e-7 * (1.0 + abs(info.primal_obj))
+
+        work = lp.copy()
+        candidate_rows = list(range(lp.num_row))
+        kept: List[int] = []
+        for i in candidate_rows:
+            saved = (work.row_lower[i], work.row_upper[i])
+            work.row_lower[i] = -kHighsInf
+            work.row_upper[i] = kHighsInf
+            if is_infeasible(work):
+                continue  # row not needed for infeasibility
+            work.row_lower[i], work.row_upper[i] = saved
+            kept.append(i)
+        iis.valid = True
+        iis.row_index = kept
+        for i in kept:
+            lo_fin = np.isfinite(lp.row_lower[i])
+            up_fin = np.isfinite(lp.row_upper[i])
+            if lo_fin and up_fin:
+                iis.row_bound.append(int(IisBoundStatus.kIisBoundStatusBoxed))
+            elif lo_fin:
+                iis.row_bound.append(int(IisBoundStatus.kIisBoundStatusLower))
+            else:
+                iis.row_bound.append(int(IisBoundStatus.kIisBoundStatusUpper))
+        cols = set()
+        a_csr = lp.a_matrix.to_scipy().tocsr()
+        for i in kept:
+            cols.update(int(c) for c in
+                        a_csr.indices[a_csr.indptr[i]:a_csr.indptr[i + 1]])
+        iis.col_index = sorted(cols)
+        iis.col_bound = [int(IisBoundStatus.kIisBoundStatusNull)] * \
+            len(iis.col_index)
+        return HighsStatus.kOk, iis
+
+    # ------------------------------------------------------------------
+    # Multi-objective
+    # ------------------------------------------------------------------
+    def addLinearObjective(self, obj: HighsLinearObjective,
+                           iObj: int = -1) -> HighsStatus:
+        if len(obj.coefficients) != self._model.lp.num_col:
+            return HighsStatus.kError
+        if not hasattr(self, "_linear_objectives"):
+            self._linear_objectives: List[HighsLinearObjective] = []
+        if iObj < 0 or iObj >= len(self._linear_objectives):
+            self._linear_objectives.append(obj)
+        else:
+            self._linear_objectives.insert(iObj, obj)
+        return HighsStatus.kOk
+
+    def passLinearObjectives(self, objectives) -> HighsStatus:
+        self._linear_objectives = list(objectives)
+        return HighsStatus.kOk
+
+    def clearLinearObjectives(self) -> HighsStatus:
+        self._linear_objectives = []
+        return HighsStatus.kOk
+
+    def _has_multi_objectives(self) -> bool:
+        return bool(getattr(self, "_linear_objectives", []))
+
+    def _multiobjective_solve(self) -> HighsStatus:
+        """Blend by weight or lexicographic by priority
+        (reference HighsInterface.cpp:3940 multiobjectiveSolve)."""
+        objs = self._linear_objectives
+        lp = self._model.lp
+        if self._options.blend_multi_objectives:
+            cost = np.zeros(lp.num_col)
+            offset = 0.0
+            for o in objs:
+                cost += o.weight * np.asarray(o.coefficients)
+                offset += o.weight * o.offset
+            saved_cost = lp.col_cost.copy()
+            saved_off = lp.offset
+            saved_sense = lp.sense
+            lp.col_cost = cost
+            lp.offset = offset
+            lp.sense = ObjSense.kMinimize
+            status = self._call_solve_lp() if not self._model.is_mip() \
+                else self._call_solve_mip()
+            lp.col_cost = saved_cost
+            lp.offset = saved_off
+            lp.sense = saved_sense
+            return status
+        # lexicographic: solve in decreasing priority, then constrain
+        order = sorted(range(len(objs)),
+                       key=lambda k: -objs[k].priority)
+        saved_cost = lp.col_cost.copy()
+        saved_off = lp.offset
+        saved_sense = lp.sense
+        added_rows = 0
+        status = HighsStatus.kOk
+        for pos, k in enumerate(order):
+            o = objs[k]
+            lp.col_cost = np.asarray(o.coefficients, dtype=np.float64)
+            lp.offset = o.offset
+            lp.sense = ObjSense.kMinimize if o.weight >= 0 else \
+                ObjSense.kMaximize
+            status = self._call_solve_lp() if not self._model.is_mip() \
+                else self._call_solve_mip()
+            if self._model_status != HighsModelStatus.kOptimal:
+                break
+            if pos == len(order) - 1:
+                break  # no constraint needed after the last objective
+            value = self._info.objective_function_value
+            # constrain this objective near its optimum
+            tol_abs = o.abs_tolerance if o.abs_tolerance >= 0 else 0.0
+            tol_rel = o.rel_tolerance if o.rel_tolerance >= 0 else 0.0
+            slack = tol_abs + tol_rel * abs(value)
+            coeffs = np.asarray(o.coefficients)
+            nz = np.nonzero(coeffs)[0]
+            if lp.sense == ObjSense.kMinimize:
+                self.addRow(-kHighsInf, value - o.offset + slack,
+                            len(nz), nz, coeffs[nz])
+            else:
+                self.addRow(value - o.offset - slack, kHighsInf,
+                            len(nz), nz, coeffs[nz])
+            added_rows += 1
+        # remove the temporary rows, restoring the last solve's results
+        # (detach result objects first: invalidation mutates in place)
+        from .info import HighsInfo as _Info
+        from .models.solution import HighsSolution as _Sol
+        final_solution = self._solution
+        final_status = self._model_status
+        final_info = self._info
+        self._solution = _Sol()
+        self._info = _Info()
+        if added_rows:
+            nrow = lp.num_row
+            self.deleteRows(nrow - added_rows, nrow - 1)
+        lp.col_cost = saved_cost
+        lp.offset = saved_off
+        lp.sense = saved_sense
+        self._solution = final_solution
+        self._model_status = final_status
+        self._info = final_info
+        return status

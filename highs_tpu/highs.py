@@ -25,12 +25,14 @@ from .models.solution import HighsBasis, HighsSolution
 from .options import HighsOptions
 from .utils.kkt import compute_kkt, fill_info_from_kkt
 from .model_api import HighsModelApi
+from .analysis_api import HighsAnalysisApi
 
 
-class Highs(HighsModelApi):
+class Highs(HighsModelApi, HighsAnalysisApi):
     """User-facing solver object (API parity with the reference Highs)."""
 
     def __init__(self):
+        from .callbacks import HighsCallback
         self._model = HighsModel()
         self._options = HighsOptions()
         self._info = HighsInfo()
@@ -38,8 +40,10 @@ class Highs(HighsModelApi):
         self._basis = HighsBasis()
         self._model_status = HighsModelStatus.kNotset
         self._log_callback: Optional[Callable[[int, str], None]] = None
-        self._callbacks = {}
+        self._callbacks = HighsCallback()
         self._run_time = 0.0
+        self._dual_ray: Optional[np.ndarray] = None
+        self._primal_ray: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # Model loading
@@ -93,6 +97,8 @@ class Highs(HighsModelApi):
         self._basis.clear()
         self._info.invalidate()
         self._model_status = HighsModelStatus.kNotset
+        self._dual_ray = None
+        self._primal_ray = None
 
     # ------------------------------------------------------------------
     # Options
@@ -202,10 +208,25 @@ class Highs(HighsModelApi):
         return HighsStatus.kOk
 
     def setCallback(self, callback, user_data=None) -> HighsStatus:
-        self._callbacks["general"] = (callback, user_data)
+        """Register the user callback (reference Highs::setCallback)."""
+        self._callbacks.user_callback = callback
+        self._callbacks.user_callback_data = user_data
+        return HighsStatus.kOk
+
+    def startCallback(self, callback_type) -> HighsStatus:
+        if self._callbacks.user_callback is None:
+            return HighsStatus.kError
+        self._callbacks.active[int(callback_type)] = True
+        return HighsStatus.kOk
+
+    def stopCallback(self, callback_type) -> HighsStatus:
+        self._callbacks.active[int(callback_type)] = False
         return HighsStatus.kOk
 
     def _log(self, msg: str):
+        from .constants import HighsCallbackType as CbType
+        if self._callbacks.callback_active(CbType.kCallbackLogging):
+            self._callbacks.call(CbType.kCallbackLogging, msg + "\n")
         if not self._options.output_flag:
             return
         if self._log_callback is not None:
@@ -242,6 +263,9 @@ class Highs(HighsModelApi):
             self._log("MIQP is not supported")
             self._model_status = HighsModelStatus.kNotset
             return HighsStatus.kError
+
+        if self._has_multi_objectives():
+            return self._multiobjective_solve()
 
         if self._model.is_mip() and not self._options.solve_relaxation:
             return self._call_solve_mip()
@@ -307,7 +331,7 @@ class Highs(HighsModelApi):
             callbacks=self._callbacks)
         if presolve_result is not None and presolve_result.reduced and \
                 solution.value_valid:
-            solution = postsolve_lp(lp, presolve_result, solution)
+            solution, _ = postsolve_lp(lp, presolve_result, solution)
         self._model_status = status
         self._solution = solution
         self._fill_info_lp(lp, mip_info)
@@ -355,6 +379,45 @@ class Highs(HighsModelApi):
         self._info.basis_validity = int(
             BasisValidity.kBasisValidityValid if self._basis.valid
             else BasisValidity.kBasisValidityInvalid)
+
+    # ------------------------------------------------------------------
+    # Rays
+    # ------------------------------------------------------------------
+    def getDualRay(self):
+        """Return (has_ray, ray): a Farkas certificate of primal
+        infeasibility (reference Highs::getDualRay).  Computed from the
+        elastic feasibility LP's optimal row duals."""
+        if self._model_status != HighsModelStatus.kInfeasible:
+            return False, None
+        if self._dual_ray is not None:
+            return True, self._dual_ray
+        from .solvers.classify import build_primal_feasibility_lp
+        from .solvers.ipm.wrapper import solve_lp_ipm
+        lp = self._model.lp
+        feas_lp = build_primal_feasibility_lp(lp)
+        st, sol, info = solve_lp_ipm(feas_lp, self._options)
+        if st != HighsModelStatus.kOptimal or not sol.dual_valid:
+            return False, None
+        self._dual_ray = np.asarray(sol.row_dual, dtype=np.float64)
+        return True, self._dual_ray
+
+    def getPrimalRay(self):
+        """Return (has_ray, ray): an unbounded primal direction
+        (reference Highs::getPrimalRay), from the recession-cone LP."""
+        if self._model_status != HighsModelStatus.kUnbounded:
+            return False, None
+        if self._primal_ray is not None:
+            return True, self._primal_ray
+        from .models.lp import HighsModel as _HM
+        from .solvers.classify import build_qp_ray_lp
+        from .solvers.ipm.wrapper import solve_lp_ipm
+        ray_lp = build_qp_ray_lp(self._model)
+        st, sol, info = solve_lp_ipm(ray_lp, self._options)
+        if st != HighsModelStatus.kOptimal or not sol.value_valid or \
+                info.primal_obj >= -1e-9:
+            return False, None
+        self._primal_ray = np.asarray(sol.col_value, dtype=np.float64)
+        return True, self._primal_ray
 
     # ------------------------------------------------------------------
     # Reporting

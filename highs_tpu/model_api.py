@@ -33,7 +33,8 @@ class HighsModelApi:
                values: Optional[Sequence[float]] = None) -> HighsStatus:
         return self.addCols(1, [cost], [lower], [upper], num_new_nz,
                             [0, num_new_nz] if num_new_nz else [0, 0],
-                            indices or [], values or [])
+                            indices if indices is not None else [],
+                            values if values is not None else [])
 
     def addVar(self, lower: float = 0.0,
                upper: float = kHighsInf) -> HighsStatus:
@@ -89,7 +90,8 @@ class HighsModelApi:
                values: Optional[Sequence[float]] = None) -> HighsStatus:
         return self.addRows(1, [lower], [upper], num_new_nz,
                             [0, num_new_nz] if num_new_nz else [0, 0],
-                            indices or [], values or [])
+                            indices if indices is not None else [],
+                            values if values is not None else [])
 
     def addRows(self, num_new_row: int, lower, upper, num_new_nz: int,
                 starts, indices, values) -> HighsStatus:

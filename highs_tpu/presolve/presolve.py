@@ -58,10 +58,11 @@ def presolve_lp(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
 
 def postsolve_lp(original_lp: HighsLp, presolve_result: PresolveResult,
-                 solution: HighsSolution) -> HighsSolution:
-    """Replay the reduction stack to recover a solution to the original
-    LP from the reduced LP's solution."""
+                 solution: HighsSolution, basis=None):
+    """Replay the reduction stack to recover a solution (and an alien
+    basis, when a reduced basis is given) for the original LP."""
     if not presolve_result.reduced:
-        return solution
+        return solution, basis
     from .rules import postsolve_rules
-    return postsolve_rules(original_lp, presolve_result, solution)
+    return postsolve_rules(original_lp, presolve_result, solution,
+                           reduced_basis=basis)

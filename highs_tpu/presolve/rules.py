@@ -374,7 +374,8 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
 
 def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
-                    solution: HighsSolution) -> HighsSolution:
+                    solution: HighsSolution,
+                    reduced_basis=None):
     m, n = pr.orig_num_row, pr.orig_num_col
     x = np.zeros(n)
     z = np.zeros(n)
@@ -386,16 +387,47 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
         z[pr.keep_cols] = solution.col_dual
         y[pr.keep_rows] = solution.row_dual
 
+    # best-effort basis mapping (marked alien: consumers repair it,
+    # reference concept HighsBasis.alien)
+    from ..constants import HighsBasisStatus as BS
+    from ..models.solution import HighsBasis
+    basis = None
+    col_bs = None
+    row_bs = None
+    if reduced_basis is not None and getattr(reduced_basis, "valid",
+                                             False):
+        col_bs = [BS.kNonbasic] * n
+        row_bs = [BS.kBasic] * m
+        for local, orig in enumerate(pr.keep_cols):
+            col_bs[int(orig)] = reduced_basis.col_status[local]
+        for local, orig in enumerate(pr.keep_rows):
+            row_bs[int(orig)] = reduced_basis.row_status[local]
+
     cost = original_lp.col_cost
     sense = float(original_lp.sense)
     a_csc = original_lp.a_matrix.to_scipy().tocsc()
     a_csr = a_csc.tocsr()
+
+    def set_col_status(j, xj):
+        if col_bs is None:
+            return
+        lo_j, up_j = original_lp.col_lower[j], original_lp.col_upper[j]
+        if np.isfinite(lo_j) and abs(xj - lo_j) <= 1e-8 * (1 + abs(lo_j)):
+            col_bs[j] = BS.kLower
+        elif np.isfinite(up_j) and abs(xj - up_j) <= 1e-8 * (1 + abs(up_j)):
+            col_bs[j] = BS.kUpper
+        elif not np.isfinite(lo_j) and not np.isfinite(up_j):
+            col_bs[j] = BS.kZero if xj == 0.0 else BS.kBasic
+        else:
+            col_bs[j] = BS.kBasic
 
     for rec in reversed(pr.stack):
         kind = rec[0]
         if kind == "empty_row" or kind == "redundant_row":
             i = rec[1]
             y[i] = 0.0
+            if row_bs is not None:
+                row_bs[i] = BS.kBasic
         elif kind == "singleton_row":
             (_, i, j, v, old_cl, old_cu, new_cl, new_cu,
              rl_i, ru_i) = rec
@@ -431,9 +463,18 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                              abs(zj) <= eps_s)
                 if col_valid or not row_valid:
                     y[i] = 0.0
+                    if row_bs is not None:
+                        row_bs[i] = BS.kBasic
                 else:
                     y[i] = y_cand
                     z[j] = 0.0
+                    if row_bs is not None:
+                        # slack leaves the basis at its active side; the
+                        # column becomes basic
+                        row_bs[i] = BS.kLower if at_row_lo else BS.kUpper
+                        col_bs[j] = BS.kBasic
+            elif row_bs is not None:
+                row_bs[i] = BS.kBasic
         elif kind == "fixed_col":
             (_, j, xj, cj, rows, vals) = rec
             x[j] = xj
@@ -443,11 +484,13 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                 # reverse replay; rows removed earlier replay later and
                 # adjust z[j] themselves (e.g. singleton-row transfer)
                 z[j] = cj - (float(vals @ y[rows]) if len(rows) else 0.0)
+            set_col_status(j, xj)
         elif kind == "empty_col":
             (_, j, xj, cj) = rec
             x[j] = xj
             if have_dual:
                 z[j] = cj
+            set_col_status(j, xj)
         elif kind == "doubleton_eq":
             (_, i, jx, jy, ax_, ay_, d, cy, cly, cuy, clx, cux,
              y_rows_o, y_vals_o) = rec
@@ -474,11 +517,24 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                     y[i] = zx / ax_ + (cy - other) / ay_
                     z[jy] = -(ay_ / ax_) * zx
                     z[jx] = 0.0
+            if row_bs is not None:
+                # equality row active: slack nonbasic at its fixed
+                # value; the restored variable typically enters the
+                # basis (alien repair fixes degenerate cases)
+                row_bs[i] = BS.kLower
+                set_col_status(jy, x[jy])
+                if col_bs[jy] != BS.kBasic and have_dual and \
+                        abs(z[jy]) <= 1e-9:
+                    col_bs[jy] = BS.kBasic
         else:
             raise RuntimeError(f"unknown postsolve record {kind!r}")
 
     row_value = a_csr @ x if m else np.zeros(0)
-    return HighsSolution(
+    out_solution = HighsSolution(
         value_valid=True, dual_valid=have_dual,
         col_value=x, col_dual=z,
         row_value=row_value, row_dual=y)
+    if col_bs is not None:
+        basis = HighsBasis(valid=True, alien=True,
+                           col_status=col_bs, row_status=row_bs)
+    return out_solution, basis

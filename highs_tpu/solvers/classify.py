@@ -129,7 +129,10 @@ def build_qp_ray_lp(model) -> HighsLp:
     m, n = lp.num_row, lp.num_col
     sense = float(lp.sense)
     a = lp.a_matrix.to_scipy().tocsc()
-    q = sense * model.hessian.to_scipy_full()
+    if model.hessian.dim > 0 and model.hessian.num_nz > 0:
+        q = (sense * model.hessian.to_scipy_full()).tocsc()
+    else:
+        q = sp.csc_matrix((0, n))
 
     lo_fin_r = np.isfinite(lp.row_lower)
     up_fin_r = np.isfinite(lp.row_upper)
@@ -140,13 +143,14 @@ def build_qp_ray_lp(model) -> HighsLp:
     d_lower = np.where(np.isfinite(lp.col_lower), 0.0, -1.0)
     d_upper = np.where(np.isfinite(lp.col_upper), 0.0, 1.0)
 
-    big_a = sp.vstack([a, q], format="csc")
+    nq = q.shape[0]
+    big_a = sp.vstack([a, q], format="csc") if nq else a
     return HighsLp(
-        num_col=n, num_row=m + n,
+        num_col=n, num_row=m + nq,
         col_cost=sense * lp.col_cost,
         col_lower=d_lower, col_upper=d_upper,
-        row_lower=np.concatenate([row_lower, np.zeros(n)]),
-        row_upper=np.concatenate([row_upper, np.zeros(n)]),
+        row_lower=np.concatenate([row_lower, np.zeros(nq)]),
+        row_upper=np.concatenate([row_upper, np.zeros(nq)]),
         a_matrix=HighsSparseMatrix.from_scipy(big_a),
         sense=ObjSense.kMinimize, offset=0.0)
 

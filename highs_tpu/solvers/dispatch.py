@@ -77,7 +77,9 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
 
     if postsolve_stack is not None and solution.value_valid:
         from ..presolve.presolve import postsolve_lp
-        solution = postsolve_lp(lp, postsolve_stack, solution)
+        solution, full_basis = postsolve_lp(lp, postsolve_stack,
+                                            solution, basis=info.basis)
+        info.basis = full_basis
     return status, solution, info
 
 

@@ -242,6 +242,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if log is not None:
                 log(f"MIP incumbent {sense * obj + lp.offset:.10g}"
                     f"{' (' + source + ')' if source else ''}")
+            if callbacks is not None and \
+                    getattr(callbacks, "user_callback", None):
+                from ...constants import HighsCallbackType as CbType
+                callbacks.data_out.objective_function_value = \
+                    sense * obj + lp.offset
+                callbacks.data_out.mip_primal_bound = sense * obj + \
+                    lp.offset
+                callbacks.data_out.mip_node_count = info.mip_node_count
+                callbacks.data_out.mip_solution = incumbent_x.copy()
+                callbacks.call(CbType.kCallbackMipSolution)
+                callbacks.call(CbType.kCallbackMipImprovingSolution)
             return True
         return False
 
@@ -350,6 +361,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if n_improving >= options.mip_max_improving_sols:
             status = HighsModelStatus.kSolutionLimit
             break
+        if callbacks is not None and \
+                getattr(callbacks, "user_callback", None):
+            from ...constants import HighsCallbackType as CbType
+            callbacks.data_out.mip_node_count = info.mip_node_count
+            callbacks.data_out.running_time = time.perf_counter() - t0
+            if incumbent_obj < math.inf:
+                callbacks.data_out.mip_primal_bound = \
+                    sense * incumbent_obj + lp.offset
+            if callbacks.call(CbType.kCallbackMipInterrupt):
+                status = HighsModelStatus.kInterrupt
+                break
         if current is not None:
             node = current
             current = None

@@ -1,0 +1,217 @@
+"""Tests for callbacks, rays, ranging, basis IO, IIS, multi-objective,
+feasibility relaxation (reference: TestCallbacks/TestRays/TestRanging/
+TestIis/TestMultiObjective behaviors)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from highs_tpu import (Highs, HighsLinearObjective, HighsLp,
+                       HighsModelStatus, HighsStatus, kHighsInf)
+from highs_tpu.constants import HighsCallbackType
+from highs_tpu.models.lp import HighsSparseMatrix
+
+from conftest import instance_path
+
+
+def _small_lp():
+    a = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, 3.0]]))
+    return HighsLp(
+        num_col=2, num_row=2,
+        col_cost=np.array([-1.0, -2.0]),
+        col_lower=np.zeros(2), col_upper=np.array([kHighsInf, kHighsInf]),
+        row_lower=np.array([-kHighsInf, -kHighsInf]),
+        row_upper=np.array([4.0, 6.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a))
+
+
+def test_logging_callback():
+    messages = []
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        messages.append((callback_type, message))
+
+    h = Highs()
+    h.passModel(_small_lp())
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackLogging)
+    h.run()
+    h.reportSolvedStats()
+    assert any("Model status" in m for _, m in messages)
+
+
+def test_mip_interrupt_callback(instances_dir):
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(HighsCallbackType.kCallbackMipInterrupt):
+            if data_out.mip_node_count >= 5:
+                data_in.user_interrupt = True
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("flugpl.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackMipInterrupt)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kInterrupt
+
+
+def test_mip_solution_callback(instances_dir):
+    solutions = []
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(HighsCallbackType.kCallbackMipSolution):
+            solutions.append(data_out.objective_function_value)
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 60.0)
+    h.readModel(instance_path("flugpl.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackMipSolution)
+    h.run()
+    assert len(solutions) >= 1
+
+
+def test_dual_ray(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("galenet.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kInfeasible
+    has_ray, ray = h.getDualRay()
+    assert has_ray
+    assert len(ray) == h.getNumRow()
+    assert np.abs(ray).max() > 1e-8
+
+
+def test_primal_ray():
+    lp = HighsLp(
+        num_col=2, num_row=1,
+        col_cost=np.array([-1.0, 0.0]),
+        col_lower=np.zeros(2), col_upper=np.full(2, kHighsInf),
+        row_lower=np.array([-kHighsInf]), row_upper=np.array([5.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(
+            sp.csc_matrix(np.array([[0.0, 1.0]]))))
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kUnbounded
+    has_ray, ray = h.getPrimalRay()
+    assert has_ray
+    # the ray must increase x0 (the unbounded direction)
+    assert ray[0] > 1e-6
+
+
+def test_ranging_small():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(_small_lp())
+    h.run()
+    st, ranging = h.getRanging()
+    assert st == HighsStatus.kOk
+    assert ranging.valid
+    # optimal basis x=(3,1): both structural basic; increasing cost of
+    # col 0 beyond some range changes the basis
+    assert ranging.col_cost_up.value_[0] >= -1.0
+    assert ranging.col_cost_dn.value_[0] <= -1.0
+    # row bound ranging: row 0 at upper 4
+    assert ranging.row_bound_up.value_[0] >= 4.0
+
+
+def test_kappa():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(_small_lp())
+    h.run()
+    st, kappa = h.getKappa(exact=True)
+    assert st == HighsStatus.kOk
+    assert kappa >= 1.0
+
+
+def test_basis_write_read(tmp_path, instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    basis = h.getBasis()
+    assert basis.valid
+    path = str(tmp_path / "b.bas")
+    assert h.writeBasis(path) == HighsStatus.kOk
+    h2 = Highs()
+    h2.setOptionValue("output_flag", False)
+    h2.readModel(instance_path("afiro.mps"))
+    assert h2.readBasis(path) == HighsStatus.kOk
+    b2 = h2.getBasis()
+    assert list(map(int, b2.col_status)) == \
+        list(map(int, basis.col_status))
+
+
+def test_iis_galenet(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("galenet.mps"))
+    h.run()
+    st, iis = h.getIis()
+    assert st == HighsStatus.kOk
+    assert iis.valid
+    assert len(iis.row_index) >= 1
+    # dropping all IIS rows must make the model feasible
+    lp = h.getLp().copy()
+    for i in iis.row_index:
+        lp.row_lower[i] = -kHighsInf
+        lp.row_upper[i] = kHighsInf
+    h3 = Highs()
+    h3.setOptionValue("output_flag", False)
+    h3.passModel(lp)
+    h3.run()
+    assert h3.getModelStatus() == HighsModelStatus.kOptimal
+
+
+def test_multiobjective_blend():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(_small_lp())
+    o1 = HighsLinearObjective(weight=1.0,
+                              coefficients=np.array([-1.0, 0.0]))
+    o2 = HighsLinearObjective(weight=1.0,
+                              coefficients=np.array([0.0, -2.0]))
+    h.addLinearObjective(o1)
+    h.addLinearObjective(o2)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # blended = original objective: optimum -5
+    assert abs(h.getObjectiveValue() - (-5.0)) < 1e-5
+
+
+def test_multiobjective_lexicographic():
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("blend_multi_objectives", False)
+    h.passModel(_small_lp())
+    # priority 1: minimize -x (i.e. maximize x); then minimize -y
+    o1 = HighsLinearObjective(weight=1.0, priority=10,
+                              coefficients=np.array([-1.0, 0.0]),
+                              abs_tolerance=0.0, rel_tolerance=0.0)
+    o2 = HighsLinearObjective(weight=1.0, priority=1,
+                              coefficients=np.array([0.0, -1.0]),
+                              abs_tolerance=0.0, rel_tolerance=0.0)
+    h.passLinearObjectives([o1, o2])
+    h.run()
+    sol = h.getSolution()
+    # first maximize x -> x = 4 (row0), then maximize y subject to x=4:
+    # x+y<=4 -> y=0... x+3y<=6 -> y<=2/3; y=0 from row 0
+    assert abs(sol.col_value[0] - 4.0) < 1e-5
+    assert abs(sol.col_value[1] - 0.0) < 1e-5
+
+
+def test_feasibility_relaxation():
+    lp = _small_lp()
+    lp.col_lower = np.array([5.0, 0.0])  # infeasible with x+y<=4
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.passModel(lp)
+    h.feasibilityRelaxation()
+    sol = h.getSolution()
+    assert sol.value_valid
+    # relaxed solution respects col bound x >= 5
+    assert sol.col_value[0] >= 5.0 - 1e-6
