@@ -381,6 +381,24 @@ class Highs(HighsModelApi, HighsAnalysisApi):
             else BasisValidity.kBasisValidityInvalid)
 
     # ------------------------------------------------------------------
+    # Crossover
+    # ------------------------------------------------------------------
+    def crossover(self, user_solution: HighsSolution) -> HighsStatus:
+        """Convert a (near-optimal) solution into a vertex basis via the
+        simplex cleanup (reference Highs::crossover)."""
+        from .solvers.simplex.crossover import crossover_from_solution
+        status, solution, info = crossover_from_solution(
+            self._model.lp, self._options, user_solution)
+        if status != HighsModelStatus.kOptimal:
+            return HighsStatus.kError
+        self._model_status = status
+        self._solution = solution
+        if info.basis is not None:
+            self._basis = info.basis
+        self._fill_info_lp(self._model.lp, info)
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
     # Rays
     # ------------------------------------------------------------------
     def getDualRay(self):

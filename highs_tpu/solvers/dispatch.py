@@ -67,7 +67,11 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
     info.solve_time = raw_info.solve_time
     ipm_iters = getattr(raw_info, "ipm_iterations", -1)
     simplex_iters = getattr(raw_info, "simplex_iterations", -1)
-    if simplex_iters > 0:
+    crossover_iters = getattr(raw_info, "crossover_iterations", -1)
+    if crossover_iters >= 0:
+        info.crossover_iteration_count = crossover_iters
+        info.ipm_iteration_count = ipm_iters
+    elif simplex_iters > 0:
         info.simplex_iteration_count = simplex_iters
     elif ipm_iters > 0:
         info.ipm_iteration_count = ipm_iters
@@ -95,7 +99,20 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
 
     if solver in ("ipm", "ipx", "hipo"):
         from .ipm.wrapper import solve_lp_ipm
-        return solve_lp_ipm(lp, options, log=log)
+        status, solution, raw = solve_lp_ipm(lp, options, log=log)
+        if status == HighsModelStatus.kOptimal and \
+                options.run_crossover == "on" and \
+                lp.num_row <= 3000:
+            # reference behavior: IPM runs crossover to a vertex basis
+            # by default (run_crossover default "on", IpxWrapper)
+            from .simplex.crossover import crossover_from_solution
+            st2, sol2, info2 = crossover_from_solution(lp, options,
+                                                       solution)
+            if st2 == HighsModelStatus.kOptimal:
+                info2.ipm_iterations = raw.iterations
+                info2.crossover_iterations = info2.iterations
+                return st2, sol2, info2
+        return status, solution, raw
     if solver == "simplex":
         from .simplex.wrapper import solve_lp_simplex
         return solve_lp_simplex(lp, options, log=log, basis=basis)

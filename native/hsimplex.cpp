@@ -447,7 +447,19 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
           leave_to = to;
         }
       }
-      if (t_max >= kInf && leave_p < 0) { result = kUnbounded; goto finish; }
+      if (t_max >= kInf && leave_p < 0) {
+        if (phase == 1) {
+          // "unbounded" infeasibility reduction is impossible — this is
+          // numerical drift; refresh the factorization and retry
+          if (++verify_retries > 8) { result = kSingular; goto finish; }
+          if (!refactor(w)) { result = kSingular; goto finish; }
+          compute_basics(w);
+          since_refactor = 0;
+          continue;
+        }
+        result = kUnbounded;
+        goto finish;
+      }
       // ---- apply step --------------------------------------------------
       double t = pr.dir * t_max;
       for (int p = 0; p < m; ++p)

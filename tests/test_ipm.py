@@ -72,3 +72,35 @@ def test_solver_option_ipm(instances_dir):
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert h.getInfo().ipm_iteration_count > 0
     assert abs(h.getObjectiveValue() - (-4.6475314286e2)) < 1e-5
+
+
+def test_ipm_crossover_basis(instances_dir):
+    """run_crossover=on (default): IPM solutions get a vertex basis and
+    exact complementarity (reference: TestCrossover behavior)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "ipm")
+    h.readModel(instance_path("adlittle.mps"))
+    h.run()
+    info = h.getInfo()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert info.crossover_iteration_count >= 0
+    assert h.getBasis().valid
+    assert info.max_complementarity_violation < 1e-8
+    assert abs(h.getObjectiveValue() - 2.2549496316e5) < 1e-2
+
+
+def test_crossover_api(instances_dir):
+    """Highs.crossover(solution) converts a user solution to a basis."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("afiro.mps"))
+    h.setOptionValue("solver", "pdlp")
+    h.run()
+    sol = h.getSolution()
+    h2 = Highs()
+    h2.setOptionValue("output_flag", False)
+    h2.readModel(instance_path("afiro.mps"))
+    assert h2.crossover(sol) == 0
+    assert h2.getBasis().valid
+    assert abs(h2.getObjectiveValue() - (-4.6475314286e2)) < 1e-4
