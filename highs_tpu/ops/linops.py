@@ -64,14 +64,27 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                dtype=jnp.float64) -> LinOp:
     """Build a device operator from a scipy sparse matrix.
 
-    fmt: "dense" / "bcoo" / "choose".  "choose" uses dense whenever the
-    dense array is below ~256 MB (MXU-friendly), else BCOO.
+    fmt: "dense" / "bcoo" / "blockcsr" / "choose".  "choose" uses dense
+    whenever the dense array is below ~256 MB (MXU-friendly); beyond
+    that the Pallas block-CSR kernel when the tile structure is compact,
+    else BCOO.
     """
     m, n = mat.shape
     if fmt == "choose":
         itemsize = jnp.dtype(dtype).itemsize
         dense_bytes = m * n * itemsize
-        fmt = "dense" if dense_bytes <= (256 << 20) else "bcoo"
+        if dense_bytes <= (256 << 20):
+            fmt = "dense"
+        else:
+            # estimate nonzero 128x128 tiles
+            coo = mat.tocoo()
+            tiles = len(set(zip((coo.row // 128).tolist(),
+                                (coo.col // 128).tolist())))
+            tile_bytes = tiles * 128 * 128 * itemsize
+            fmt = "blockcsr" if tile_bytes <= (512 << 20) else "bcoo"
+    if fmt == "blockcsr":
+        from .block_csr import from_scipy_block_csr
+        return from_scipy_block_csr(mat, dtype=dtype)
     if fmt == "dense":
         return DenseMatrix(jnp.asarray(mat.toarray(), dtype=dtype))
     if fmt == "bcoo":
