@@ -1,0 +1,471 @@
+"""Cutting planes for the MIP solver.
+
+Re-implementation (TPU-build idiom: vectorized numpy separation on the
+host, like every other irregular-control-flow MIP component; the LP
+re-solves that consume the cuts run on-device / in the native node
+engine) of the reference cut layer:
+
+- ``CutPool``: age/parallelism-filtered storage of globally valid cuts
+  (reference: highs/mip/HighsCutPool.cpp — aging, orthogonality
+  filtering, soft limit).
+- Gomory mixed-integer cuts from an optimal simplex tableau row
+  (reference: highs/mip/HighsTableauSeparator.cpp driving
+  HighsCutGeneration).
+- Complemented mixed-integer rounding (c-MIR) cuts on single rows with
+  bound substitution and delta search (reference:
+  highs/mip/HighsCutGeneration.cpp `cmirCutGenerationHeuristic`).
+- Clique cuts from a set-packing clique table extracted from the rows
+  (reference: highs/mip/HighsCliqueTable.cpp extraction +
+  `separationRound` clique separation in HighsSeparation.cpp:43-160).
+
+All cuts are returned in structural space as  a'x <= rhs  and are
+globally valid (derived from original rows + integrality only), so they
+can extend the node relaxation for the entire tree.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+_EPS = 1e-12
+_MAX_DYNAMISM = 1e7
+_MIN_VIOL = 1e-7
+_MIN_EFFICACY = 1e-6
+
+
+@dataclasses.dataclass
+class Cut:
+    cols: np.ndarray          # int32 indices
+    vals: np.ndarray          # float64 coefficients
+    rhs: float                # a'x <= rhs
+    efficacy: float = 0.0     # violation / ||a||
+    age: int = 0
+
+    def key(self) -> tuple:
+        # dedupe key: support + normalized coefficients (rounded)
+        nrm = np.linalg.norm(self.vals)
+        if nrm <= 0:
+            return (tuple(self.cols),)
+        q = np.round(self.vals / nrm, 9)
+        return (tuple(self.cols.tolist()), tuple(q.tolist()),
+                round(self.rhs / nrm, 9))
+
+
+class CutPool:
+    """Globally valid cut storage with aging and parallelism filtering
+    (reference HighsCutPool: age limit `mip_pool_age_limit`, soft size
+    limit `mip_pool_soft_limit`, pairwise-parallelism rejection)."""
+
+    def __init__(self, num_col: int, age_limit: int = 30,
+                 soft_limit: int = 10000):
+        self.num_col = num_col
+        self.age_limit = age_limit
+        self.soft_limit = soft_limit
+        self.cuts: List[Cut] = []
+        self._keys = set()
+
+    def add(self, cut: Cut) -> bool:
+        k = cut.key()
+        if k in self._keys:
+            return False
+        self._keys.add(k)
+        self.cuts.append(cut)
+        return True
+
+    def age_and_evict(self, active_mask: Optional[np.ndarray] = None):
+        keep = []
+        for i, c in enumerate(self.cuts):
+            active = bool(active_mask[i]) if active_mask is not None and \
+                i < len(active_mask) else False
+            c.age = 0 if active else c.age + 1
+            if c.age <= self.age_limit:
+                keep.append(c)
+            else:
+                self._keys.discard(c.key())
+        self.cuts = keep
+        if len(self.cuts) > self.soft_limit:
+            self.cuts.sort(key=lambda c: (-c.efficacy, c.age))
+            for c in self.cuts[self.soft_limit:]:
+                self._keys.discard(c.key())
+            self.cuts = self.cuts[:self.soft_limit]
+
+    def violated(self, x: np.ndarray, tol: float = _MIN_VIOL,
+                 max_cuts: int = 200,
+                 min_orthogonality: float = 0.5) -> List[Cut]:
+        """Violated pool cuts, filtered so selected cuts are pairwise
+        not-too-parallel (reference cut selection in
+        HighsCutPool::separate)."""
+        scored = []
+        for c in self.cuts:
+            v = float(x[c.cols] @ c.vals) - c.rhs
+            nrm = float(np.linalg.norm(c.vals))
+            if nrm <= 0:
+                continue
+            eff = v / nrm
+            if eff > tol:
+                c.efficacy = eff
+                scored.append(c)
+        scored.sort(key=lambda c: -c.efficacy)
+        picked: List[Cut] = []
+        for c in scored:
+            if len(picked) >= max_cuts:
+                break
+            ok = True
+            cn = c.vals / max(np.linalg.norm(c.vals), _EPS)
+            for p in picked:
+                common, ci, pi = np.intersect1d(
+                    c.cols, p.cols, return_indices=True)
+                if common.size == 0:
+                    continue
+                dot = float(cn[ci] @ (p.vals[pi] /
+                                      max(np.linalg.norm(p.vals), _EPS)))
+                if abs(dot) > 1.0 - min_orthogonality + 0.5:
+                    ok = False
+                    break
+            if ok:
+                picked.append(c)
+        return picked
+
+    def matrix(self, cuts: Sequence[Cut]) -> Tuple[sp.csr_matrix,
+                                                   np.ndarray]:
+        rows, cols, vals, rhs = [], [], [], []
+        for i, c in enumerate(cuts):
+            rows.extend([i] * len(c.cols))
+            cols.extend(c.cols.tolist())
+            vals.extend(c.vals.tolist())
+            rhs.append(c.rhs)
+        a = sp.csr_matrix(
+            (vals, (rows, cols)), shape=(len(cuts), self.num_col))
+        return a, np.asarray(rhs)
+
+
+def _finite(v, default=0.0):
+    return np.where(np.isfinite(v), v, default)
+
+
+def _clean_cut(cols: np.ndarray, vals: np.ndarray, rhs: float,
+               lo: np.ndarray, up: np.ndarray) -> Optional[Tuple]:
+    """Numerical hygiene shared by all separators (reference:
+    HighsCutGeneration::postprocessCut): drop tiny coefficients by
+    moving them to the rhs via the best bound; reject cuts with huge
+    dynamism or where a tiny coefficient has an infinite bound."""
+    keep = np.abs(vals) > _EPS
+    cols, vals = cols[keep], vals[keep]
+    if cols.size == 0:
+        return None
+    amax = float(np.max(np.abs(vals)))
+    small = np.abs(vals) < 1e-9 * max(1.0, amax)
+    if small.any():
+        for i in np.nonzero(small)[0]:
+            a = vals[i]
+            j = cols[i]
+            # relax: a*x <= a*bound contribution moved to rhs
+            b = up[j] if a > 0 else lo[j]
+            if not np.isfinite(b):
+                return None
+            rhs -= a * b
+        cols, vals = cols[~small], vals[~small]
+        if cols.size == 0:
+            return None
+        amax = float(np.max(np.abs(vals)))
+    amin = float(np.min(np.abs(vals)))
+    if amax / max(amin, _EPS) > _MAX_DYNAMISM:
+        return None
+    if not np.isfinite(rhs) or abs(rhs) > 1e15:
+        return None
+    return cols, vals, float(rhs)
+
+
+# --------------------------------------------------------------------------
+# Gomory mixed-integer cuts from the simplex tableau
+# --------------------------------------------------------------------------
+
+def separate_gomory(a_csc: sp.csc_matrix, lo: np.ndarray, up: np.ndarray,
+                    row_lower: np.ndarray, row_upper: np.ndarray,
+                    basis: np.ndarray, x: np.ndarray,
+                    is_int: np.ndarray, feastol: float = 1e-6,
+                    max_cuts: int = 24) -> List[Cut]:
+    """GMI cuts for fractional basic integer variables.
+
+    Works in the bounded standard form  W [x; s] = 0,  W = [A, -I],
+    l <= x <= u, L <= s <= U (the native engine's space, so the basis
+    statuses returned by `simplex_solve` apply verbatim).  Tableau rows
+    come from a fresh sparse LU of the basis (host-side scipy, mirroring
+    the reference's CPU HFactor btran + PRICE in
+    HighsTableauSeparator.cpp).
+    """
+    m, n = a_csc.shape
+    nv = n + m
+    if m == 0:
+        return []
+    kLower, kBasic, kUpper, kZero = 0, 1, 2, 3
+    basic = np.nonzero(basis == kBasic)[0]
+    if basic.size != m:
+        return []
+    s = a_csc @ x  # logical values
+    v_all = np.concatenate([x, s])
+    lo_all = np.concatenate([lo, row_lower])
+    up_all = np.concatenate([up, row_upper])
+
+    # B columns: structural j -> A[:, j]; logical n+i -> -e_i
+    w_full = sp.hstack([a_csc, -sp.identity(m, format="csc")]).tocsc()
+    B = w_full[:, basic]
+    try:
+        lu = sp.linalg.splu(B.tocsc())
+    except RuntimeError:
+        return []
+
+    # candidate rows: basic structural integers with fractional value
+    frac_v = np.abs(v_all[basic] - np.round(v_all[basic]))
+    cand_positions = [
+        p for p in np.argsort(-frac_v)
+        if basic[p] < n and is_int[basic[p]] and
+        frac_v[p] > 10 * feastol and frac_v[p] < 1.0 - 10 * feastol]
+    cand_positions = cand_positions[:max_cuts]
+    if not cand_positions:
+        return []
+
+    nonbasic = np.nonzero(basis != kBasic)[0]
+    w_nb = w_full[:, nonbasic].tocsc()
+    a_csr = a_csc.tocsr()
+    cuts: List[Cut] = []
+    for p in cand_positions:
+        e = np.zeros(m)
+        e[p] = 1.0
+        rbt = lu.solve(e, trans="T")          # e_p' B^{-1}
+        trow = rbt @ w_nb                      # tableau row over nonbasics
+        bbar = float(v_all[basic[p]])
+        f0 = bbar - math.floor(bbar)
+        if f0 < 10 * feastol or f0 > 1 - 10 * feastol:
+            continue
+        # GMI in shifted nonbasic space
+        alpha = np.zeros(nv)   # cut coefficients on original vars
+        beta = float(f0)       # rhs of  sum g_j w_j >= f0  after shift
+        ok = True
+        for t_j, j in zip(np.asarray(trow).ravel(), nonbasic):
+            if abs(t_j) < _EPS:
+                continue
+            st = basis[j]
+            at_lower = st in (kLower, kZero)
+            # shifted variable w_j >= 0 measured from its bound
+            tt = t_j if at_lower else -t_j
+            integer_var = j < n and is_int[j] and \
+                np.isfinite(lo_all[j] if at_lower else up_all[j])
+            if integer_var:
+                fj = tt - math.floor(tt)
+                g = fj if fj <= f0 + 1e-12 else f0 * (1.0 - fj) / (1.0 - f0)
+            else:
+                g = tt if tt >= 0 else f0 * (-tt) / (1.0 - f0)
+            if g == 0.0:
+                continue
+            bound = lo_all[j] if at_lower else up_all[j]
+            if not np.isfinite(bound):
+                if abs(g) < 1e-11:
+                    continue
+                ok = False
+                break
+            # w_j = ±(v_j - bound):  g*w_j >= ... contributes to alpha
+            if at_lower:
+                alpha[j] += g
+                beta += g * bound
+            else:
+                alpha[j] -= g
+                beta -= g * bound
+        if not ok:
+            continue
+        # substitute logicals s_i = (A x)_i
+        logi = np.nonzero(np.abs(alpha[n:]) > _EPS)[0]
+        coef = alpha[:n].copy()
+        for i in logi:
+            gi = alpha[n + i]
+            row = a_csr[i]
+            coef[row.indices] += gi * row.data
+        # cut: coef' x >= beta  ->  -coef' x <= -beta
+        mask = np.abs(coef) > _EPS
+        res = _clean_cut(np.nonzero(mask)[0].astype(np.int32),
+                         -coef[mask], -beta, lo, up)
+        if res is None:
+            continue
+        ccols, cvals, crhs = res
+        viol = float(x[ccols] @ cvals) - crhs
+        nrm = float(np.linalg.norm(cvals))
+        if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+            cuts.append(Cut(ccols, cvals, crhs, viol / nrm))
+    return cuts
+
+
+# --------------------------------------------------------------------------
+# c-MIR cuts on single rows
+# --------------------------------------------------------------------------
+
+def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
+                x: np.ndarray, lo: np.ndarray, up: np.ndarray,
+                is_int: np.ndarray, feastol: float
+                ) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
+    """Best c-MIR cut for one  a'x <= b  row.  Returns
+    (cols, vals, rhs, efficacy) or None.
+
+    Bound substitution picks, per variable, the finite bound closest to
+    x* (reference HighsTransformedLp); then MIR with delta from the
+    fractional-support candidate set."""
+    # complement to x_hat >= 0
+    use_lower = np.abs(x[cols] - _finite(lo[cols])) <= \
+        np.abs(_finite(up[cols], 1e30) - x[cols])
+    use_lower &= np.isfinite(lo[cols])
+    use_upper = ~use_lower & np.isfinite(up[cols])
+    if not np.all(use_lower | use_upper):
+        return None
+    # x = l + xh (use_lower) / x = u - xh (use_upper)
+    sub_b = np.where(use_lower, _finite(lo[cols]), _finite(up[cols]))
+    sign = np.where(use_lower, 1.0, -1.0)
+    ah = vals * sign                 # coefficient on xh
+    bh = rhs - float(vals @ sub_b)
+    xh = sign * (x[cols] - sub_b)
+    ints = is_int[cols]
+
+    best = None
+    cand = [1.0]
+    frac_sup = np.abs(ah[ints & (xh > feastol)])
+    cand.extend(np.unique(np.round(frac_sup[frac_sup > 1e-6], 12))[:12])
+    for delta in cand:
+        b_d = bh / delta
+        f = b_d - math.floor(b_d)
+        if f < 0.01 or f > 0.99:
+            continue
+        a_d = ah / delta
+        gi = np.floor(a_d) + np.maximum(a_d - np.floor(a_d) - f, 0.0) / \
+            (1.0 - f)
+        # continuous: positive coeffs relaxed away; negative scaled
+        gc = np.minimum(a_d, 0.0) / (1.0 - f)
+        g = np.where(ints, gi, gc)
+        grhs = math.floor(b_d)
+        act = float(g @ xh)
+        viol = act - grhs
+        nrm = float(np.linalg.norm(g))
+        if nrm <= _EPS:
+            continue
+        eff = viol / nrm
+        if eff > _MIN_EFFICACY and (best is None or eff > best[0]):
+            best = (eff, g.copy(), float(grhs))
+    if best is None:
+        return None
+    eff, g, grhs = best
+    # un-substitute: g*xh <= grhs with xh = sign*(x - sub_b)
+    out_vals = g * sign
+    out_rhs = grhs + float(g @ (sign * sub_b))
+    return cols, out_vals, out_rhs, eff
+
+
+def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                 row_upper: np.ndarray, lo: np.ndarray, up: np.ndarray,
+                 x: np.ndarray, is_int: np.ndarray,
+                 feastol: float = 1e-6, max_cuts: int = 64) -> List[Cut]:
+    """c-MIR separation over single rows (both row senses)."""
+    m, n = a_csr.shape
+    cuts: List[Cut] = []
+    # prefer rows that are tight at x*
+    act = a_csr @ x
+    tight_u = np.where(np.isfinite(row_upper),
+                       np.abs(act - row_upper), np.inf)
+    tight_l = np.where(np.isfinite(row_lower),
+                       np.abs(act - row_lower), np.inf)
+    order = np.argsort(np.minimum(tight_u, tight_l))
+    for i in order[:400]:
+        if len(cuts) >= max_cuts:
+            break
+        r = a_csr[i]
+        cols = r.indices.astype(np.int32)
+        vals = r.data.astype(np.float64)
+        if cols.size < 2 or not np.any(is_int[cols]):
+            continue
+        trials = []
+        if np.isfinite(row_upper[i]):
+            trials.append((vals, float(row_upper[i])))
+        if np.isfinite(row_lower[i]):
+            trials.append((-vals, float(-row_lower[i])))
+        for tvals, trhs in trials:
+            got = _mir_on_leq(cols, tvals, trhs, x, lo, up, is_int,
+                              feastol)
+            if got is None:
+                continue
+            ccols, cvals, crhs, eff = got
+            res = _clean_cut(ccols.copy(), cvals.copy(), crhs, lo, up)
+            if res is None:
+                continue
+            ccols, cvals, crhs = res
+            viol = float(x[ccols] @ cvals) - crhs
+            nrm = float(np.linalg.norm(cvals))
+            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+                cuts.append(Cut(ccols, cvals, crhs, viol / nrm))
+    return cuts
+
+
+# --------------------------------------------------------------------------
+# Clique table + clique cuts
+# --------------------------------------------------------------------------
+
+class CliqueTable:
+    """Set-packing cliques extracted from rows (reference
+    HighsCliqueTable::extractCliques).  A clique is a set of binary
+    literals (var, complemented?) of which at most one can be 1."""
+
+    def __init__(self, a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                 row_upper: np.ndarray, lo: np.ndarray, up: np.ndarray,
+                 is_int: np.ndarray, feastol: float = 1e-6):
+        self.cliques: List[Tuple[np.ndarray, np.ndarray]] = []
+        n = a_csr.shape[1]
+        binary = is_int & (lo >= -feastol) & (up <= 1 + feastol) & \
+            (up - lo > 0.5)
+        m = a_csr.shape[0]
+        for i in range(m):
+            r = a_csr[i]
+            cols = r.indices
+            vals = r.data
+            if cols.size < 2 or cols.size > 200:
+                continue
+            if not np.all(binary[cols]):
+                continue
+            # knapsack row sum a_j x_j <= b with binary x: after
+            # complementing negatives (x -> 1 - x), a clique requires
+            # a_j + a_k > b for all pairs — with equal +-1 coeffs this is
+            # the standard set-packing detection
+            for sgn, b in ((1.0, row_upper[i]), (-1.0, -row_lower[i])):
+                if not np.isfinite(b):
+                    continue
+                v = sgn * vals
+                comp = v < 0
+                vv = np.abs(v)
+                # complement x_j -> 1 - x_j for negative coefficients:
+                # rhs shifts by -sum of the negative coefficients
+                bb = b - float(v[comp].sum())
+                if vv.size < 2:
+                    continue
+                two_smallest = np.partition(vv, 1)[:2]
+                if two_smallest.sum() > bb + feastol and \
+                        vv.max() <= bb + feastol:
+                    self.cliques.append((cols.copy(), comp.copy()))
+
+    def separate(self, x: np.ndarray, tol: float = 1e-5,
+                 max_cuts: int = 50) -> List[Cut]:
+        cuts = []
+        seen = set()
+        for cols, comp in self.cliques:
+            key = (tuple(cols.tolist()), tuple(comp.tolist()))
+            if key in seen:
+                continue
+            seen.add(key)
+            lit = np.where(comp, 1.0 - x[cols], x[cols])
+            viol = float(lit.sum()) - 1.0
+            if viol > tol:
+                # sum_{!comp} x + sum_{comp} (1-x) <= 1
+                vals = np.where(comp, -1.0, 1.0)
+                rhs = 1.0 - float(comp.sum())
+                nrm = math.sqrt(len(cols))
+                cuts.append(Cut(cols.astype(np.int32), vals, rhs,
+                                viol / nrm))
+        cuts.sort(key=lambda c: -c.efficacy)
+        return cuts[:max_cuts]

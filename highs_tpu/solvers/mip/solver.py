@@ -141,8 +141,15 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # inverse fits (the reference's node engine is hot-started dual
     # simplex, HighsLpRelaxation); IPM otherwise
     use_simplex = lp.num_row <= 2000
-    a_node_csc = lp.a_matrix.to_scipy().tocsc() if use_simplex else None
     mip_feastol = feastol
+
+    # mutable relaxation state: root cut separation appends globally
+    # valid cut rows (reference: HighsLpRelaxation row management)
+    class _Relax:
+        a_csc = lp.a_matrix.to_scipy().tocsc() if use_simplex else None
+        row_lower = lp.row_lower
+        row_upper = lp.row_upper
+        num_cut_rows = 0
 
     def solve_node_lp(lo, up, warm_basis=None):
         """Returns (feasible, obj_minimize, x, basis) for the node
@@ -153,8 +160,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                           RESULT_UNBOUNDED,
                                           simplex_solve)
             result, x, y, z, basis_out, iters = simplex_solve(
-                a_node_csc, sense * lp.col_cost, lo, up,
-                lp.row_lower, lp.row_upper, basis_in=warm_basis,
+                _Relax.a_csc, sense * lp.col_cost, lo, up,
+                _Relax.row_lower, _Relax.row_upper, basis_in=warm_basis,
                 tol_p=1e-9, tol_d=1e-9, max_iter=100000)
             info.iterations += iters
             if result == RESULT_OPTIMAL:
@@ -304,6 +311,88 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         cand = round_and_repair(root_x, root_lo_p, root_up_p)
         if cand is not None:
             try_incumbent(cand, "rounding")
+
+    # ---- root cut separation (reference: evaluateRootNode's
+    # rootSeparationRound loop, HighsMipSolverData.cpp:1987+) ----------
+    if use_simplex and root_x is not None and \
+            math.isfinite(root_bound) and (is_int.any()):
+        from .cuts import CliqueTable, CutPool, separate_gomory, \
+            separate_mir
+        cutpool = CutPool(lp.num_col, options.mip_pool_age_limit,
+                          options.mip_pool_soft_limit)
+        clique_table = CliqueTable(a_csr, lp.row_lower, lp.row_upper,
+                                   root_lo_p, root_up_p, is_int, feastol)
+        stall = 0
+        for _round in range(10):
+            if time.perf_counter() - t0 > 0.25 * options.time_limit:
+                break
+            found = []
+            if root_basis is not None:
+                try:
+                    found += separate_gomory(
+                        _Relax.a_csc, root_lo_p, root_up_p,
+                        _Relax.row_lower, _Relax.row_upper,
+                        root_basis, root_x, is_int, feastol)
+                except Exception:
+                    pass
+            found += separate_mir(a_csr, lp.row_lower, lp.row_upper,
+                                  root_lo_p, root_up_p, root_x, is_int,
+                                  feastol)
+            found += clique_table.separate(root_x)
+            added = [c for c in found if cutpool.add(c)]
+            if not added:
+                break
+            added.sort(key=lambda c: -c.efficacy)
+            added = added[:100]
+            cut_a, cut_rhs = cutpool.matrix(added)
+            import scipy.sparse as _sp
+            _Relax.a_csc = _sp.vstack(
+                [_Relax.a_csc, cut_a]).tocsc()
+            _Relax.row_lower = np.concatenate(
+                [_Relax.row_lower, np.full(len(added), -kHighsInf)])
+            _Relax.row_upper = np.concatenate(
+                [_Relax.row_upper, cut_rhs])
+            _Relax.num_cut_rows += len(added)
+            # warm basis: new cut logicals enter basic
+            warm = None
+            if root_basis is not None:
+                warm = np.concatenate(
+                    [root_basis, np.ones(len(added), dtype=np.int8)])
+            prev_bound = root_bound
+            feasible, root_bound, root_x, root_basis = solve_node_lp(
+                root_lo_p, root_up_p, warm_basis=warm)
+            info.mip_node_count += 1
+            if not feasible or root_x is None or \
+                    not math.isfinite(root_bound):
+                # numerical trouble — drop all cuts and restore the
+                # original relaxation (a wrongly-infeasible root must
+                # never decide the MIP status)
+                _Relax.a_csc = lp.a_matrix.to_scipy().tocsc()
+                _Relax.row_lower = lp.row_lower
+                _Relax.row_upper = lp.row_upper
+                _Relax.num_cut_rows = 0
+                feasible, root_bound, root_x, root_basis = solve_node_lp(
+                    root_lo_p, root_up_p)
+                break
+            if log is not None:
+                log(f"MIP root cuts round {_round + 1}: "
+                    f"+{len(added)} cuts ({_Relax.num_cut_rows} total), "
+                    f"bound {sense * root_bound + lp.offset:.10g}")
+            improve = abs(root_bound - prev_bound) / max(
+                1.0, abs(prev_bound))
+            stall = stall + 1 if improve < 1e-6 else 0
+            if stall >= 2:
+                break
+        if _Relax.num_cut_rows:
+            # stronger propagation with cut rows included
+            full_csr = _Relax.a_csc.tocsr()
+            prop = Propagator(full_csr, _Relax.row_lower,
+                              _Relax.row_upper, is_int, feastol)
+        # another rounding attempt from the cut-tightened relaxation
+        if root_x is not None:
+            cand = round_and_repair(root_x, root_lo_p, root_up_p)
+            if cand is not None:
+                try_incumbent(cand, "rounding after cuts")
 
     def run_feasibility_jump(x_start, lo, up, seed=0):
         """Feasibility-jump + LP completion (reference:

@@ -1,0 +1,117 @@
+"""Cut generation tests (reference model: HighsCutPool /
+HighsCutGeneration / HighsTableauSeparator behavior)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from highs_tpu.models.lp import HighsLp
+from highs_tpu.options import HighsOptions
+from highs_tpu.constants import HighsModelStatus, HighsVarType
+from highs_tpu.solvers.mip.cuts import (CliqueTable, Cut, CutPool,
+                                        separate_gomory, separate_mir)
+from highs_tpu.solvers.mip.solver import solve_mip
+
+
+from highs_tpu.models.lp import HighsSparseMatrix
+
+
+def _ip(c, a, rl, ru, lo, up):
+    n = len(c)
+    return HighsLp(
+        num_col=n, num_row=a.shape[0],
+        col_cost=np.asarray(c, dtype=float),
+        col_lower=np.asarray(lo, dtype=float),
+        col_upper=np.asarray(up, dtype=float),
+        row_lower=np.asarray(rl, dtype=float),
+        row_upper=np.asarray(ru, dtype=float),
+        a_matrix=HighsSparseMatrix.from_scipy(sp.csc_matrix(a)),
+        integrality=np.full(n, int(HighsVarType.kInteger),
+                            dtype=np.uint8))
+
+
+def test_cut_pool_dedupe_and_eviction():
+    pool = CutPool(4, age_limit=1, soft_limit=10)
+    c1 = Cut(np.array([0, 1], dtype=np.int32), np.array([1.0, 1.0]), 1.0)
+    c2 = Cut(np.array([0, 1], dtype=np.int32), np.array([1.0, 1.0]), 1.0)
+    assert pool.add(c1)
+    assert not pool.add(c2)  # duplicate
+    pool.age_and_evict()     # age 1 -> kept
+    assert len(pool.cuts) == 1
+    pool.age_and_evict()     # age 2 > limit -> evicted
+    assert len(pool.cuts) == 0
+
+
+def test_pool_violated_selection():
+    pool = CutPool(3)
+    pool.add(Cut(np.array([0], dtype=np.int32), np.array([1.0]), 0.5))
+    pool.add(Cut(np.array([1], dtype=np.int32), np.array([1.0]), 2.0))
+    x = np.array([1.0, 1.0, 0.0])
+    viol = pool.violated(x)
+    assert len(viol) == 1
+    assert viol[0].cols[0] == 0
+
+
+def test_mir_separates_simple_knapsack():
+    # 2x1 + 2x2 <= 3, x binary: MIR (delta=2) gives x1 + x2 <= 1
+    a = sp.csr_matrix(np.array([[2.0, 2.0]]))
+    x = np.array([0.75, 0.75])  # LP point violating x1+x2<=1
+    cuts = separate_mir(a, np.array([-np.inf]), np.array([3.0]),
+                        np.zeros(2), np.ones(2), x,
+                        np.array([True, True]))
+    assert cuts, "expected a MIR cut"
+    best = max(cuts, key=lambda c: c.efficacy)
+    # cut must cut off the LP point but keep (1,0),(0,1),(0,0)
+    for pt, feas in [((0.75, 0.75), False), ((1, 0), True),
+                     ((0, 1), True), ((0, 0), True)]:
+        v = sum(best.vals[i] * pt[best.cols[i]]
+                for i in range(len(best.cols)))
+        if feas:
+            assert v <= best.rhs + 1e-9
+        else:
+            assert v > best.rhs + 1e-9
+
+
+def test_gomory_cuts_off_fractional_vertex():
+    # max x1 + x2  s.t. 3x1 + 2x2 <= 6, x2 <= 1.5 (vertex (1, 1.5));
+    # integer x -> optimal integer obj 2
+    from highs_tpu.solvers.simplex.native import simplex_solve
+    a = sp.csc_matrix(np.array([[3.0, 2.0], [0.0, 1.0]]))
+    lo = np.zeros(2)
+    up = np.full(2, 10.0)
+    rl = np.full(2, -np.inf)
+    ru = np.array([6.0, 1.5])
+    c = np.array([-1.0, -1.0])
+    res, x, y, z, basis, iters = simplex_solve(a, c, lo, up, rl, ru)
+    assert res == 0
+    cuts = separate_gomory(a, lo, up, rl, ru, basis, x,
+                           np.array([True, True]))
+    # integer points satisfying the original rows must satisfy the cut
+    for cut in cuts:
+        for x1 in range(0, 3):
+            for x2 in range(0, 2):
+                if 3 * x1 + 2 * x2 <= 6 and x2 <= 1.5:
+                    pt = np.array([x1, x2], dtype=float)
+                    v = float(pt[cut.cols] @ cut.vals)
+                    assert v <= cut.rhs + 1e-7, (cut, x1, x2)
+
+
+def test_clique_extraction_and_separation():
+    # x1 + x2 + x3 <= 1 is a clique among binaries
+    a = sp.csr_matrix(np.array([[1.0, 1.0, 1.0]]))
+    table = CliqueTable(a, np.array([-np.inf]), np.array([1.0]),
+                        np.zeros(3), np.ones(3),
+                        np.array([True] * 3))
+    assert len(table.cliques) == 1
+    cuts = table.separate(np.array([0.5, 0.5, 0.5]))
+    assert cuts and cuts[0].rhs == 1.0
+
+
+def test_mip_with_cuts_still_correct():
+    # max 5x1+4x2 s.t. 6x1+4x2<=24, x1+2x2<=6, x integer >=0:
+    # optimum x=(4,0) with objective 20
+    a = np.array([[6.0, 4.0], [1.0, 2.0]])
+    lp = _ip([-5.0, -4.0], a, [-np.inf, -np.inf], [24.0, 6.0],
+             [0, 0], [10, 10])
+    st, sol, info = solve_mip(lp, HighsOptions())
+    assert st == HighsModelStatus.kOptimal
+    assert info.primal_obj == pytest.approx(-20.0, abs=1e-6)
