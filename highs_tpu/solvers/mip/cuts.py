@@ -32,7 +32,7 @@ import numpy as np
 import scipy.sparse as sp
 
 _EPS = 1e-12
-_MAX_DYNAMISM = 1e7
+_MAX_DYNAMISM = 1e5
 _MIN_VIOL = 1e-7
 _MIN_EFFICACY = 1e-6
 
@@ -177,6 +177,11 @@ def _clean_cut(cols: np.ndarray, vals: np.ndarray, rhs: float,
         return None
     if not np.isfinite(rhs) or abs(rhs) > 1e15:
         return None
+    # normalize to unit max coefficient so cut rows never dominate the
+    # scaling of the relaxation (reference: cut integral scaling /
+    # postprocessCut normalization)
+    vals = vals / amax
+    rhs = rhs / amax
     return cols, vals, float(rhs)
 
 

@@ -151,6 +151,34 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         row_upper = lp.row_upper
         num_cut_rows = 0
 
+    def confirm_infeasible(lo, up) -> bool:
+        """Elastic feasibility LP:  min 1's  s.t.
+        rl <= Ax + p - q <= ru, p,q >= 0.  Always feasible, so the
+        native engine's phase-1 drift heuristics never fire; its
+        optimum certifies (in)feasibility of the node box.  A false
+        'infeasible' at a node silently loses the MIP optimum
+        (reference analogue: unscaled-feasibility guards in
+        HighsLpRelaxation), so every infeasible verdict is confirmed."""
+        import scipy.sparse as _sp
+        from ..simplex.native import RESULT_OPTIMAL, simplex_solve
+        a = _Relax.a_csc
+        mm = a.shape[0]
+        ident = _sp.identity(mm, format="csc")
+        a_el = _sp.hstack([a, ident, -ident]).tocsc()
+        cost = np.concatenate([np.zeros(lp.num_col), np.ones(2 * mm)])
+        lo_el = np.concatenate([lo, np.zeros(2 * mm)])
+        up_el = np.concatenate([up, np.full(2 * mm, np.inf)])
+        result, x, y, z, b, iters = simplex_solve(
+            a_el, cost, lo_el, up_el, _Relax.row_lower,
+            _Relax.row_upper, tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+        info.iterations += iters
+        if result != RESULT_OPTIMAL:
+            return False  # inconclusive: keep the node
+        scale = 1.0 + float(np.abs(np.where(
+            np.isfinite(_Relax.row_upper), _Relax.row_upper, 0.0)).max(),
+        )
+        return float(cost @ x) > 1e-7 * scale
+
     def solve_node_lp(lo, up, warm_basis=None):
         """Returns (feasible, obj_minimize, x, basis) for the node
         relaxation."""
@@ -164,11 +192,23 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 _Relax.row_lower, _Relax.row_upper, basis_in=warm_basis,
                 tol_p=1e-9, tol_d=1e-9, max_iter=100000)
             info.iterations += iters
+            if result not in (RESULT_OPTIMAL, RESULT_UNBOUNDED) and \
+                    warm_basis is not None:
+                # warm start went bad (or claims infeasible): retry cold
+                # before falling back / trusting the claim
+                result, x, y, z, basis_out, iters = simplex_solve(
+                    _Relax.a_csc, sense * lp.col_cost, lo, up,
+                    _Relax.row_lower, _Relax.row_upper, basis_in=None,
+                    tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+                info.iterations += iters
             if result == RESULT_OPTIMAL:
                 return True, float(sense * lp.col_cost @ x), x, basis_out
             if result == RESULT_INFEASIBLE:
-                return False, math.inf, None, None
-            if result == RESULT_UNBOUNDED:
+                if confirm_infeasible(lo, up):
+                    return False, math.inf, None, None
+                # unconfirmed: numerical false-infeasible — fall
+                # through to the device solvers for a usable iterate
+            elif result == RESULT_UNBOUNDED:
                 return True, -math.inf, None, None
             # numerical failure: fall through to IPM below
 
@@ -327,7 +367,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
             found = []
-            if root_basis is not None:
+            # tableau (GMI) cuts only in early rounds: GMI derived from
+            # a tableau that already contains GMI rows compounds
+            # coefficient dynamism and degeneracy (reference analogue:
+            # cut aging + limited separation rounds)
+            if root_basis is not None and _round < 3:
                 try:
                     found += separate_gomory(
                         _Relax.a_csc, root_lo_p, root_up_p,
@@ -383,6 +427,30 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             stall = stall + 1 if improve < 1e-6 else 0
             if stall >= 2:
                 break
+        if _Relax.num_cut_rows and root_x is not None:
+            # drop cut rows slack at the final root optimum — they
+            # bloat every node re-solve without helping the bound
+            # (reference: HighsLpRelaxation row aging, mip_lp_age_limit)
+            m0 = lp.num_row
+            full = _Relax.a_csc.tocsr()
+            act = full @ root_x
+            slack = _Relax.row_upper - act
+            keep_cut = slack[m0:] <= 1e-6 * (
+                1.0 + np.abs(_Relax.row_upper[m0:]))
+            if not keep_cut.all():
+                keep = np.concatenate(
+                    [np.ones(m0, dtype=bool), keep_cut])
+                _Relax.a_csc = full[keep].tocsc()
+                _Relax.row_lower = _Relax.row_lower[keep]
+                _Relax.row_upper = _Relax.row_upper[keep]
+                dropped = int((~keep_cut).sum())
+                _Relax.num_cut_rows -= dropped
+                if log is not None:
+                    log(f"MIP root cuts: kept "
+                        f"{_Relax.num_cut_rows} active, dropped "
+                        f"{dropped} slack")
+                feasible, root_bound, root_x, root_basis = \
+                    solve_node_lp(root_lo_p, root_up_p)
         if _Relax.num_cut_rows:
             # stronger propagation with cut rows included
             full_csr = _Relax.a_csc.tocsr()

@@ -331,6 +331,17 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
     // perturbation + cleanup solves, HEkk)
     long long check_counter = 0;
     int verify_retries = 0;
+    int degen_run = 0;  // consecutive (near-)zero-step pivots
+    // scale-relative primal tolerance: bounds in real LPs span 1e0-1e6,
+    // and an absolute 1e-9 test makes phase classification flap on
+    // drift, ending in false "infeasible" verdicts (the reference works
+    // in scaled space + uses relative feasibility throughout)
+    auto ptol = [&](int j) {
+      double s = 1.0;
+      if (w.lo[j] > -kInf) s = std::max(s, std::fabs(w.lo[j]));
+      if (w.up[j] < kInf) s = std::max(s, std::fabs(w.up[j]));
+      return tol_p * s;
+    };
     while (true) {
       if (iters >= max_iter) { result = kIterLimit; goto finish; }
       if (++check_counter % 200 == 0) {
@@ -345,16 +356,18 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
       for (int p = 0; p < m; ++p) {
         int j = w.basic[p];
         double v = w.xval[j];
-        if (v < w.lo[j] - tol_p) infeas_sum += w.lo[j] - v;
-        else if (v > w.up[j] + tol_p) infeas_sum += v - w.up[j];
+        double tj = 10.0 * ptol(j);
+        if (v < w.lo[j] - tj) infeas_sum += w.lo[j] - v;
+        else if (v > w.up[j] + tj) infeas_sum += v - w.up[j];
       }
-      const int phase = (infeas_sum > 10.0 * tol_p) ? 1 : 2;
+      const int phase = (infeas_sum > 0.0) ? 1 : 2;
       if (phase == 1) {
         for (int p = 0; p < m; ++p) {
           int j = w.basic[p];
           double v = w.xval[j];
-          if (v < w.lo[j] - tol_p) ecost[j] = -1.0;
-          else if (v > w.up[j] + tol_p) ecost[j] = 1.0;
+          double tj = 10.0 * ptol(j);
+          if (v < w.lo[j] - tj) ecost[j] = -1.0;
+          else if (v > w.up[j] + tj) ecost[j] = 1.0;
         }
       } else {
         for (int j = 0; j < w.nv; ++j) ecost[j] = w.cost[j];
@@ -362,7 +375,10 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
       // ---- duals: pi = (B^-1)' c_B ------------------------------------
       for (int p = 0; p < m; ++p) e[p] = ecost[w.basic[p]];
       btran_dense(w, e.data(), pi.data());
-      // ---- pricing (Dantzig) ------------------------------------------
+      // ---- pricing: Dantzig; Bland's least-index rule after a run of
+      // degenerate pivots (anti-cycling — the reference's equivalents
+      // are cost perturbation + Harris ratio test, HEkkDual)
+      const bool bland = degen_run > 100;
       PricingResult pr;
       for (int j = 0; j < w.nv; ++j) {
         if (w.stat[j] == kBasic) continue;
@@ -375,8 +391,9 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         if (dir == 0 && (w.stat[j] == kUpper || w.stat[j] == kZero)) {
           if (zj > tol_d) { dir = -1; score = zj; }
         }
-        if (dir != 0 && score > pr.score) {
-          pr.j = j; pr.dir = dir; pr.score = score;
+        if (dir != 0) {
+          if (bland) { pr.j = j; pr.dir = dir; pr.score = score; break; }
+          if (score > pr.score) { pr.j = j; pr.dir = dir; pr.score = score; }
         }
       }
       if (pr.j < 0) {
@@ -387,18 +404,19 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         for (int p = 0; p < m; ++p) {
           int j = w.basic[p];
           double v = w.xval[j];
-          if (v < w.lo[j] - tol_p) check_inf += w.lo[j] - v;
-          else if (v > w.up[j] + tol_p) check_inf += v - w.up[j];
+          double tj = 10.0 * ptol(j);
+          if (v < w.lo[j] - tj) check_inf += w.lo[j] - v;
+          else if (v > w.up[j] + tj) check_inf += v - w.up[j];
         }
         if (++verify_retries > 8) {
-          result = (check_inf > 10.0 * tol_p) ? kInfeasible : kOptimal;
+          result = (check_inf > 0.0) ? kInfeasible : kOptimal;
           goto finish;
         }
         if (phase == 1) {
-          if (check_inf > 10.0 * tol_p) { result = kInfeasible; goto finish; }
+          if (check_inf > 0.0) { result = kInfeasible; goto finish; }
           continue;  // actually feasible: rerun as phase 2
         }
-        if (check_inf > 10.0 * tol_p) continue;  // drift: rerun phase 1
+        if (check_inf > 0.0) continue;  // drift: rerun phase 1
         result = kOptimal; goto finish;
       }
       // ---- ratio test --------------------------------------------------
@@ -416,15 +434,26 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         double room;
         int to;
         if (phase == 1) {
-          // in phase 1, infeasible basics may travel to the violated
-          // bound from outside
+          // phase-1 blocking bound in the direction of travel only:
+          // a variable already beyond the bound it is moving AWAY from
+          // does not block (the old code picked that bound, got
+          // negative room, clamped to 0 and then snapped the variable
+          // to a bound it was not at — silently breaking Bx_B = b and
+          // producing false "infeasible" verdicts)
+          double tj = 10.0 * ptol(jb);
           if (a > 0) {
-            double target = (v < w.lo[jb] - tol_p) ? w.lo[jb] : w.up[jb];
+            double target;
+            if (v < w.lo[jb] - tj) target = w.lo[jb];       // rising to lo
+            else if (v <= w.up[jb] + tj) target = w.up[jb];  // in range
+            else continue;  // above up, rising further: no block
             if (target >= kInf) continue;
             room = (target - v) / a;
             to = (target == w.lo[jb]) ? kLower : kUpper;
           } else {
-            double target = (v > w.up[jb] + tol_p) ? w.up[jb] : w.lo[jb];
+            double target;
+            if (v > w.up[jb] + tj) target = w.up[jb];        // falling to up
+            else if (v >= w.lo[jb] - tj) target = w.lo[jb];  // in range
+            else continue;  // below lo, falling further: no block
             if (target <= -kInf) continue;
             room = (target - v) / a;
             to = (target == w.up[jb]) ? kUpper : kLower;
@@ -466,6 +495,7 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         w.xval[w.basic[p]] -= t * alpha[p];
       w.xval[pr.j] += t;
       ++iters;
+      if (std::fabs(t) > 1e-12) degen_run = 0; else ++degen_run;
       if (leave_p < 0) {
         // bound flip of the entering variable
         w.stat[pr.j] = (pr.dir > 0) ? kUpper : kLower;
