@@ -24,7 +24,6 @@ from .wrapper import SimplexRunInfo, basis_from_statuses
 def _guess_statuses(values, lo, up, tol):
     """Per-variable status guess and 'interiorness' score."""
     n = len(values)
-    statuses = np.zeros(n, dtype=np.int8)  # kLower
     interior = np.zeros(n)
     lo_fin = np.isfinite(lo)
     up_fin = np.isfinite(up)
@@ -32,7 +31,11 @@ def _guess_statuses(values, lo, up, tol):
     d_up = np.where(up_fin, up - values, np.inf)
     at_lo = d_lo <= tol * (1.0 + np.abs(np.where(lo_fin, lo, 0.0)))
     at_up = d_up <= tol * (1.0 + np.abs(np.where(up_fin, up, 0.0)))
-    statuses[at_up & ~at_lo] = 2  # kUpper
+    # a nonbasic status must reference a FINITE bound (a kLower status
+    # with lo = -inf would park the variable at the pseudo-infinite
+    # bound and blow up the warm basis)
+    statuses = np.where(lo_fin, 0, np.where(up_fin, 2, 3)).astype(np.int8)
+    statuses[at_up & ~at_lo & up_fin] = 2  # kUpper
     free = ~lo_fin & ~up_fin
     statuses[free] = 3  # kZero
     interior = np.minimum(d_lo, d_up)

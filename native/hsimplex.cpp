@@ -275,6 +275,12 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         if (n_basic < m) w.basic[n_basic++] = j;
         else w.stat[j] = kLower;  // too many basics: demote
       }
+      // sanitize: a nonbasic status pointing at an infinite bound
+      // would park the variable at +-kInf
+      if (w.stat[j] == kLower && w.lo[j] <= -kInf)
+        w.stat[j] = (w.up[j] < kInf) ? kUpper : kZero;
+      else if (w.stat[j] == kUpper && w.up[j] >= kInf)
+        w.stat[j] = (w.lo[j] > -kInf) ? kLower : kZero;
     }
     // fill with logicals if short
     for (int i = 0; i < m && n_basic < m; ++i) {
