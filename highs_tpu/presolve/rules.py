@@ -9,7 +9,13 @@ Re-implements the high-value rules of the reference presolve
 - empty columns (kPresolveRuleEmptyCol),
 - fixed columns substituted out (kPresolveRuleFixedCol),
 - doubleton equations (kPresolveRuleDoubletonEquation): the second
-  variable is eliminated by substitution into all of its rows.
+  variable is eliminated by substitution into all of its rows,
+- duplicate (parallel) rows merged with intersected bounds
+  (kParallelRowsAndCols; reference: parallel row/col hashing),
+- forcing rows (kPresolveRuleForcingRow): minact==ru / maxact==rl fixes
+  every variable in the row at its activity-extreme bound,
+- free column singletons in equality rows substituted out
+  (kPresolveRuleFreeColSubstitution).
 
 Postsolve replays the reduction stack in reverse recovering primal AND
 dual values (reference: HighsPostsolveStack.h reduction replay).  The
@@ -334,6 +340,155 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             if infeasible:
                 break
 
+        # --- duplicate (parallel) rows ------------------------------------
+        if _rule_on(options, PresolveRuleType.kParallelRowsAndCols):
+            a_csr = (sp.diags(row_active.astype(float)) @ a @
+                     sp.diags(col_active.astype(float))).tocsr()
+            a_csr.eliminate_zeros()
+            groups = {}
+            for i in np.nonzero(row_active)[0]:
+                s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+                if e - s == 0:
+                    continue
+                idx = a_csr.indices[s:e]
+                val = a_csr.data[s:e]
+                key = (tuple(idx.tolist()),
+                       tuple(np.round(val / val[0], 10).tolist()))
+                groups.setdefault(key, []).append(
+                    (int(i), float(val[0])))
+            for key, members in groups.items():
+                if len(members) < 2:
+                    continue
+                i1, v1 = members[0]
+                for i2, v2 in members[1:]:
+                    lam = v2 / v1   # row2 = lam * row1
+                    # row2 bounds expressed on row1's activity
+                    b1, b2 = rl[i2] / lam, ru[i2] / lam
+                    if lam < 0:
+                        b1, b2 = b2, b1
+                    old = (float(rl[i1]), float(ru[i1]),
+                           float(rl[i2]), float(ru[i2]))
+                    new_rl = max(rl[i1], b1)
+                    new_ru = min(ru[i1], b2)
+                    if new_rl > new_ru + tol * (1 + abs(new_rl)):
+                        infeasible = True
+                        break
+                    stack.append(("duplicate_row", int(i1), int(i2),
+                                  float(lam)) + old)
+                    rl[i1], ru[i1] = new_rl, new_ru
+                    row_active[i2] = False
+                    changed = True
+                if infeasible:
+                    break
+            if infeasible:
+                break
+
+        # --- forcing rows --------------------------------------------------
+        if _rule_on(options, PresolveRuleType.kForcingRow):
+            a_csr = (sp.diags(row_active.astype(float)) @ a @
+                     sp.diags(col_active.astype(float))).tocsr()
+            a_csr.eliminate_zeros()
+            lo_c = np.where(col_active & np.isfinite(cl), cl, 0.0)
+            up_c = np.where(col_active & np.isfinite(cu), cu, 0.0)
+            ap = a_csr.copy(); ap.data = np.maximum(ap.data, 0.0)
+            an = a_csr.copy(); an.data = np.minimum(an.data, 0.0)
+            minact = ap @ lo_c + an @ up_c
+            maxact = ap @ up_c + an @ lo_c
+            pat_p = a_csr.copy(); pat_p.data = (pat_p.data > 0) * 1.0
+            pat_n = a_csr.copy(); pat_n.data = (pat_n.data < 0) * 1.0
+            inf_lo = (~np.isfinite(cl) & col_active).astype(float)
+            inf_up = (~np.isfinite(cu) & col_active).astype(float)
+            n_min_inf = pat_p @ inf_lo + pat_n @ inf_up
+            n_max_inf = pat_p @ inf_up + pat_n @ inf_lo
+            # forcing at upper: min activity == ru -> every var sits at
+            # its activity-minimizing bound; mirrored for rl
+            with np.errstate(invalid="ignore"):
+                force_up = row_active & (n_min_inf == 0) & \
+                    np.isfinite(ru) & \
+                    (minact >= ru - tol * (1 + np.abs(
+                        np.where(np.isfinite(ru), ru, 0.0))))
+                force_lo = row_active & (n_max_inf == 0) & \
+                    np.isfinite(rl) & \
+                    (maxact <= rl + tol * (1 + np.abs(
+                        np.where(np.isfinite(rl), rl, 0.0))))
+            forced_cols: set = set()
+            for i in np.nonzero(force_up | force_lo)[0]:
+                cols, vals = row_cols(i)
+                if len(cols) == 0:
+                    continue
+                if any(int(jj) in forced_cols for jj in cols):
+                    continue  # activities stale: wait for next pass
+                up_side = bool(force_up[i])
+                fixed_js, fixed_vs, fixed_xs = [], [], []
+                ok = True
+                for jj, vv in zip(cols, vals):
+                    xj = (cl[jj] if (vv > 0) == up_side else cu[jj])
+                    if not np.isfinite(xj):
+                        ok = False
+                        break
+                    fixed_js.append(int(jj))
+                    fixed_vs.append(float(vv))
+                    fixed_xs.append(float(xj))
+                if not ok:
+                    continue
+                stack.append(("forcing_row", int(i),
+                              np.array(fixed_js), np.array(fixed_vs),
+                              np.array(fixed_xs), up_side,
+                              cost[fixed_js].copy()))
+                for jj, xj in zip(fixed_js, fixed_xs):
+                    rows_j, vals_j = col_rows(jj)
+                    keep = rows_j != i
+                    rows_o, vals_o = rows_j[keep], vals_j[keep]
+                    rl[rows_o] = np.where(np.isfinite(rl[rows_o]),
+                                          rl[rows_o] - vals_o * xj,
+                                          rl[rows_o])
+                    ru[rows_o] = np.where(np.isfinite(ru[rows_o]),
+                                          ru[rows_o] - vals_o * xj,
+                                          ru[rows_o])
+                    offset += cost[jj] * xj
+                    col_active[jj] = False
+                    forced_cols.add(jj)
+                row_active[i] = False
+                changed = True
+
+        # --- free column singleton substitution ---------------------------
+        if _rule_on(options, PresolveRuleType.kFreeColSubstitution):
+            a2 = (sp.diags(row_active.astype(float)) @ a @
+                  sp.diags(col_active.astype(float))).tocsc()
+            a2.eliminate_zeros()
+            col_nnz3 = np.diff(a2.indptr)
+            cand = np.nonzero(col_active & (col_nnz3 == 1) &
+                              ~np.isfinite(cl) & ~np.isfinite(cu) &
+                              ~is_int)[0]
+            a_lil2 = None
+            done_rows: set = set()
+            for j in cand:
+                s, e = a2.indptr[j], a2.indptr[j + 1]
+                i = int(a2.indices[s])
+                if i in done_rows or not row_active[i]:
+                    continue
+                if not (np.isfinite(rl[i]) and np.isfinite(ru[i]) and
+                        abs(ru[i] - rl[i]) <= tol * (1 + abs(rl[i]))):
+                    continue
+                aij = float(a2.data[s])
+                if abs(aij) < 1e-10:
+                    continue
+                cols_i, vals_i = row_cols(i)
+                keep = cols_i != j
+                oc, ov = cols_i[keep], vals_i[keep]
+                d = float(rl[i])
+                stack.append(("free_col_sub", int(j), int(i), aij, d,
+                              float(cost[j]), oc.copy(), ov.copy()))
+                # x_j = (d - sum ov*x)/aij: fold into costs
+                ratio = cost[j] / aij
+                cost[oc] -= ratio * ov
+                offset += ratio * d
+                cost[j] = 0.0
+                col_active[j] = False
+                row_active[i] = False
+                done_rows.add(i)
+                changed = True
+
         changed_any |= changed
         if not changed:
             break
@@ -526,6 +681,83 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                 if col_bs[jy] != BS.kBasic and have_dual and \
                         abs(z[jy]) <= 1e-9:
                     col_bs[jy] = BS.kBasic
+        elif kind == "duplicate_row":
+            (_, i1, i2, lam, rl1, ru1, rl2, ru2) = rec
+            # the merged dual sits on i1; assign it to whichever
+            # original row supplied the active bound
+            if have_dual and abs(y[i1]) > 1e-12:
+                act = float(a_csr[i1] @ x)
+                tol_b = 1e-7
+                own_lo = np.isfinite(rl1) and \
+                    abs(act - rl1) <= tol_b * (1 + abs(rl1))
+                own_up = np.isfinite(ru1) and \
+                    abs(act - ru1) <= tol_b * (1 + abs(ru1))
+                if not (own_lo or own_up):
+                    # bound came from row 2 (activity2 = lam * activity1)
+                    y[i2] = y[i1] / lam
+                    y[i1] = 0.0
+                    if row_bs is not None:
+                        act2 = lam * act
+                        at2lo = np.isfinite(rl2) and \
+                            abs(act2 - rl2) <= tol_b * (1 + abs(rl2))
+                        row_bs[i2] = BS.kLower if at2lo else BS.kUpper
+                        row_bs[i1] = BS.kBasic
+                elif row_bs is not None:
+                    row_bs[i2] = BS.kBasic
+            elif row_bs is not None:
+                row_bs[i2] = BS.kBasic
+        elif kind == "forcing_row":
+            (_, i, js, vs, xs, up_side, cjs) = rec
+            for jj, xj in zip(js, xs):
+                x[jj] = xj
+            if have_dual:
+                # pick y_i inside the sign-valid interval so every
+                # fixed column's reduced cost  z_j = r_j - a_ij*y_i
+                # keeps the sign its bound demands (reference:
+                # forcing-row postsolve in HighsPostsolveStack)
+                r = np.empty(len(js))
+                for k, jj in enumerate(js):
+                    s_, e_ = a_csc.indptr[jj], a_csc.indptr[jj + 1]
+                    ridx = a_csc.indices[s_:e_]
+                    rval = a_csc.data[s_:e_]
+                    keep = ridx != i
+                    r[k] = cjs[k] - float(rval[keep] @ y[ridx[keep]])
+                lo_y, up_y = -np.inf, np.inf
+                for k, (jj, vv, xj) in enumerate(zip(js, vs, xs)):
+                    at_lo = (vv > 0) == up_side  # fixed at its lower bd
+                    # min-sense: at lower -> sense*z >= 0,
+                    #            at upper -> sense*z <= 0
+                    want_nonneg = at_lo == (sense > 0)
+                    if want_nonneg:
+                        if vv > 0:
+                            up_y = min(up_y, r[k] / vv)
+                        else:
+                            lo_y = max(lo_y, r[k] / vv)
+                    else:
+                        if vv > 0:
+                            lo_y = max(lo_y, r[k] / vv)
+                        else:
+                            up_y = min(up_y, r[k] / vv)
+                yi = float(np.clip(0.0, lo_y, up_y)) \
+                    if lo_y <= up_y else 0.0
+                y[i] = yi
+                for k, (jj, vv) in enumerate(zip(js, vs)):
+                    z[jj] = r[k] - vv * yi
+            for jj, xj in zip(js, xs):
+                set_col_status(int(jj), float(xj))
+            if row_bs is not None:
+                row_bs[i] = BS.kBasic if abs(y[i]) <= 1e-12 else (
+                    BS.kUpper if up_side else BS.kLower)
+        elif kind == "free_col_sub":
+            (_, j, i, aij, d, cj, oc, ov) = rec
+            x[j] = (d - (float(ov @ x[oc]) if len(oc) else 0.0)) / aij
+            if have_dual:
+                # stationarity of the (basic) free column: y_i = c_j/aij
+                y[i] = cj / aij
+                z[j] = 0.0
+            if row_bs is not None:
+                row_bs[i] = BS.kLower  # equality row active
+                col_bs[j] = BS.kBasic
         else:
             raise RuntimeError(f"unknown postsolve record {kind!r}")
 

@@ -53,7 +53,10 @@ def test_presolve_rule_off_bitmask(instances_dir):
                  PresolveRuleType.kRedundantRow,
                  PresolveRuleType.kEmptyCol,
                  PresolveRuleType.kFixedCol,
-                 PresolveRuleType.kDoubletonEquation):
+                 PresolveRuleType.kDoubletonEquation,
+                 PresolveRuleType.kParallelRowsAndCols,
+                 PresolveRuleType.kForcingRow,
+                 PresolveRuleType.kFreeColSubstitution):
         mask |= 1 << int(rule)
     opts.presolve_rule_off = mask
     pr = presolve_lp(lp, opts)
@@ -89,3 +92,90 @@ def test_presolve_mip_consistency(instances_dir):
         assert h.getModelStatus() == HighsModelStatus.kOptimal
         objs.append(h.getObjectiveValue())
     assert abs(objs[0] - objs[1]) < 1e-4 * max(1.0, abs(objs[1]))
+
+
+def _solve_both(lp):
+    out = {}
+    for presolve in ("on", "off"):
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("presolve", presolve)
+        h.passModel(lp)
+        h.run()
+        out[presolve] = (h.getModelStatus(), h.getObjectiveValue(),
+                         h.getInfo())
+    return out
+
+
+def test_duplicate_rows_merged():
+    """Parallel rows collapse to one with intersected bounds
+    (reference rule kPresolveRuleDuplicateRow)."""
+    import scipy.sparse as sp
+    from highs_tpu import HighsLp
+    from highs_tpu.models.lp import HighsSparseMatrix
+    a = sp.csc_matrix(np.array([
+        [1.0, 2.0], [2.0, 4.0],      # duplicate (lambda=2)
+        [1.0, -1.0]]))
+    lp = HighsLp(
+        num_col=2, num_row=3,
+        col_cost=np.array([-1.0, -1.0]),
+        col_lower=np.zeros(2), col_upper=np.full(2, 10.0),
+        row_lower=np.array([-np.inf, -np.inf, -np.inf]),
+        row_upper=np.array([8.0, 12.0, 4.0]),   # second tighter: x+2y<=6
+        a_matrix=HighsSparseMatrix.from_scipy(a))
+    pr = presolve_lp(lp, HighsOptions())
+    assert pr.reduced and pr.reduced_lp.num_row == 2
+    out = _solve_both(lp)
+    assert out["on"][0] == HighsModelStatus.kOptimal
+    assert abs(out["on"][1] - out["off"][1]) < 1e-7
+    assert out["on"][2].max_dual_residual_error < 1e-6
+
+
+def test_forcing_row_fixes_columns():
+    """minact == ru forces every variable in the row to a bound
+    (reference rule kPresolveRuleForcingRow)."""
+    import scipy.sparse as sp
+    from highs_tpu import HighsLp
+    from highs_tpu.models.lp import HighsSparseMatrix
+    # x + y >= 2 with x,y in [0,1]: maxact = 2 = rl -> x=y=1 forced
+    a = sp.csc_matrix(np.array([[1.0, 1.0], [1.0, -1.0]]))
+    lp = HighsLp(
+        num_col=2, num_row=2,
+        col_cost=np.array([3.0, 1.0]),
+        col_lower=np.zeros(2), col_upper=np.ones(2),
+        row_lower=np.array([2.0, -np.inf]),
+        row_upper=np.array([np.inf, 5.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a))
+    pr = presolve_lp(lp, HighsOptions())
+    assert pr.reduced
+    out = _solve_both(lp)
+    assert out["on"][0] == HighsModelStatus.kOptimal
+    assert abs(out["on"][1] - 4.0) < 1e-8
+    assert abs(out["on"][1] - out["off"][1]) < 1e-7
+    assert out["on"][2].num_dual_infeasibilities == 0
+
+
+def test_free_col_substitution():
+    """A free column singleton in an equality row is eliminated
+    (reference rule kPresolveRuleFreeColSubstitution)."""
+    import scipy.sparse as sp
+    from highs_tpu import HighsLp
+    from highs_tpu.models.lp import HighsSparseMatrix
+    # z free, x + y + z = 5; minimize x + y + 2z
+    a = sp.csc_matrix(np.array([[1.0, 1.0, 1.0], [1.0, 1.0, 0.0]]))
+    lp = HighsLp(
+        num_col=3, num_row=2,
+        col_cost=np.array([1.0, 1.0, 2.0]),
+        col_lower=np.array([0.0, 0.0, -np.inf]),
+        col_upper=np.array([4.0, 4.0, np.inf]),
+        row_lower=np.array([5.0, 1.0]),
+        row_upper=np.array([5.0, np.inf]),
+        a_matrix=HighsSparseMatrix.from_scipy(a))
+    pr = presolve_lp(lp, HighsOptions())
+    assert pr.reduced
+    out = _solve_both(lp)
+    assert out["on"][0] == HighsModelStatus.kOptimal
+    # optimum: x+y as large as possible (cost 1 < 2): x+y=4+4 -> z=-3
+    # obj = 8 + 2*(-3) = 2... but x+y max 8, z = 5-8 = -3 -> obj 8-6=2
+    assert abs(out["on"][1] - out["off"][1]) < 1e-7
+    assert out["on"][2].max_dual_residual_error < 1e-6
