@@ -365,6 +365,19 @@ class HighsOptions:
         object.__setattr__(self, "_values", {r.name: r.default
                                              for r in _REGISTRY})
 
+    def __copy__(self):
+        new = HighsOptions.__new__(HighsOptions)
+        object.__setattr__(new, "_values",
+                           dict(object.__getattribute__(self, "_values")))
+        for k, v in self.__dict__.items():
+            if k != "_values":
+                object.__setattr__(new, k, v)
+        return new
+
+    def copy(self):
+        import copy as _copy
+        return _copy.copy(self)
+
     # -- attribute access ---------------------------------------------------
     def __getattr__(self, name):
         values = object.__getattribute__(self, "_values")
@@ -373,6 +386,10 @@ class HighsOptions:
         raise AttributeError(name)
 
     def __setattr__(self, name, value):
+        if name.startswith("_"):
+            # internal (non-registry) attributes, e.g. sub-MIP depth
+            object.__setattr__(self, name, value)
+            return
         status, _ = self.set(name, value)
         if status != HighsStatus.kOk:
             raise ValueError(f"invalid value {value!r} for option {name!r}")

@@ -179,9 +179,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         )
         return float(cost @ x) > 1e-7 * scale
 
+    last_duals = {"z": None}
+
     def solve_node_lp(lo, up, warm_basis=None):
         """Returns (feasible, obj_minimize, x, basis) for the node
-        relaxation."""
+        relaxation.  Reduced costs of the last solve are stashed in
+        last_duals["z"] (for reduced-cost fixing)."""
+        last_duals["z"] = None
         if use_simplex:
             from ..simplex.native import (RESULT_INFEASIBLE,
                                           RESULT_OPTIMAL,
@@ -202,6 +206,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     tol_p=1e-9, tol_d=1e-9, max_iter=100000)
                 info.iterations += iters
             if result == RESULT_OPTIMAL:
+                last_duals["z"] = z
                 return True, float(sense * lp.col_cost @ x), x, basis_out
             if result == RESULT_INFEASIBLE:
                 if confirm_infeasible(lo, up):
@@ -218,6 +223,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         st, sol, lp_info = solve_lp_ipm_native(node_lp, node_options)
         info.iterations += lp_info.iterations
         if st == HighsModelStatus.kOptimal:
+            if sol.dual_valid and len(sol.col_dual):
+                last_duals["z"] = sense * np.asarray(sol.col_dual)
             return True, sense * (lp_info.primal_obj - lp.offset), \
                 sol.col_value, None
         if st in (HighsModelStatus.kInfeasible,):
@@ -484,9 +491,113 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             return try_incumbent(cand, "feasibility jump + LP") or True
         return True
 
+    sub_level = int(getattr(options, "_sub_mip_level", 0))
+
     if options.mip_heuristic_run_feasibility_jump and \
-            incumbent_obj == math.inf:
+            incumbent_obj == math.inf and sub_level == 0:
         run_feasibility_jump(root_x, root_lo_p, root_up_p)
+
+    root_z = last_duals["z"]
+
+    # ---- primal heuristics (reference HighsPrimalHeuristics.cpp) ------
+    from . import heuristics as heur
+
+    def run_submip(lo2, up2, source, node_budget=500):
+        """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
+        solve the restricted MIP with tight budgets, feed any solution
+        into the incumbent."""
+        if sub_level >= 1:
+            return False
+        if np.any(lo2 > up2 + feastol):
+            return False
+        ok2, lo3, up3 = prop.propagate(lo2, up2)
+        if not ok2:
+            return False
+        sub = lp.copy()
+        sub.col_lower = lo3
+        sub.col_upper = up3
+        sub_opts = _copy.copy(options)
+        sub_opts._sub_mip_level = sub_level + 1
+        sub_opts.mip_max_nodes = node_budget
+        remaining = options.time_limit - (time.perf_counter() - t0)
+        sub_opts.time_limit = max(1.0, min(
+            remaining * 0.3,
+            10.0 + 100.0 * options.mip_heuristic_effort))
+        sub_opts.mip_heuristic_run_feasibility_jump = False
+        sub_opts.mip_report_level = 0
+        # inherit the current cutoff so the sub-MIP prunes on it
+        if incumbent_obj < math.inf:
+            sub_opts.objective_bound = sense * incumbent_obj + lp.offset
+        try:
+            st, sub_sol, _sub_info = solve_mip(sub, sub_opts, log=None)
+        except RecursionError:
+            return False
+        if sub_sol.value_valid and sub_sol.col_value is not None:
+            return try_incumbent(np.asarray(sub_sol.col_value), source)
+        return False
+
+    if root_x is not None and is_int.any() and sub_level == 0:
+        root_cost = sense * lp.col_cost
+        if options.mip_heuristic_run_zi_round:
+            cand = heur.zi_round(
+                _Relax.a_csc, _Relax.row_lower, _Relax.row_upper,
+                root_lo_p, root_up_p, root_cost, is_int, root_x, feastol)
+            if cand is not None:
+                try_incumbent(cand, "ZI-round")
+        if options.mip_heuristic_run_shifting:
+            cand = heur.shifting(
+                _Relax.a_csc, _Relax.row_lower, _Relax.row_upper,
+                root_lo_p, root_up_p, root_cost, is_int, root_x, feastol)
+            if cand is not None:
+                try_incumbent(cand, "shifting")
+        # randomized rounding + repair (always-on internal heuristic)
+        for rr_seed in (1, 2):
+            xr = heur.randomized_rounding(
+                a_csr, root_lo_p, root_up_p, is_int, root_x, seed=rr_seed)
+            cand = round_and_repair(xr, root_lo_p, root_up_p)
+            if cand is not None and try_incumbent(
+                    cand, "randomized rounding"):
+                break
+        if options.mip_heuristic_run_rens and incumbent_obj == math.inf:
+            lo2, up2 = heur.submip_bounds_rens(
+                is_int, root_x, root_lo_p, root_up_p)
+            run_submip(lo2, up2, "RENS")
+        if options.mip_heuristic_run_root_reduced_cost and \
+                root_z is not None:
+            lo2, up2, nfx = heur.submip_bounds_root_redcost(
+                is_int, root_x, root_z, root_lo_p, root_up_p)
+            if nfx:
+                run_submip(lo2, up2, "root reduced cost")
+        if options.mip_heuristic_run_rins and \
+                incumbent_obj < math.inf and incumbent_x is not None:
+            lo2, up2, nfx = heur.submip_bounds_rins(
+                is_int, incumbent_x, root_x, root_lo_p, root_up_p,
+                feastol)
+            if nfx:
+                run_submip(lo2, up2, "RINS")
+
+    # ---- reduced-cost fixing from the root duals (reference
+    # HighsRedcostFixing.cpp: dual bound + cutoff => global bound
+    # tightening); re-applied whenever the incumbent improves -----------
+    redcost_applied_at = math.inf
+
+    def apply_root_redcost_fixing():
+        nonlocal root_lo_p, root_up_p, redcost_applied_at
+        if root_z is None or root_x is None or \
+                not math.isfinite(root_bound) or \
+                incumbent_obj >= redcost_applied_at:
+            return
+        redcost_applied_at = incumbent_obj
+        lo2, up2, ntight = heur.redcost_fixing(
+            root_z, root_x, root_bound, incumbent_obj - abs_gap,
+            root_lo_p, root_up_p, is_int, feastol)
+        if ntight:
+            ok2, lo3, up3 = prop.propagate(lo2, up2)
+            if ok2:
+                root_lo_p, root_up_p = lo3, up3
+                if log is not None:
+                    log(f"MIP reduced-cost fixing tightened {ntight} "
+                        f"bounds")
 
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
 
@@ -499,6 +610,15 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     abs_gap = options.mip_abs_gap
     rel_gap = options.mip_rel_gap
     status = HighsModelStatus.kNotset
+    # objective_bound acts as a cutoff (reference: nodes with bound
+    # above it are cut off); incumbent_obj stores the MINIMIZATION value
+    # sense*(obj - offset), so translate the user-space bound.
+    user_cutoff = (sense * (options.objective_bound - lp.offset)
+                   if math.isfinite(options.objective_bound) else math.inf)
+    objective_target = options.objective_target
+
+    def cutoff_value():
+        return min(incumbent_obj, user_cutoff)
 
     def current_gap(dual_bound):
         if incumbent_obj == math.inf:
@@ -540,8 +660,19 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if incumbent_obj < math.inf:
             if current_gap(dual_bound) <= rel_gap:
                 break
-            if node.bound >= incumbent_obj - abs_gap:
-                continue  # dominated node
+            # objective_target reached (reference kObjectiveTarget)
+            if sense * incumbent_obj + lp.offset <= objective_target:
+                status = HighsModelStatus.kObjectiveTarget
+                break
+        if node.bound >= cutoff_value() - abs_gap:
+            continue  # dominated node
+
+        # intersect with globally tightened bounds (reduced-cost fixing)
+        node_lo = np.maximum(node.lo, root_lo_p)
+        node_up = np.minimum(node.up, root_up_p)
+        if np.any(node_lo > node_up + feastol):
+            continue
+        node.lo, node.up = node_lo, node_up
 
         feasible, obj_bound, x, node_basis = solve_node_lp(
             node.lo, node.up, warm_basis=node.basis)
@@ -552,20 +683,28 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             pscost.update(node.branch_j, node.branch_dir,
                           node.branch_frac,
                           obj_bound - node.parent_obj)
-        if not feasible or obj_bound >= incumbent_obj - abs_gap:
+        if not feasible or obj_bound >= cutoff_value() - abs_gap:
             continue
         if x is None:
             continue
         viol = violation(x)
         if viol <= feastol:
-            try_incumbent(x, "branching")
+            if try_incumbent(x, "branching"):
+                apply_root_redcost_fixing()
             continue
 
         # occasionally run heuristics during the search
         if info.mip_node_count % 20 == 0:
             cand = round_and_repair(x, node.lo, node.up)
-            if cand is not None:
-                try_incumbent(cand, "rounding")
+            if cand is not None and try_incumbent(cand, "rounding"):
+                apply_root_redcost_fixing()
+        if sub_level == 0 and options.mip_heuristic_run_rins and \
+                incumbent_obj < math.inf and incumbent_x is not None and \
+                info.mip_node_count % 100 == 0:
+            lo2, up2, nfx = heur.submip_bounds_rins(
+                is_int, incumbent_x, x, node.lo, node.up, feastol)
+            if nfx and run_submip(lo2, up2, "RINS", node_budget=200):
+                apply_root_redcost_fixing()
         if incumbent_obj == math.inf and nodes_since_fj >= 200 and \
                 options.mip_heuristic_run_feasibility_jump:
             nodes_since_fj = 0
@@ -655,7 +794,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     else:
         sol = HighsSolution()
         if status == HighsModelStatus.kNotset:
-            status = HighsModelStatus.kInfeasible
+            # exhausted without incumbent: infeasible, unless the user
+            # cutoff pruned the tree (reference kObjectiveBound)
+            status = (HighsModelStatus.kObjectiveBound
+                      if math.isfinite(user_cutoff)
+                      else HighsModelStatus.kInfeasible)
     info.status = status
     info.solve_time = time.perf_counter() - t0
     return status, sol, info
