@@ -353,12 +353,11 @@ class Highs(HighsModelApi, HighsAnalysisApi):
                 self._options.primal_feasibility_tolerance,
                 self._options.dual_feasibility_tolerance,
                 self._options.primal_residual_tolerance,
-                self._options.dual_residual_tolerance)
+                self._options.dual_residual_tolerance,
+                hessian=hessian)
             fill_info_from_kkt(self._info, rep)
-            obj = rep.objective_function_value
-            if hessian is not None and hessian.dim > 0:
-                obj += hessian.quad_value(self._solution.col_value)
-            self._info.objective_function_value = obj
+            self._info.objective_function_value = \
+                rep.objective_function_value
             self._info.primal_solution_status = int(
                 SolutionStatus.kSolutionStatusFeasible if rep.primal_feasible
                 else SolutionStatus.kSolutionStatusInfeasible)

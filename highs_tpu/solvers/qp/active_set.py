@@ -1,0 +1,260 @@
+"""Active-set convex QP solver (QUASS parity).
+
+Re-implements the behavior of the reference QUASS null-space active-set
+method (qpsolver/a_quass.cpp solveqp :130 -> a_asm.cpp solveqp_actual ->
+quass.cpp Quass::solve :309) in the slack formulation its README
+describes (ASM <-> simplex duality over bounded variables):
+
+    min 1/2 x'Qx + c'x   s.t.  Ax - s = 0,  L <= s <= U,  l <= x <= u
+
+so every inequality is a BOUND on the combined vector v = (x, s) and the
+active set is the set of components of v held at a bound.  Each
+iteration solves the equality-constrained QP over the free components
+via a dense KKT system (the reference uses its own LU, factor.hpp; at
+TPU-relevant sizes the dense factorization is the MXU-friendly
+equivalent), takes a ratio-test step (ratiotest.cpp), and prices the
+active bounds' multipliers to release (Dantzig pricing; dantzigpricing.hpp).
+
+Feasibility phase: a zero-objective LP solve with the native simplex
+(reference: feasibility_highs.hpp runs a Highs LP), which also supplies
+a crash active set.  Hot starts accept a prior active set
+(qp_allow_hot_start).  Regularization `qp_regularization_value` is added
+to the reduced Hessian diagonal; limits: `qp_iteration_limit`,
+`time_limit`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ...constants import HighsModelStatus, kHighsInf
+from ...models.lp import HighsModel
+from ...models.solution import HighsSolution
+from ...options import HighsOptions
+
+
+@dataclasses.dataclass
+class QpAsmInfo:
+    status: HighsModelStatus = HighsModelStatus.kNotset
+    iterations: int = 0
+    primal_obj: float = math.inf
+    solve_time: float = 0.0
+
+
+def _phase1_start(a_csc, lo_v, up_v, n, m):
+    """Feasible start via zero-cost LP on  [A -I] v = 0, lo<=v<=up."""
+    from ..simplex.native import RESULT_OPTIMAL, simplex_solve
+    ident = sp.identity(m, format="csc")
+    a_eq = sp.hstack([a_csc, -ident]).tocsc() if m else \
+        sp.csc_matrix((0, n))
+    rhs = np.zeros(m)
+    result, v, _y, _z, basis, iters = simplex_solve(
+        a_eq, np.zeros(n + m), lo_v, up_v, rhs, rhs,
+        tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+    if result != RESULT_OPTIMAL:
+        return None, None, iters
+    return v, basis, iters
+
+
+def solve_qp_active_set(model: HighsModel, options: HighsOptions,
+                        log=None, active_in: Optional[np.ndarray] = None
+                        ) -> Tuple[HighsModelStatus, HighsSolution,
+                                   QpAsmInfo]:
+    t0 = time.perf_counter()
+    info = QpAsmInfo()
+    lp = model.lp
+    n, m = lp.num_col, lp.num_row
+    sense = float(lp.sense)
+    feastol = options.primal_feasibility_tolerance
+    dualtol = options.dual_feasibility_tolerance
+    reg = max(options.qp_regularization_value, 0.0)
+    max_iter = min(options.qp_iteration_limit, 100000)
+
+    a_csc = lp.a_matrix.to_scipy().tocsc()
+    q = (model.hessian.to_scipy_full().toarray()
+         if model.hessian is not None and model.hessian.dim
+         else np.zeros((n, n)))
+    if q.shape[0] < n:  # Hessian may cover a leading sub-block
+        qq = np.zeros((n, n))
+        qq[:q.shape[0], :q.shape[1]] = q
+        q = qq
+    q = sense * 0.5 * (q + q.T)  # symmetrize; sense folds into Q and c
+    c = sense * np.asarray(lp.col_cost, dtype=np.float64)
+
+    nv = n + m
+    lo_v = np.concatenate([lp.col_lower, lp.row_lower])
+    up_v = np.concatenate([lp.col_upper, lp.row_upper])
+
+    # combined equality system  [A -I] v = 0
+    a_eq = (sp.hstack([a_csc, -sp.identity(m)]).tocsr() if m
+            else sp.csr_matrix((0, nv)))
+    a_eq_d = a_eq.toarray() if m else np.zeros((0, nv))
+
+    v, _basis, p1_iters = _phase1_start(a_csc, lo_v, up_v, n, m)
+    info.iterations += p1_iters
+    if v is None:
+        info.status = HighsModelStatus.kInfeasible
+        info.solve_time = time.perf_counter() - t0
+        return info.status, HighsSolution(), info
+
+    # active set: -1 at lower, +1 at upper, 0 free
+    active = np.zeros(nv, dtype=np.int8)
+    at_lo = v <= lo_v + feastol * (1.0 + np.abs(lo_v))
+    at_up = v >= up_v - feastol * (1.0 + np.abs(up_v))
+    active[at_lo & np.isfinite(lo_v)] = -1
+    active[at_up & np.isfinite(up_v)] = 1
+    if active_in is not None and len(active_in) == nv and \
+            options.qp_allow_hot_start:
+        # hot start: adopt the prior active set where consistent
+        cand = np.asarray(active_in, dtype=np.int8)
+        keep = ((cand == -1) & np.isfinite(lo_v)) | \
+            ((cand == 1) & np.isfinite(up_v)) | (cand == 0)
+        active = np.where(keep, cand, active)
+        v = np.where(active == -1, lo_v, v)
+        v = np.where(active == 1, up_v, v)
+
+    def grad(v):
+        g = np.zeros(nv)
+        g[:n] = q @ v[:n] + c
+        return g
+
+    def kkt_direction(free_idx, g, v_cur):
+        """Solve  [Q_FF+regI  A_F'; A_F  0] [d_F; lam] = [-g_F; 0]."""
+        nf = len(free_idx)
+        kdim = nf + m
+        K = np.zeros((kdim, kdim))
+        qf = q[np.ix_(free_idx[free_idx < n], free_idx[free_idx < n])]
+        # embed Q block (only x-part has curvature)
+        xmask = free_idx < n
+        xi = np.nonzero(xmask)[0]
+        K[np.ix_(xi, xi)] = qf
+        K[:nf, :nf] += reg * np.eye(nf)
+        if m:
+            af = a_eq_d[:, free_idx]
+            K[:nf, nf:] = af.T
+            K[nf:, :nf] = af
+        rhs = np.zeros(kdim)
+        rhs[:nf] = -g[free_idx]
+        if m:
+            # constraint residual correction: restores A v - s = 0 when
+            # a hot-started active set moved v off the equality manifold
+            rhs[nf:] = -(a_eq_d @ v_cur)
+        try:
+            sol = np.linalg.solve(K, rhs)
+        except np.linalg.LinAlgError:
+            sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+        if not np.all(np.isfinite(sol)):
+            sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+        # the block system solves (Q+regI)d + A'lam_raw = -g, so the
+        # conventional multiplier (g - A'lam = 0 at stationarity on the
+        # free set) is -lam_raw
+        return sol[:nf], -sol[nf:]
+
+    status = HighsModelStatus.kNotset
+    lam = np.zeros(m)
+    for it in range(max_iter):
+        if time.perf_counter() - t0 > options.time_limit:
+            status = HighsModelStatus.kTimeLimit
+            break
+        info.iterations += 1
+        g = grad(v)
+        free_idx = np.nonzero(active == 0)[0]
+        if len(free_idx):
+            d_f, lam = kkt_direction(free_idx, g, v)
+            d = np.zeros(nv)
+            d[free_idx] = d_f
+        else:
+            d = np.zeros(nv)
+            # multipliers from the equality system alone
+            if m:
+                lam, *_ = np.linalg.lstsq(a_eq_d.T, g, rcond=None)
+            else:
+                lam = np.zeros(m)
+
+        dnorm = float(np.linalg.norm(d, ord=np.inf))
+        if dnorm <= 1e-11 * (1.0 + float(np.linalg.norm(v, ord=np.inf))):
+            # stationary on the active set: price multipliers
+            mu = g - (a_eq_d.T @ lam if m else 0.0)
+            # release rule: at lower needs mu >= 0, at upper mu <= 0
+            viol_lo = (active == -1) & (mu < -dualtol) & (lo_v < up_v)
+            viol_up = (active == 1) & (mu > dualtol) & (lo_v < up_v)
+            viol = np.where(viol_lo, -mu, 0.0) + np.where(viol_up, mu, 0.0)
+            j = int(np.argmax(viol))
+            if viol[j] <= dualtol:
+                status = HighsModelStatus.kOptimal
+                break
+            active[j] = 0  # release (Dantzig: most negative multiplier)
+            continue
+
+        # ratio test: largest alpha <= 1 keeping bounds
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_up = np.where(d > feastol, (up_v - v) / d, np.inf)
+            t_lo = np.where(d < -feastol, (lo_v - v) / d, np.inf)
+        t_lim = np.minimum(t_up, t_lo)
+        t_lim[active != 0] = np.inf
+        jblk = int(np.argmin(t_lim))
+        alpha_max = float(t_lim[jblk])
+
+        # curvature along d
+        dx = d[:n]
+        curv = float(dx @ (q @ dx))
+        gd = float(g @ d)
+        # relative curvature: lambda_min along d, not an absolute scale
+        # (an absolute cutoff misreads tiny quadratic polish steps as
+        # linear and terminates early)
+        if curv <= 1e-12 * float(dx @ dx):
+            # linear along d: either blocked or unbounded
+            if not math.isfinite(alpha_max):
+                if gd < -dualtol:
+                    status = HighsModelStatus.kUnbounded
+                    break
+                status = HighsModelStatus.kOptimal
+                break
+            alpha = alpha_max
+        else:
+            # Newton step is alpha=1 by construction (d solves the EQP);
+            # cap by the ratio test
+            alpha = min(1.0, alpha_max)
+
+        v = v + alpha * d
+        if alpha >= alpha_max - 1e-13 and math.isfinite(alpha_max):
+            # activate the blocking bound
+            if d[jblk] > 0:
+                active[jblk] = 1
+                v[jblk] = up_v[jblk]
+            else:
+                active[jblk] = -1
+                v[jblk] = lo_v[jblk]
+    else:
+        status = HighsModelStatus.kIterationLimit
+
+    if status == HighsModelStatus.kNotset:
+        status = HighsModelStatus.kIterationLimit
+
+    x = v[:n]
+    obj = float(0.5 * x @ (q @ x) + c @ x)
+    info.primal_obj = sense * obj + lp.offset
+    info.solve_time = time.perf_counter() - t0
+    info.status = status
+    if status not in (HighsModelStatus.kOptimal,):
+        return status, HighsSolution(), info
+
+    # duals: row duals = lam (for Ax - s = 0), reduced costs mu on x
+    g = grad(v)
+    mu = g - (a_eq_d.T @ lam if m else 0.0)
+    sol = HighsSolution(
+        value_valid=True, dual_valid=True,
+        col_value=x.copy(),
+        row_value=(a_csc @ x if m else np.zeros(0)),
+        col_dual=sense * mu[:n],
+        # s-part multipliers ARE the row duals: column i of [A -I] for
+        # s_i is -e_i, so mu_s = 0 - (-lam) = lam = y
+        row_dual=sense * (mu[n:] if m else np.zeros(0)))
+    # store the active set for hot starts
+    sol.qp_active_set = active.copy()
+    return status, sol, info

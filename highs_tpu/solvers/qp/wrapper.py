@@ -14,6 +14,19 @@ from ...options import HighsOptions
 
 
 def solve_qp(model: HighsModel, options: HighsOptions, log=None):
+    # "qpasm" selects the active-set method (reference: QUASS,
+    # qpsolver/a_quass.cpp; solver option values HighsOptions.h:274-280)
+    if options.solver == "qpasm":
+        from .active_set import solve_qp_active_set
+        status, solution, info = solve_qp_active_set(
+            model, options, log=log)
+        if status in (HighsModelStatus.kOptimal,
+                      HighsModelStatus.kInfeasible,
+                      HighsModelStatus.kUnbounded,
+                      HighsModelStatus.kTimeLimit):
+            return status, solution, info
+        if log is not None:
+            log("QP active set inconclusive: falling back to IPM")
     from .ipm_qp import solve_qp_ipm
     status, solution, info = solve_qp_ipm(model, options, log=log)
     if status in (HighsModelStatus.kUnknown,

@@ -68,7 +68,8 @@ def compute_kkt(lp: HighsLp, solution: HighsSolution,
                 dual_feasibility_tolerance: float = 1e-7,
                 primal_residual_tolerance: float = 1e-7,
                 dual_residual_tolerance: float = 1e-7,
-                complementarity_tolerance: float = 1e-7) -> KktReport:
+                complementarity_tolerance: float = 1e-7,
+                hessian=None) -> KktReport:
     rep = KktReport()
     if not solution.value_valid:
         return rep
@@ -80,6 +81,14 @@ def compute_kkt(lp: HighsLp, solution: HighsSolution,
 
     sense = float(lp.sense)
     rep.objective_function_value = float(lp.col_cost @ x) + lp.offset
+    # QP: objective and stationarity include the Hessian term
+    quad = 0.0
+    qx = np.zeros(lp.num_col)
+    if hessian is not None and getattr(hessian, "dim", 0) > 0:
+        qfull = hessian.to_scipy_full()
+        qx[:qfull.shape[0]] = qfull @ x[:qfull.shape[0]]
+        quad = float(0.5 * x[:qfull.shape[0]] @ qx[:qfull.shape[0]])
+        rep.objective_function_value += quad
 
     # --- primal infeasibilities -------------------------------------------
     col_inf = _bound_infeasibility(x, lp.col_lower, lp.col_upper)
@@ -129,8 +138,11 @@ def compute_kkt(lp: HighsLp, solution: HighsSolution,
     # --- dual residual: c - A'y - z = 0 (duals reported in the original
     # sense, so the stationarity identity is sense-free) -------------------
     aty = a.T @ y if lp.num_row else np.zeros(lp.num_col)
-    dres = np.abs(lp.col_cost - aty - z)
-    rel_dres = dres / (1.0 + np.abs(lp.col_cost))
+    # QP stationarity: grad = c + Qx replaces c (Qx enters in the
+    # original sense, like the cost)
+    grad = lp.col_cost + qx
+    dres = np.abs(grad - aty - z)
+    rel_dres = dres / (1.0 + np.abs(grad))
     rep.num_dual_residual_errors = int(np.sum(dres > dual_residual_tolerance))
     rep.max_dual_residual_error = float(np.max(dres, initial=0.0))
     rep.num_relative_dual_residual_errors = int(
@@ -197,6 +209,8 @@ def compute_kkt(lp: HighsLp, solution: HighsSolution,
     zu = np.where(np.isfinite(lp.col_upper), lp.col_upper, 0.0)
     dual_obj = (np.sum(np.maximum(ym, 0.0) * yl + np.minimum(ym, 0.0) * yu) +
                 np.sum(np.maximum(zm, 0.0) * zl + np.minimum(zm, 0.0) * zu))
+    # QP (Dorn) dual objective: bound terms - 1/2 x'Qx (min sense)
+    dual_obj -= sense * quad
     primal_obj_min = sense * (rep.objective_function_value - lp.offset)
     denom = 1.0 + abs(primal_obj_min) + abs(dual_obj)
     rep.primal_dual_objective_error = abs(primal_obj_min - dual_obj) / denom
