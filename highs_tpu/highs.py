@@ -44,6 +44,10 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         self._run_time = 0.0
         self._dual_ray: Optional[np.ndarray] = None
         self._primal_ray: Optional[np.ndarray] = None
+        from .io.logging import HighsLogger
+        from .utils.timer import HighsTimer
+        self._logger = HighsLogger(self._options)
+        self._timer = HighsTimer()
 
     # ------------------------------------------------------------------
     # Model loading
@@ -223,23 +227,44 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         self._callbacks.active[int(callback_type)] = False
         return HighsStatus.kOk
 
-    def _log(self, msg: str):
+    def _log(self, msg: str, log_type=None):
         from .constants import HighsCallbackType as CbType
+        from .io.logging import HighsLogType
         if self._callbacks.callback_active(CbType.kCallbackLogging):
             self._callbacks.call(CbType.kCallbackLogging, msg + "\n")
         if not self._options.output_flag:
             return
         if self._log_callback is not None:
-            self._log_callback(1, msg)
-        elif self._options.log_to_console:
-            print(msg)
+            self._logger.set_callback(self._log_callback)
+            # callback replaces console output (reference user_callback
+            # semantics in HighsIO.cpp)
+            self._log_callback(int(log_type or HighsLogType.kInfo), msg)
+            # still honor log_file
+            fh = self._logger._ensure_file()
+            if fh is not None:
+                fh.write(msg + "\n")
+                fh.flush()
+            return
+        self._logger.log(log_type or HighsLogType.kInfo, msg)
+
+    def _log_dev(self, level: int, msg: str):
+        self._logger.dev(level, msg)
+
+    def getTimer(self):
+        """The named-clock timer registry (reference HighsTimer)."""
+        return self._timer
 
     # ------------------------------------------------------------------
     # run()
     # ------------------------------------------------------------------
     def run(self) -> HighsStatus:
         t0 = time.perf_counter()
-        status = self._optimize_model()
+        self._options._timer = self._timer
+        self._timer.start("run")
+        try:
+            status = self._optimize_model()
+        finally:
+            self._timer.stop("run")
         self._run_time = time.perf_counter() - t0
         return status
 

@@ -44,11 +44,26 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
     info = LpSolveInfo()
     solver = options.solver or "choose"
 
+    # named clocks (reference HighsTimer registry); the facade passes
+    # its timer via the internal _timer attribute
+    timer = getattr(options, "_timer", None)
+
+    class _NullScope:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    def clock(name):
+        return timer.scope(name) if timer is not None else _NullScope()
+
     reduced_lp = lp
     postsolve_stack = None
     if presolve:
         from ..presolve.presolve import presolve_lp
-        presolve_result = presolve_lp(lp, options)
+        with clock("presolve"):
+            presolve_result = presolve_lp(lp, options)
         if presolve_result.status == HighsModelStatus.kInfeasible:
             return HighsModelStatus.kInfeasible, HighsSolution(), info
         if presolve_result.status == HighsModelStatus.kUnbounded:
@@ -60,8 +75,9 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
         reduced_lp = presolve_result.reduced_lp
         postsolve_stack = presolve_result
 
-    status, solution, raw_info = _solve_core(
-        reduced_lp, options, solver, log, basis, warm_solution)
+    with clock("solve"):
+        status, solution, raw_info = _solve_core(
+            reduced_lp, options, solver, log, basis, warm_solution)
 
     info.iterations = raw_info.iterations
     info.solve_time = raw_info.solve_time
@@ -81,8 +97,9 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
 
     if postsolve_stack is not None and solution.value_valid:
         from ..presolve.presolve import postsolve_lp
-        solution, full_basis = postsolve_lp(lp, postsolve_stack,
-                                            solution, basis=info.basis)
+        with clock("postsolve"):
+            solution, full_basis = postsolve_lp(lp, postsolve_stack,
+                                                solution, basis=info.basis)
         info.basis = full_basis
     return status, solution, info
 
