@@ -386,3 +386,103 @@ class HighsAnalysisApi:
         self._model_status = final_status
         self._info = final_info
         return status
+    # ------------------------------------------------------------------
+    # Basis solves (reference Highs.h basis-solve block: getBasicVariables,
+    # getBasisInverseRow/Col, getBasisSolve, getBasisTransposeSolve,
+    # getReducedRow/Column; tests check/TestBasisSolves.cpp)
+    # ------------------------------------------------------------------
+    def _basis_matrix(self):
+        """Build B from the stored basis: basic structural columns of A
+        plus slack columns -e_i for basic rows (HiGHS convention: the
+        logical for row i has coefficient -1, matching Ax - s = 0)."""
+        if not self._basis.valid:
+            return None, None
+        lp = self._model.lp
+        m = lp.num_row
+        basic_cols = [j for j in range(lp.num_col)
+                      if int(self._basis.col_status[j]) ==
+                      int(HighsBasisStatus.kBasic)]
+        basic_rows = [i for i in range(m)
+                      if int(self._basis.row_status[i]) ==
+                      int(HighsBasisStatus.kBasic)]
+        if len(basic_cols) + len(basic_rows) != m:
+            return None, None
+        a = lp.a_matrix.to_scipy().tocsc()
+        blocks = []
+        if basic_cols:
+            blocks.append(a[:, basic_cols])
+        if basic_rows:
+            sl = sp.csc_matrix(
+                (-np.ones(len(basic_rows)),
+                 (basic_rows, np.arange(len(basic_rows)))),
+                shape=(m, len(basic_rows)))
+            blocks.append(sl)
+        b_mat = sp.hstack(blocks).tocsc() if blocks else \
+            sp.csc_matrix((m, m))
+        # variable index of each basic column: structural j, logical n+i
+        var_index = basic_cols + [lp.num_col + i for i in basic_rows]
+        return b_mat, var_index
+
+    def getBasicVariables(self):
+        """Returns the basic variable list: structural j >= 0, row i
+        encoded as -(i+1) (reference Highs_getBasicVariables)."""
+        b_mat, var_index = self._basis_matrix()
+        if var_index is None:
+            return HighsStatus.kError, []
+        n = self._model.lp.num_col
+        coded = [v if v < n else -(v - n + 1) for v in var_index]
+        return HighsStatus.kOk, coded
+
+    def _basis_lu(self):
+        b_mat, var_index = self._basis_matrix()
+        if b_mat is None:
+            return None, None
+        try:
+            from scipy.sparse.linalg import splu
+            return splu(b_mat.tocsc()), var_index
+        except RuntimeError:
+            return None, var_index
+
+    def getBasisSolve(self, rhs):
+        """Solve B x = rhs (reference Highs::getBasisSolve)."""
+        lu, _ = self._basis_lu()
+        if lu is None:
+            return HighsStatus.kError, np.zeros(0)
+        return HighsStatus.kOk, lu.solve(np.asarray(rhs,
+                                                    dtype=np.float64))
+
+    def getBasisTransposeSolve(self, rhs):
+        """Solve B' x = rhs."""
+        lu, _ = self._basis_lu()
+        if lu is None:
+            return HighsStatus.kError, np.zeros(0)
+        return HighsStatus.kOk, lu.solve(
+            np.asarray(rhs, dtype=np.float64), trans="T")
+
+    def getBasisInverseRow(self, row: int):
+        """Row `row` of B^-1 (solve B' x = e_row)."""
+        m = self._model.lp.num_row
+        e = np.zeros(m)
+        e[row] = 1.0
+        return self.getBasisTransposeSolve(e)
+
+    def getBasisInverseCol(self, col: int):
+        """Column `col` of B^-1 (solve B x = e_col)."""
+        m = self._model.lp.num_row
+        e = np.zeros(m)
+        e[col] = 1.0
+        return self.getBasisSolve(e)
+
+    def getReducedRow(self, row: int):
+        """Row `row` of B^-1 A (reference Highs::getReducedRow)."""
+        status, binv_row = self.getBasisInverseRow(row)
+        if status != HighsStatus.kOk:
+            return status, np.zeros(0)
+        a = self._model.lp.a_matrix.to_scipy().tocsc()
+        return HighsStatus.kOk, np.asarray(a.T @ binv_row)
+
+    def getReducedColumn(self, col: int):
+        """Column `col` of B^-1 A (solve B x = A e_col)."""
+        a = self._model.lp.a_matrix.to_scipy().tocsc()
+        rhs = np.asarray(a[:, col].todense()).ravel()
+        return self.getBasisSolve(rhs)

@@ -518,3 +518,105 @@ class Highs(HighsModelApi, HighsAnalysisApi):
     def solutionStatusToString(self, status: int) -> str:
         return {0: "None", 1: "Infeasible", 2: "Feasible"}.get(
             int(status), "Unknown")
+
+    # ------------------------------------------------------------------
+    # Standalone presolve / postsolve (reference Highs::presolve,
+    # Highs::postsolve; C API Highs_presolve / Highs_getPresolvedLp)
+    # ------------------------------------------------------------------
+    def presolve(self) -> HighsStatus:
+        """Run presolve only; the reduced model is available via
+        getPresolvedLp()."""
+        from .presolve.presolve import presolve_lp
+        lp = self._model.lp
+        if lp.is_empty():
+            self._presolved_lp = lp.copy()
+            self._presolve_stack = None
+            self._model_status = HighsModelStatus.kModelEmpty
+            return HighsStatus.kOk
+        result = presolve_lp(lp, self._options)
+        self._presolve_stack = result
+        if result.status in (HighsModelStatus.kInfeasible,
+                             HighsModelStatus.kUnbounded,
+                             HighsModelStatus.kUnboundedOrInfeasible):
+            self._model_status = result.status
+            self._presolved_lp = None
+            return HighsStatus.kOk
+        self._presolved_lp = result.reduced_lp
+        return HighsStatus.kOk
+
+    def getPresolvedLp(self):
+        return getattr(self, "_presolved_lp", None)
+
+    def getPresolvedNumCol(self) -> int:
+        lp = self.getPresolvedLp()
+        return lp.num_col if lp is not None else -1
+
+    def getPresolvedNumRow(self) -> int:
+        lp = self.getPresolvedLp()
+        return lp.num_row if lp is not None else -1
+
+    def getPresolvedNumNz(self) -> int:
+        lp = self.getPresolvedLp()
+        return lp.num_nz if lp is not None else -1
+
+    def postsolve(self, solution, basis=None) -> HighsStatus:
+        """Map a solution of the presolved model back to the full model
+        (reference Highs::postsolve)."""
+        stack = getattr(self, "_presolve_stack", None)
+        if stack is None:
+            return HighsStatus.kError
+        from .presolve.presolve import postsolve_lp
+        full_solution, full_basis = postsolve_lp(
+            self._model.lp, stack, solution, basis=basis)
+        self._solution = full_solution
+        if full_basis is not None:
+            self._basis = full_basis
+        self._fill_info_lp(self._model.lp, object())
+        return HighsStatus.kOk
+
+    def getScaledModelStatus(self) -> HighsModelStatus:
+        # no separate scaled-model status in this build (scaling is
+        # internal to each solver); report the model status
+        return self._model_status
+
+    def setLogicalBasis(self) -> HighsStatus:
+        """All-slack (logical) basis."""
+        from .constants import HighsBasisStatus
+        from .models.solution import HighsBasis
+        lp = self._model.lp
+        b = HighsBasis(valid=True)
+        b.col_status = [HighsBasisStatus.kLower] * lp.num_col
+        b.row_status = [HighsBasisStatus.kBasic] * lp.num_row
+        self._basis = b
+        return HighsStatus.kOk
+
+    def getHessianNumNz(self) -> int:
+        h = self._model.hessian
+        return h.num_nz if h is not None else 0
+
+    def getDualUnboundednessDirection(self):
+        """Primal ray = direction of dual unboundedness proof is the
+        dual ray; reference exposes both names."""
+        return self.getPrimalRay()
+
+    def versionMajor(self) -> int:
+        return int(self.version().split(".")[0])
+
+    def versionMinor(self) -> int:
+        return int(self.version().split(".")[1])
+
+    def versionPatch(self) -> int:
+        return int(self.version().split(".")[2])
+
+    def compilationDate(self) -> str:
+        return "deprecated"
+
+    def githash(self) -> str:
+        try:
+            import subprocess
+            return subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=__file__.rsplit(
+                    "/", 2)[0], timeout=5).stdout.strip() or "n/a"
+        except Exception:
+            return "n/a"

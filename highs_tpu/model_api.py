@@ -370,3 +370,225 @@ class HighsModelApi:
             return HighsStatus.kOk, lp.row_names.index(name)
         except ValueError:
             return HighsStatus.kError, -1
+
+    # ------------------------------------------------------------------
+    # by-range / by-set / by-mask getters and changers
+    # (reference Highs.h getCols/getRows/changeCols* variants; the C API
+    # exposes each addressing mode as its own Highs_* function)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _select_idx(args, size) -> Optional[np.ndarray]:
+        """Interpret (from,to) / (num,set) / (mask,) as an index array."""
+        keep = HighsModelApi._keep_mask(args, size)
+        if keep is None:
+            return None
+        return np.nonzero(~keep)[0]
+
+    def getColsByRange(self, from_col: int, to_col: int):
+        return self._get_cols(self._select_idx((from_col, to_col),
+                                               self._model.lp.num_col))
+
+    def getColsBySet(self, num: int, idx_set):
+        return self._get_cols(self._select_idx((num, idx_set),
+                                               self._model.lp.num_col))
+
+    def getColsByMask(self, mask):
+        return self._get_cols(self._select_idx((mask,),
+                                               self._model.lp.num_col))
+
+    def _get_cols(self, idx):
+        lp = self._model.lp
+        if idx is None:
+            return (HighsStatus.kError, 0, np.zeros(0), np.zeros(0),
+                    np.zeros(0), 0, np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64), np.zeros(0))
+        a = lp.a_matrix.to_scipy().tocsc()[:, idx].tocsc()
+        return (HighsStatus.kOk, len(idx), lp.col_cost[idx],
+                lp.col_lower[idx], lp.col_upper[idx], a.nnz,
+                a.indptr[:-1].astype(np.int64),
+                a.indices.astype(np.int64), a.data)
+
+    def getRowsByRange(self, from_row: int, to_row: int):
+        return self._get_rows(self._select_idx((from_row, to_row),
+                                               self._model.lp.num_row))
+
+    def getRowsBySet(self, num: int, idx_set):
+        return self._get_rows(self._select_idx((num, idx_set),
+                                               self._model.lp.num_row))
+
+    def getRowsByMask(self, mask):
+        return self._get_rows(self._select_idx((mask,),
+                                               self._model.lp.num_row))
+
+    def _get_rows(self, idx):
+        lp = self._model.lp
+        if idx is None:
+            return (HighsStatus.kError, 0, np.zeros(0), np.zeros(0), 0,
+                    np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64), np.zeros(0))
+        a = lp.a_matrix.to_scipy().tocsr()[idx, :].tocsr()
+        return (HighsStatus.kOk, len(idx), lp.row_lower[idx],
+                lp.row_upper[idx], a.nnz,
+                a.indptr[:-1].astype(np.int64),
+                a.indices.astype(np.int64), a.data)
+
+    def _change_cols_cost_idx(self, idx, costs):
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._model.lp
+        lp.col_cost[idx] = np.asarray(costs, dtype=np.float64)[:len(idx)]
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def changeColsCostByRange(self, from_col, to_col, costs):
+        return self._change_cols_cost_idx(
+            self._select_idx((from_col, to_col), self._model.lp.num_col),
+            costs)
+
+    def changeColsCostByMask(self, mask, costs):
+        idx = self._select_idx((mask,), self._model.lp.num_col)
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._model.lp
+        costs = np.asarray(costs, dtype=np.float64)
+        lp.col_cost[idx] = costs[idx]  # mask form: full-length arrays
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def _change_cols_bounds_idx(self, idx, lower, upper, masked=False):
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._model.lp
+        lower = np.asarray(lower, dtype=np.float64)
+        upper = np.asarray(upper, dtype=np.float64)
+        if masked:
+            lp.col_lower[idx] = lower[idx]
+            lp.col_upper[idx] = upper[idx]
+        else:
+            lp.col_lower[idx] = lower[:len(idx)]
+            lp.col_upper[idx] = upper[:len(idx)]
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def changeColsBoundsByRange(self, from_col, to_col, lower, upper):
+        return self._change_cols_bounds_idx(
+            self._select_idx((from_col, to_col), self._model.lp.num_col),
+            lower, upper)
+
+    def changeColsBoundsByMask(self, mask, lower, upper):
+        return self._change_cols_bounds_idx(
+            self._select_idx((mask,), self._model.lp.num_col),
+            lower, upper, masked=True)
+
+    def _change_rows_bounds_idx(self, idx, lower, upper, masked=False):
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._model.lp
+        lower = np.asarray(lower, dtype=np.float64)
+        upper = np.asarray(upper, dtype=np.float64)
+        if masked:
+            lp.row_lower[idx] = lower[idx]
+            lp.row_upper[idx] = upper[idx]
+        else:
+            lp.row_lower[idx] = lower[:len(idx)]
+            lp.row_upper[idx] = upper[:len(idx)]
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def changeRowsBoundsByRange(self, from_row, to_row, lower, upper):
+        return self._change_rows_bounds_idx(
+            self._select_idx((from_row, to_row), self._model.lp.num_row),
+            lower, upper)
+
+    def changeRowsBoundsByMask(self, mask, lower, upper):
+        return self._change_rows_bounds_idx(
+            self._select_idx((mask,), self._model.lp.num_row),
+            lower, upper, masked=True)
+
+    def _ensure_integrality_array(self):
+        lp = self._model.lp
+        if len(lp.integrality) != lp.num_col:
+            lp.integrality = np.zeros(lp.num_col, dtype=np.uint8)
+        return lp
+
+    def changeColsIntegralityByRange(self, from_col, to_col,
+                                     integrality):
+        idx = self._select_idx((from_col, to_col),
+                               self._model.lp.num_col)
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._ensure_integrality_array()
+        lp.integrality[idx] = np.asarray(integrality,
+                                         dtype=np.uint8)[:len(idx)]
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def changeColsIntegralityByMask(self, mask, integrality):
+        idx = self._select_idx((mask,), self._model.lp.num_col)
+        if idx is None:
+            return HighsStatus.kError
+        lp = self._ensure_integrality_array()
+        integrality = np.asarray(integrality, dtype=np.uint8)
+        lp.integrality[idx] = integrality[idx]
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def clearIntegrality(self) -> HighsStatus:
+        """Drop all integrality (reference Highs_clearIntegrality)."""
+        self._model.lp.integrality = np.zeros(0, dtype=np.uint8)
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    # ------------------------------------------------------------------
+    # scaling / matrix orientation / model name
+    # ------------------------------------------------------------------
+    def scaleCol(self, col: int, scale: float) -> HighsStatus:
+        """Scale column: x_j' = x_j / scale (reference Highs::scaleCol:
+        matrix entries *= scale, cost *= scale, bounds /= scale; negative
+        scale swaps the bounds)."""
+        lp = self._model.lp
+        if not (0 <= col < lp.num_col) or scale == 0.0:
+            return HighsStatus.kError
+        a = lp.a_matrix.to_scipy().tocsc()
+        a.data[a.indptr[col]:a.indptr[col + 1]] *= scale
+        from .models.lp import HighsSparseMatrix
+        lp.a_matrix = HighsSparseMatrix.from_scipy(a)
+        lp.col_cost[col] *= scale
+        lo, up = lp.col_lower[col] / scale, lp.col_upper[col] / scale
+        lp.col_lower[col], lp.col_upper[col] = \
+            (up, lo) if scale < 0 else (lo, up)
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def scaleRow(self, row: int, scale: float) -> HighsStatus:
+        """Scale row: matrix row *= scale, bounds *= scale (swapped when
+        negative)."""
+        lp = self._model.lp
+        if not (0 <= row < lp.num_row) or scale == 0.0:
+            return HighsStatus.kError
+        a = lp.a_matrix.to_scipy().tocsr()
+        a.data[a.indptr[row]:a.indptr[row + 1]] *= scale
+        from .models.lp import HighsSparseMatrix
+        lp.a_matrix = HighsSparseMatrix.from_scipy(a.tocsc())
+        lo, up = lp.row_lower[row] * scale, lp.row_upper[row] * scale
+        lp.row_lower[row], lp.row_upper[row] = \
+            (up, lo) if scale < 0 else (lo, up)
+        self._invalidate_solver_data()
+        return HighsStatus.kOk
+
+    def ensureColwise(self) -> HighsStatus:
+        from .constants import MatrixFormat
+        self._model.lp.a_matrix.format = MatrixFormat.kColwise
+        return HighsStatus.kOk
+
+    def ensureRowwise(self) -> HighsStatus:
+        from .constants import MatrixFormat
+        self._model.lp.a_matrix.format = MatrixFormat.kRowwise
+        return HighsStatus.kOk
+
+    def passModelName(self, name: str) -> HighsStatus:
+        self._model.lp.model_name = str(name)
+        return HighsStatus.kOk
+
+    def getObjectiveOffset(self):
+        return HighsStatus.kOk, float(self._model.lp.offset)

@@ -767,6 +767,44 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
         col_value=x, col_dual=z,
         row_value=row_value, row_dual=y)
     if col_bs is not None:
+        # --- basis completeness repair -------------------------------
+        # The replay is best-effort per rule; enforce the invariant
+        # #basic == m before handing the basis out (reference: alien
+        # bases are repaired on use, Highs::setBasis/formatted basis).
+        num_basic = (sum(1 for s in col_bs if s == BS.kBasic) +
+                     sum(1 for s in row_bs if s == BS.kBasic))
+        if num_basic < m:
+            # promote slacks of rows with (near) zero dual first — they
+            # are unit columns, the safest additions
+            for i in range(m):
+                if num_basic >= m:
+                    break
+                if row_bs[i] != BS.kBasic and abs(y[i]) <= 1e-9:
+                    row_bs[i] = BS.kBasic
+                    num_basic += 1
+            for j in range(n):
+                if num_basic >= m:
+                    break
+                if col_bs[j] != BS.kBasic and abs(z[j]) <= 1e-9:
+                    col_bs[j] = BS.kBasic
+                    num_basic += 1
+        elif num_basic > m:
+            # demote basic columns resting exactly on a bound
+            tol_b = 1e-9
+            for j in range(n):
+                if num_basic <= m:
+                    break
+                if col_bs[j] != BS.kBasic:
+                    continue
+                cl, cu = original_lp.col_lower[j], original_lp.col_upper[j]
+                if np.isfinite(cl) and abs(x[j] - cl) <= tol_b * (
+                        1 + abs(cl)):
+                    col_bs[j] = BS.kLower
+                    num_basic -= 1
+                elif np.isfinite(cu) and abs(x[j] - cu) <= tol_b * (
+                        1 + abs(cu)):
+                    col_bs[j] = BS.kUpper
+                    num_basic -= 1
         basis = HighsBasis(valid=True, alien=True,
                            col_status=col_bs, row_status=row_bs)
     return out_solution, basis

@@ -37,4 +37,18 @@ def solve_qp(model: HighsModel, options: HighsOptions, log=None):
                        HighsModelStatus.kUnbounded):
             info.status = verdict
             return verdict, HighsSolution(), info
+        # IPM stalled on a feasible QP: the active-set method is the
+        # exact fallback at host-tractable sizes (reference analogue:
+        # HiPO-QP falls back to QUASS via callSolveQp selection)
+        if model.lp.num_col + model.lp.num_row <= 5000:
+            from .active_set import solve_qp_active_set
+            st2, sol2, info2 = solve_qp_active_set(model, options,
+                                                   log=log)
+            if st2 in (HighsModelStatus.kOptimal,
+                       HighsModelStatus.kInfeasible,
+                       HighsModelStatus.kUnbounded):
+                if log is not None:
+                    log("QP IPM inconclusive: active-set fallback "
+                        "succeeded")
+                return st2, sol2, info2
     return status, solution, info
