@@ -331,6 +331,52 @@ _opt("mip_search_simulate_concurrency", bool, False,
 _opt("mip_allow_cut_separation_at_nodes", bool, True,
      "Allow cut separation at nodes")
 
+# --- advanced simplex/presolve tuning (reference HighsOptions.h advanced
+# records; accepted for option-file compatibility, honored where the
+# corresponding machinery exists) -------------------------------------------
+_opt("allow_pdlp_cleanup", bool, True,
+     "Allow PDLP to clean up model with unknown status and no basis",
+     advanced=True)
+_opt("allowed_cost_scale_factor", int, 0,
+     "Largest power-of-two factor permitted when scaling the costs",
+     0, 20, advanced=True)
+_opt("allowed_matrix_scale_factor", int, 20,
+     "Largest power-of-two factor permitted when scaling the matrix",
+     0, 30, advanced=True)
+_opt("dual_simplex_pivot_growth_tolerance", float, 1e-9,
+     "Dual simplex pivot growth tolerance", 1e-12, kHighsInf,
+     advanced=True)
+_opt("dual_steepest_edge_weight_error_tolerance", float, kHighsInf,
+     "Tolerance on dual steepest edge weight errors", 0.0, kHighsInf,
+     advanced=True)
+_opt("dual_steepest_edge_weight_log_error_threshold", float, 1e1,
+     "Threshold on DSE weight errors for Devex switch", 1.0, kHighsInf,
+     advanced=True)
+_opt("lp_presolve_requires_basis_postsolve", bool, True,
+     "Prevents LP presolve steps for which postsolve cannot maintain a "
+     "basis", advanced=True)
+_opt("max_dual_simplex_cleanup_level", int, 1,
+     "Max level of dual simplex cleanup", 0, kHighsIInf, advanced=True)
+_opt("max_dual_simplex_phase1_cleanup_level", int, 2,
+     "Max level of dual simplex phase 1 cleanup", 0, kHighsIInf,
+     advanced=True)
+_opt("no_unnecessary_rebuild_refactor", bool, True,
+     "No unnecessary refactorization on simplex rebuild", advanced=True)
+_opt("presolve_pivot_threshold", float, 0.01,
+     "Matrix factorization pivot threshold for presolve substitutions",
+     8e-3, 0.5, advanced=True)
+_opt("presolve_rule_test", int, 0, "Presolve rule to test - DEV only!",
+     0, 1 << 16, advanced=True)
+_opt("rebuild_refactor_solution_error_tolerance", float, 1e-8,
+     "Tolerance on solution error for refactorization on rebuild",
+     -kHighsInf, kHighsInf, advanced=True)
+_opt("simplex_unscaled_solution_strategy", int, 1,
+     "Strategy for solving unscaled LP in simplex", 0, 2, advanced=True)
+_opt("write_hessian_image", bool, False,
+     "Write an image of the Hessian to a file", advanced=True)
+_opt("write_matrix_image", bool, False,
+     "Write an image of the constraint matrix to a file", advanced=True)
+
 # --- TPU-specific options (new in highs_tpu; no reference analogue) --------
 _opt("tpu_dtype", str, "float64",
      "Compute dtype on device: float32 / float64")
