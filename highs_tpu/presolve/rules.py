@@ -489,6 +489,101 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 done_rows.add(i)
                 changed = True
 
+        # --- dominated columns / dual fixing -------------------------------
+        # (reference kPresolveRuleDominatedCol + HighsRedcostFixing-style
+        # dual fixing inside presolve, HPresolve.cpp:394 dominatedCols)
+        # Row dual sign ranges under min-sense:  y_i > 0 only if the row
+        # can bind at its lower bound (finite rl); y_i < 0 only with
+        # finite ru.  A column whose (A'y)_j is sign-forced has a
+        # guaranteed reduced-cost sign => fix it at the matching bound.
+        if _rule_on(options, PresolveRuleType.kDominatedCol) and \
+                not has_semi:
+            a2 = (sp.diags(row_active.astype(float)) @ a @
+                  sp.diags(col_active.astype(float))).tocsc()
+            a2.eliminate_zeros()
+            y_can_pos = (np.isfinite(rl) & row_active).astype(float)
+            y_can_neg = (np.isfinite(ru) & row_active).astype(float)
+            pat_p = a2.copy(); pat_p.data = (pat_p.data > 0) * 1.0
+            pat_n = a2.copy(); pat_n.data = (pat_n.data < 0) * 1.0
+            # counts per column of entries whose dual can push z_j down/up
+            dn_breakers = pat_p.T @ y_can_pos + pat_n.T @ y_can_neg
+            up_breakers = pat_p.T @ y_can_neg + pat_n.T @ y_can_pos
+            cmin = sense * cost
+            z_ge_c = dn_breakers == 0   # (A'y)_j <= 0 always => z_j >= c_j
+            z_le_c = up_breakers == 0   # z_j <= c_j always
+            fix_lo = col_active & z_ge_c & (cmin >= -tol)
+            fix_up = col_active & z_le_c & (cmin <= tol) & ~fix_lo
+            # strictly dominated with no finite bound => unbounded/infeas
+            if np.any(fix_lo & (cmin > tol) & ~np.isfinite(cl)) or \
+                    np.any(fix_up & (cmin < -tol) & ~np.isfinite(cu)):
+                unbounded = True
+                break
+            fix_lo &= np.isfinite(cl)
+            fix_up &= np.isfinite(cu)
+            for j in np.nonzero(fix_lo | fix_up)[0]:
+                # skip columns still touching stale rows this pass
+                xj = float(cl[j] if fix_lo[j] else cu[j])
+                rows_j, vals_j = col_rows(j)
+                stack.append(("fixed_col", int(j), xj, float(cost[j]),
+                              rows_j.copy(), vals_j.copy()))
+                rl[rows_j] = np.where(np.isfinite(rl[rows_j]),
+                                      rl[rows_j] - vals_j * xj,
+                                      rl[rows_j])
+                ru[rows_j] = np.where(np.isfinite(ru[rows_j]),
+                                      ru[rows_j] - vals_j * xj,
+                                      ru[rows_j])
+                offset += cost[j] * xj
+                col_active[j] = False
+                changed = True
+
+        # --- probing on binaries (MIP; reference kPresolveRuleProbing,
+        # HPresolve probing + implication extraction) ----------------------
+        if is_mip and _rule_on(options, PresolveRuleType.kProbing) and \
+                _pass == 0 and not has_semi:
+            a2r = (sp.diags(row_active.astype(float)) @ a @
+                   sp.diags(col_active.astype(float))).tocsr()
+            a2r.eliminate_zeros()
+            binaries = np.nonzero(col_active & is_int &
+                                  (cl == 0.0) & (cu == 1.0))[0]
+            if len(binaries) and a2r.nnz:
+                from ..solvers.mip.propagate import Propagator
+                prop = Propagator(a2r, rl, ru, is_int, tol)
+                # probe the binaries appearing in the most rows first
+                col_counts = np.diff(a2r.tocsc().indptr)
+                order = binaries[np.argsort(-col_counts[binaries])]
+                n_fixed = 0
+                for j in order[:100]:
+                    if not col_active[j] or cl[j] == cu[j]:
+                        continue
+                    lo0, up0 = cl.copy(), cu.copy()
+                    up0[j] = 0.0
+                    ok0, l0, u0 = prop.propagate(lo0, up0, max_rounds=2)
+                    lo1, up1 = cl.copy(), cu.copy()
+                    lo1[j] = 1.0
+                    ok1, l1, u1 = prop.propagate(lo1, up1, max_rounds=2)
+                    if not ok0 and not ok1:
+                        infeasible = True
+                        break
+                    if not ok0:
+                        cl[j] = 1.0
+                        changed = True
+                        n_fixed += 1
+                    elif not ok1:
+                        cu[j] = 0.0
+                        changed = True
+                        n_fixed += 1
+                    else:
+                        # union bound strengthening over both branches
+                        new_l = np.minimum(l0, l1)
+                        new_u = np.maximum(u0, u1)
+                        tighter = (new_l > cl + tol) | (new_u < cu - tol)
+                        if np.any(tighter):
+                            cl = np.maximum(cl, new_l)
+                            cu = np.minimum(cu, new_u)
+                            changed = True
+                if infeasible:
+                    break
+
         changed_any |= changed
         if not changed:
             break
