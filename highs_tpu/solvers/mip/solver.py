@@ -151,6 +151,55 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         row_upper = lp.row_upper
         num_cut_rows = 0
 
+    # ---- symmetry handling (reference HighsSymmetry.cpp: generators ->
+    # orbits / orbital fixing; here: verified generators -> first-row lex
+    # symmetry-breaking rows + orbit-wide bound sharing) -----------------
+    sym_orbit = None
+    if options.mip_detect_symmetry and bool(is_int.any()) and \
+            use_simplex and lp.num_col <= 5000:
+        from ...presolve.symmetry import (detect_symmetry, orbits,
+                                          symmetry_breaking_rows)
+        gens = detect_symmetry(
+            lp, max_generators=16,
+            time_budget=min(2.0, 0.05 * options.time_limit))
+        if gens:
+            sym_orbit = orbits(gens, lp.num_col)
+            pairs = symmetry_breaking_rows(gens, lp.num_col)
+            if pairs:
+                import scipy.sparse as _sp
+                data, rows_ix, cols_ix = [], [], []
+                for r, (j, k) in enumerate(pairs):
+                    data += [1.0, -1.0]
+                    rows_ix += [r, r]
+                    cols_ix += [j, k]
+                sym_rows = _sp.csc_matrix(
+                    (data, (rows_ix, cols_ix)),
+                    shape=(len(pairs), lp.num_col))
+                _Relax.a_csc = _sp.vstack(
+                    [_Relax.a_csc, sym_rows]).tocsc()
+                _Relax.row_lower = np.concatenate(
+                    [_Relax.row_lower, np.zeros(len(pairs))])
+                _Relax.row_upper = np.concatenate(
+                    [_Relax.row_upper, np.full(len(pairs), kHighsInf)])
+                if log is not None:
+                    log(f"MIP symmetry: {len(gens)} generators, "
+                        f"{len(pairs)} symmetry-breaking rows")
+
+    def apply_orbit_bounds(lo, up):
+        """Implied bounds are symmetry-invariant: share the tightest
+        bound across each orbit (orbital fixing generalization)."""
+        if sym_orbit is None:
+            return lo, up
+        lo = lo.copy()
+        up = up.copy()
+        for orb in np.unique(sym_orbit):
+            members = np.nonzero(sym_orbit == orb)[0]
+            if len(members) < 2:
+                continue
+            lo[members] = lo[members].max()
+            up[members] = up[members].min()
+        return lo, up
+
     def confirm_infeasible(lo, up) -> bool:
         """Elastic feasibility LP:  min 1's  s.t.
         rl <= Ax + p - q <= ru, p,q >= 0.  Always feasible, so the
@@ -342,6 +391,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
     # ---- root ------------------------------------------------------------
     ok, root_lo_p, root_up_p = prop.propagate(root_lo, root_up)
+    if ok:
+        root_lo_p, root_up_p = apply_orbit_bounds(root_lo_p, root_up_p)
+        if np.any(root_lo_p > root_up_p + feastol):
+            ok = False
     if not ok:
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0

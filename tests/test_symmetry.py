@@ -1,0 +1,114 @@
+"""Symmetry detection tests (reference: HighsSymmetry.cpp generators/
+orbits; check/TestPresolve.cpp symmetry usage is internal, so these test
+the detector directly plus MIP end-to-end with symmetry on/off)."""
+import numpy as np
+import scipy.sparse as sp
+
+from highs_tpu import Highs, HighsLp, HighsModelStatus
+from highs_tpu.models.lp import HighsSparseMatrix
+from highs_tpu.presolve.symmetry import (detect_symmetry, orbits,
+                                         symmetry_breaking_rows)
+
+
+def _identical_items_knapsack(k=4):
+    # max sum x_i, sum 2 x_i <= 2k-1, x binary: all items identical
+    a = sp.csc_matrix(np.full((1, k), 2.0))
+    return HighsLp(
+        num_col=k, num_row=1,
+        col_cost=np.full(k, -1.0),
+        col_lower=np.zeros(k), col_upper=np.ones(k),
+        row_lower=np.array([-np.inf]),
+        row_upper=np.array([2.0 * k - 1.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a),
+        integrality=np.ones(k, dtype=np.uint8))
+
+
+def test_detects_identical_columns():
+    lp = _identical_items_knapsack(4)
+    gens = detect_symmetry(lp)
+    assert gens, "identical columns must yield generators"
+    orb = orbits(gens, lp.num_col)
+    # all four columns in one orbit
+    assert len(np.unique(orb)) < 4
+
+
+def test_generators_are_verified_automorphisms():
+    lp = _identical_items_knapsack(3)
+    for g in detect_symmetry(lp):
+        # cost/bounds invariance
+        assert np.allclose(lp.col_cost, lp.col_cost[g])
+        assert not np.array_equal(g, np.arange(lp.num_col))
+
+
+def test_no_symmetry_in_asymmetric_model():
+    a = sp.csc_matrix(np.array([[1.0, 2.0, 3.0]]))
+    lp = HighsLp(
+        num_col=3, num_row=1,
+        col_cost=np.array([1.0, 2.0, 3.0]),
+        col_lower=np.zeros(3), col_upper=np.ones(3),
+        row_lower=np.array([-np.inf]), row_upper=np.array([2.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(a),
+        integrality=np.ones(3, dtype=np.uint8))
+    assert detect_symmetry(lp) == []
+
+
+def test_symmetry_breaking_rows_shape():
+    lp = _identical_items_knapsack(4)
+    gens = detect_symmetry(lp)
+    pairs = symmetry_breaking_rows(gens, lp.num_col)
+    for j, k in pairs:
+        assert j != k and 0 <= j < 4 and 0 <= k < 4
+
+
+def test_mip_same_answer_with_symmetry_on_off():
+    lp = _identical_items_knapsack(5)
+    objs = {}
+    for flag in (True, False):
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("mip_detect_symmetry", flag)
+        h.setOptionValue("time_limit", 60.0)
+        h.passModel(lp)
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        objs[flag] = h.getObjectiveValue()
+    # optimum: floor((2k-1)/2) = k-1 items -> obj -(k-1) = -4
+    assert abs(objs[True] - (-4.0)) < 1e-6
+    assert abs(objs[True] - objs[False]) < 1e-6
+
+
+def test_mip_symmetric_assignment():
+    """2 identical machines, 3 jobs: assignment symmetry over machines;
+    answer must match with and without symmetry handling."""
+    # x[j,m] binary; each job on exactly one machine; machine load <= 2
+    n = 6
+    rows = []
+    data = []
+    # job constraints: x[j,0] + x[j,1] == 1
+    a = np.zeros((5, n))
+    for j in range(3):
+        a[j, 2 * j] = 1.0
+        a[j, 2 * j + 1] = 1.0
+    # machine loads: sum_j x[j,m] <= 2
+    for m in range(2):
+        for j in range(3):
+            a[3 + m, 2 * j + m] = 1.0
+    lp = HighsLp(
+        num_col=n, num_row=5,
+        col_cost=np.array([1.0, 1.0, 2.0, 2.0, 3.0, 3.0]),
+        col_lower=np.zeros(n), col_upper=np.ones(n),
+        row_lower=np.array([1.0, 1.0, 1.0, -np.inf, -np.inf]),
+        row_upper=np.array([1.0, 1.0, 1.0, 2.0, 2.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(sp.csc_matrix(a)),
+        integrality=np.ones(n, dtype=np.uint8))
+    objs = {}
+    for flag in (True, False):
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("mip_detect_symmetry", flag)
+        h.passModel(lp)
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        objs[flag] = h.getObjectiveValue()
+    assert abs(objs[True] - objs[False]) < 1e-6
+    assert abs(objs[True] - 6.0) < 1e-6  # every job placed once
