@@ -389,6 +389,10 @@ _opt("tpu_mesh_shape", str, "",
      "Device mesh, e.g. '4x2'; empty = single device")
 _opt("tpu_batch_solve", bool, False,
      "Batch multiple instances through vmapped solves")
+_opt("pdlp_checkpoint_file", str, "",
+     "Checkpoint/resume file for long PDHG runs (empty = off)")
+_opt("pdlp_checkpoint_interval", int, 50,
+     "Checkpoint every N convergence-check blocks", 1)
 
 _BY_NAME: Dict[str, OptionRecord] = {r.name: r for r in _REGISTRY}
 

@@ -75,6 +75,27 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
         reduced_lp = presolve_result.reduced_lp
         postsolve_stack = presolve_result
 
+    if options.icrash and warm_solution is None and reduced_lp.num_col:
+        # iterative crash starting point (reference ICrash.cpp; the
+        # result warm-starts the first-order/IPM solvers)
+        from .icrash import run_icrash
+        with clock("icrash"):
+            icrash_info = run_icrash(reduced_lp, options, log=log)
+        if icrash_info.x is not None:
+            from ..models.solution import HighsSolution as _Sol
+            warm_solution = _Sol(
+                value_valid=True, dual_valid=True,
+                col_value=icrash_info.x,
+                row_value=(reduced_lp.a_matrix.to_scipy() @
+                           icrash_info.x if reduced_lp.num_row
+                           else np.zeros(0)),
+                col_dual=np.zeros(reduced_lp.num_col),
+                row_dual=icrash_info.lambda_)
+        if log is not None:
+            log(f"iCrash: {icrash_info.num_iterations} iterations, "
+                f"residual {icrash_info.final_residual_norm2:.3e}, "
+                f"time {icrash_info.total_time:.2f}s")
+
     with clock("solve"):
         status, solution, raw_info = _solve_core(
             reduced_lp, options, solver, log, basis, warm_solution)

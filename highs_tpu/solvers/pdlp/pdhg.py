@@ -103,6 +103,10 @@ class PdhgSettings:
     omega_init: Optional[float] = None
     power_method_iters: int = 30
     dtype: str = "float64"
+    # checkpoint/resume for long runs (SURVEY §5: the state is a few
+    # vectors; no reference analogue — HiGHS solves are minutes-scale)
+    checkpoint_file: str = ""
+    checkpoint_interval: int = 50  # blocks between checkpoint writes
 
 
 @dataclasses.dataclass
@@ -333,11 +337,67 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     unbounded_hits = 0
     mlast = None
 
+    # --- checkpoint/resume ------------------------------------------------
+    ckpt = settings.checkpoint_file
+    if ckpt:
+        import os
+        if os.path.exists(ckpt):
+            try:
+                data = np.load(ckpt)
+                if data["x"].shape == (n,) and data["y"].shape == (m,):
+                    state = PdhgState(
+                        x=jnp.asarray(data["x"], dtype=dtype),
+                        y=jnp.asarray(data["y"], dtype=dtype),
+                        x_pd=jnp.asarray(data["x_pd"], dtype=dtype),
+                        y_pd=jnp.asarray(data["y_pd"], dtype=dtype),
+                        x_anchor=jnp.asarray(data["x_anchor"],
+                                             dtype=dtype),
+                        y_anchor=jnp.asarray(data["y_anchor"],
+                                             dtype=dtype),
+                        aty=problem.k_op.rmv(
+                            jnp.asarray(data["y"], dtype=dtype)),
+                        k=jnp.asarray(int(data["k"]), dtype=jnp.int32),
+                        eta=jnp.asarray(float(data["eta"]), dtype=dtype),
+                        omega=jnp.asarray(float(data["omega"]),
+                                          dtype=dtype))
+                    total_iters = int(data["total_iters"])
+                    restarts = int(data["restarts"])
+                    if mesh is not None:
+                        from ...parallel.mesh import shard_pdhg
+                        problem, state = shard_pdhg(problem, state, mesh)
+            except Exception:
+                pass  # unreadable checkpoint: cold start
+
+    def write_checkpoint():
+        if not ckpt:
+            return
+        try:
+            np.savez(
+                ckpt,
+                x=np.asarray(jax.device_get(state.x)),
+                y=np.asarray(jax.device_get(state.y)),
+                x_pd=np.asarray(jax.device_get(state.x_pd)),
+                y_pd=np.asarray(jax.device_get(state.y_pd)),
+                x_anchor=np.asarray(jax.device_get(state.x_anchor)),
+                y_anchor=np.asarray(jax.device_get(state.y_anchor)),
+                k=int(jax.device_get(state.k)),
+                eta=float(jax.device_get(state.eta)),
+                omega=float(jax.device_get(state.omega)),
+                total_iters=total_iters, restarts=restarts)
+        except OSError:
+            pass
+
+    blocks_since_ckpt = 0
+
     while True:
         state, metrics = pdhg_block(problem, state,
                                     settings.check_interval, gamma)
         total_iters += settings.check_interval
         mlast = jax.device_get(metrics)
+        blocks_since_ckpt += 1
+        if ckpt and blocks_since_ckpt >= settings.checkpoint_interval:
+            blocks_since_ckpt = 0
+            write_checkpoint()
 
         pobj = float(mlast.primal_obj) + offset
         dobj = float(mlast.dual_obj) + offset

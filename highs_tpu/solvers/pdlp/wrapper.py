@@ -150,7 +150,9 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
         time_limit=options.time_limit,
         check_interval=options.tpu_check_interval,
         restart_strategy=options.pdlp_restart_strategy,
-        dtype=options.tpu_dtype)
+        dtype=options.tpu_dtype,
+        checkpoint_file=options.pdlp_checkpoint_file,
+        checkpoint_interval=options.pdlp_checkpoint_interval)
 
     x0_s = None
     y0_s = None
