@@ -351,6 +351,20 @@ class Highs(HighsModelApi, HighsAnalysisApi):
             mip_lp = presolve_result.reduced_lp
         else:
             mip_lp = lp
+        # the debug solution file lives in the ORIGINAL column space:
+        # project it through presolve for the reduced-space tracer
+        # (reference: HighsDebugSol is registered before presolve and
+        # mapped through each reduction)
+        self._options._mip_debug_x = None
+        if self._options.mip_debug_solution_file and \
+                presolve_result is not None and presolve_result.reduced:
+            from .solvers.mip.debug_sol import DebugSolution
+            dbg = DebugSolution.load(
+                self._options.mip_debug_solution_file, lp,
+                log=self._log)
+            if dbg is not None:
+                self._options._mip_debug_x = \
+                    dbg.x[presolve_result.keep_cols]
         status, solution, mip_info = solve_mip(
             mip_lp, self._options, log=self._log,
             callbacks=self._callbacks)

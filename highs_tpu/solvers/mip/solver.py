@@ -317,6 +317,66 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     incumbent_obj = math.inf  # minimization value
     n_improving = 0
 
+    # ---- debug solution tracer (reference HighsDebugSol.cpp,
+    # option mip_debug_solution_file) -----------------------------------
+    debug_sol = None
+    if options.mip_debug_solution_file:
+        from .debug_sol import DebugSolution
+        pre_x = getattr(options, "_mip_debug_x", None)
+        if pre_x is not None and len(pre_x) == lp.num_col:
+            # already projected through presolve by the facade
+            debug_sol = DebugSolution(pre_x, log=log)
+        else:
+            debug_sol = DebugSolution.load(
+                options.mip_debug_solution_file, lp, log=log)
+        if debug_sol is not None and log is not None:
+            log(f"MIP debug solution loaded "
+                f"({options.mip_debug_solution_file})")
+
+    # ---- improving-solution recording (reference options
+    # mip_improving_solution_file / _save / _report_sparse) -------------
+    improving_solutions: List[np.ndarray] = []
+
+    def record_improving(x, obj_user):
+        if options.mip_improving_solution_save:
+            improving_solutions.append(np.asarray(x).copy())
+        if options.mip_improving_solution_file:
+            try:
+                with open(options.mip_improving_solution_file,
+                          "a") as f:
+                    f.write(f"# objective {obj_user:.15g}\n")
+                    if options.mip_improving_solution_report_sparse:
+                        for j in np.nonzero(np.abs(x) > 1e-13)[0]:
+                            f.write(f"{j} {x[j]:.15g}\n")
+                    else:
+                        f.write(" ".join(f"{v:.15g}" for v in x) + "\n")
+            except OSError:
+                pass
+
+    # ---- conflict pool (reference HighsConflictPool.cpp: no-good
+    # constraints from infeasible nodes over branch-fixed binaries) -----
+    conflict_pool: List[Tuple[np.ndarray, np.ndarray, float]] = []
+
+    def add_conflict(node_lo, node_up):
+        """If every bound difference vs the root box is a FIXED binary,
+        the no-good 'at least one of them flips' is globally valid."""
+        if len(conflict_pool) >= 1000:
+            return
+        diff = (node_lo > root_lo_p + feastol) | \
+            (node_up < root_up_p - feastol)
+        js = np.nonzero(diff)[0]
+        if len(js) == 0 or len(js) > 50:
+            return
+        for j in js:
+            if not (is_int[j] and node_lo[j] == node_up[j] and
+                    node_lo[j] in (0.0, 1.0) and
+                    root_lo_p[j] == 0.0 and root_up_p[j] == 1.0):
+                return
+        # sum_{x_j fixed 0} x_j + sum_{fixed 1} (1 - x_j) >= 1
+        coefs = np.where(node_lo[js] == 0.0, 1.0, -1.0)
+        rhs = 1.0 - float(np.sum(node_lo[js] == 1.0))
+        conflict_pool.append((js.copy(), coefs, rhs))
+
     def try_incumbent(x, source=""):
         nonlocal incumbent_x, incumbent_obj, n_improving
         if x is None:
@@ -342,6 +402,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             incumbent_x = x.copy()
             incumbent_obj = obj
             n_improving += 1
+            record_improving(incumbent_x, sense * obj + lp.offset)
             if log is not None:
                 log(f"MIP incumbent {sense * obj + lp.offset:.10g}"
                     f"{' (' + source + ')' if source else ''}")
@@ -395,6 +456,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         root_lo_p, root_up_p = apply_orbit_bounds(root_lo_p, root_up_p)
         if np.any(root_lo_p > root_up_p + feastol):
             ok = False
+    if debug_sol is not None:
+        if ok:
+            debug_sol.check_bounds(root_lo_p, root_up_p,
+                                   "root propagation", feastol)
+        elif debug_sol.in_box(root_lo, root_up):
+            debug_sol._report("root infeasibility")
     if not ok:
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
@@ -449,6 +516,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             added.sort(key=lambda c: -c.efficacy)
             added = added[:100]
             cut_a, cut_rhs = cutpool.matrix(added)
+            if debug_sol is not None and debug_sol.active:
+                dense = cut_a.toarray()
+                for r in range(dense.shape[0]):
+                    if not debug_sol.check_cut(
+                            dense[r], float(cut_rhs[r]),
+                            f"root cut round {_round + 1} row {r}"):
+                        break
             import scipy.sparse as _sp
             _Relax.a_csc = _sp.vstack(
                 [_Relax.a_csc, cut_a]).tocsc()
@@ -727,6 +801,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             continue
         node.lo, node.up = node_lo, node_up
 
+        # conflict-pool propagation: prune boxes that violate a no-good
+        # (reference ConflictPoolPropagation, HighsDomain.h:195)
+        if conflict_pool:
+            conflicted = False
+            for js, coefs, rhs in conflict_pool:
+                mx = float(np.sum(
+                    np.where(coefs > 0, node.up[js], node.lo[js])
+                    * coefs))
+                if mx < rhs - feastol:
+                    conflicted = True
+                    break
+            if conflicted:
+                continue
+
         feasible, obj_bound, x, node_basis = solve_node_lp(
             node.lo, node.up, warm_basis=node.basis)
         info.mip_node_count += 1
@@ -736,7 +824,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             pscost.update(node.branch_j, node.branch_dir,
                           node.branch_frac,
                           obj_bound - node.parent_obj)
-        if not feasible or obj_bound >= cutoff_value() - abs_gap:
+        if not feasible:
+            # conflict extraction + debug check (an infeasible verdict
+            # must never hold the debug solution)
+            if debug_sol is not None and \
+                    debug_sol.in_box(node.lo, node.up):
+                debug_sol._report(
+                    f"node infeasibility at depth {node.depth}")
+            add_conflict(node.lo, node.up)
+            continue
+        if obj_bound >= cutoff_value() - abs_gap:
             continue
         if x is None:
             continue

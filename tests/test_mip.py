@@ -96,3 +96,45 @@ def test_semi_continuous(instances_dir):
     for j in np.nonzero(semi)[0]:
         v = sol.col_value[j]
         assert abs(v) < 1e-5 or v >= lp.col_lower[j] - 1e-5
+
+
+def test_mip_debug_solution_tracer(instances_dir, tmp_path):
+    """mip_debug_solution_file: a known optimum must survive cuts and
+    propagation without warnings (reference HighsDebugSol)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 60.0)
+    h.readModel(instance_path("egout.mps"))
+    h.run()
+    sol = h.getSolution()
+    dbg = str(tmp_path / "egout.debug")
+    lp = h.getLp()
+    with open(dbg, "w") as f:
+        for j in range(lp.num_col):
+            f.write(f"{lp.col_names[j]} {sol.col_value[j]:.15g}\n")
+    warnings = []
+    h2 = Highs()
+    h2.setLogCallback(lambda t, m: warnings.append(m)
+                      if "debug solution violated" in m else None)
+    h2.setOptionValue("mip_debug_solution_file", dbg)
+    h2.setOptionValue("time_limit", 60.0)
+    h2.readModel(instance_path("egout.mps"))
+    h2.run()
+    assert h2.getModelStatus() == HighsModelStatus.kOptimal
+    assert warnings == []
+
+
+def test_mip_improving_solution_file(instances_dir, tmp_path):
+    path = str(tmp_path / "improving.txt")
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("mip_improving_solution_file", path)
+    h.setOptionValue("time_limit", 60.0)
+    h.readModel(instance_path("flugpl.mps"))
+    h.run()
+    text = open(path).read()
+    assert "# objective" in text
+    # last recorded objective equals the final optimum
+    objs = [float(ln.split()[2]) for ln in text.splitlines()
+            if ln.startswith("# objective")]
+    assert abs(objs[-1] - 1201500.0) < 1.0
