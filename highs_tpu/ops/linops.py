@@ -60,6 +60,26 @@ class BcooMatrix(NamedTuple):
 LinOp = Union[DenseMatrix, BcooMatrix]
 
 
+def linop_dtype(op) -> jnp.dtype:
+    if isinstance(op, DenseMatrix):
+        return op.a.dtype
+    if isinstance(op, BcooMatrix):
+        return op.a.data.dtype
+    return jnp.float32
+
+
+def cast_linop(op, dtype):
+    """Low-precision copy of an operator (float leaves only).
+
+    Used for mixed-precision PDHG stepping: the step matvecs run on a
+    bfloat16 copy of K (half the HBM bytes => ~1.6x step rate on TPU),
+    while residuals/metrics keep the full-precision operator.  Returns
+    None when the operator type has no low-precision path."""
+    if isinstance(op, DenseMatrix):
+        return DenseMatrix(op.a.astype(dtype))
+    return None
+
+
 def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                dtype=jnp.float64) -> LinOp:
     """Build a device operator from a scipy sparse matrix.

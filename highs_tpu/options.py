@@ -389,6 +389,9 @@ _opt("tpu_mesh_shape", str, "",
      "Device mesh, e.g. '4x2'; empty = single device")
 _opt("tpu_batch_solve", bool, False,
      "Batch multiple instances through vmapped solves")
+_opt("tpu_step_dtype", str, "",
+     "Mixed-precision PDHG stepping: '' = full precision, 'bfloat16' "
+     "= bf16 step matvecs until residuals reach 1e-3")
 _opt("pdlp_checkpoint_file", str, "",
      "Checkpoint/resume file for long PDHG runs (empty = off)")
 _opt("pdlp_checkpoint_interval", int, 50,

@@ -107,6 +107,11 @@ class PdhgSettings:
     # vectors; no reference analogue — HiGHS solves are minutes-scale)
     checkpoint_file: str = ""
     checkpoint_interval: int = 50  # blocks between checkpoint writes
+    # mixed-precision stepping: "" = off, "bfloat16" = run the step
+    # matvecs on a bf16 copy of K until residuals reach
+    # `step_dtype_switch_tol`, then switch to full precision
+    step_dtype: str = ""
+    step_dtype_switch_tol: float = 1e-3
 
 
 @dataclasses.dataclass
@@ -126,16 +131,25 @@ class PdhgResult:
 
 
 def _halpern_step(problem: PdhgProblem, state: PdhgState,
-                  gamma: float) -> PdhgState:
-    """One reflected-Halpern PDHG step (pdhg.cc:961 behavior)."""
+                  gamma: float, step_op=None) -> PdhgState:
+    """One reflected-Halpern PDHG step (pdhg.cc:961 behavior).
+
+    `step_op` optionally replaces the stepping matvecs with a
+    low-precision (bfloat16) copy of K — mixed-precision stepping:
+    the iterates stay in the state dtype, only the operator products
+    round.  Metrics/termination always use the full-precision K."""
     tau = state.eta / state.omega
     sigma = state.eta * state.omega
+
+    op = problem.k_op if step_op is None else step_op
+    from ...ops.linops import linop_dtype
+    op_dt = linop_dtype(op)
 
     x_pd = jnp.clip(state.x - tau * (problem.c - state.aty),
                     problem.lo, problem.up)
     x_r = 2.0 * x_pd - state.x
 
-    ax_r = problem.k_op.mv(x_r)
+    ax_r = op.mv(x_r.astype(op_dt)).astype(x_r.dtype)
     y_raw = state.y + sigma * (problem.b - ax_r)
     y_pd = jnp.where(problem.is_eq > 0, y_raw, jnp.maximum(y_raw, 0.0))
     y_r = 2.0 * y_pd - state.y
@@ -147,7 +161,7 @@ def _halpern_step(problem: PdhgProblem, state: PdhgState,
     y_new = w * (gamma * y_r + (1.0 - gamma) * state.y) + \
         (1.0 - w) * state.y_anchor
 
-    aty_new = problem.k_op.rmv(y_new)
+    aty_new = op.rmv(y_new.astype(op_dt)).astype(y_new.dtype)
     return state._replace(x=x_new, y=y_new, x_pd=x_pd, y_pd=y_pd,
                           aty=aty_new, k=state.k + 1)
 
@@ -225,14 +239,14 @@ def _compute_metrics(problem: PdhgProblem, state: PdhgState) -> PdhgMetrics:
 
 @partial(jax.jit, static_argnames=("n_steps", "gamma"))
 def pdhg_block(problem: PdhgProblem, state: PdhgState, n_steps: int,
-               gamma: float):
+               gamma: float, step_op=None):
     """Run n_steps inner steps fully on device, then compute metrics.
 
     The TPU analogue of the reference's CUDA-graph-captured 40-step block
     (pdhg.cc:610-632): no host synchronization inside.
     """
     def body(_, s):
-        return _halpern_step(problem, s, gamma)
+        return _halpern_step(problem, s, gamma, step_op)
 
     state = jax.lax.fori_loop(0, n_steps, body, state)
     metrics = _compute_metrics(problem, state)
@@ -337,6 +351,14 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     unbounded_hits = 0
     mlast = None
 
+    # --- mixed-precision step operator ------------------------------------
+    step_op = None
+    lowprec_best = None
+    lowprec_stall = 0
+    if settings.step_dtype == "bfloat16":
+        from ...ops.linops import cast_linop
+        step_op = cast_linop(problem.k_op, jnp.bfloat16)
+
     # --- checkpoint/resume ------------------------------------------------
     ckpt = settings.checkpoint_file
     if ckpt:
@@ -391,7 +413,8 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
 
     while True:
         state, metrics = pdhg_block(problem, state,
-                                    settings.check_interval, gamma)
+                                    settings.check_interval, gamma,
+                                    step_op)
         total_iters += settings.check_interval
         mlast = jax.device_get(metrics)
         blocks_since_ckpt += 1
@@ -411,6 +434,22 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if rel_p < eps and rel_d < eps and rel_gap < eps:
             status = HighsModelStatus.kOptimal
             break
+
+        # mixed precision: switch to full precision once the bf16 phase
+        # reaches its target resolution OR stalls (bf16 rounding floors
+        # the attainable residual at matrix-conditioning-dependent level)
+        if step_op is not None:
+            cur = max(rel_p, rel_d, rel_gap)
+            if lowprec_best is None or cur < 0.7 * lowprec_best:
+                lowprec_best = min(cur, lowprec_best or cur)
+                lowprec_stall = 0
+            else:
+                lowprec_stall += 1
+            if cur < settings.step_dtype_switch_tol or \
+                    lowprec_stall >= 15:
+                step_op = None
+                state = state._replace(
+                    aty=problem.k_op.rmv(state.y))
 
         # --- infeasibility detection via certificate rays ---------------
         ray_obj = float(mlast.inf_dual_ray_obj)

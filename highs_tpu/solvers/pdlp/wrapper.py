@@ -152,7 +152,8 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
         restart_strategy=options.pdlp_restart_strategy,
         dtype=options.tpu_dtype,
         checkpoint_file=options.pdlp_checkpoint_file,
-        checkpoint_interval=options.pdlp_checkpoint_interval)
+        checkpoint_interval=options.pdlp_checkpoint_interval,
+        step_dtype=options.tpu_step_dtype)
 
     x0_s = None
     y0_s = None

@@ -129,3 +129,18 @@ def test_empty_model():
     h.setOptionValue("output_flag", False)
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kModelEmpty
+
+
+def test_pdlp_mixed_precision_stepping(instances_dir):
+    """tpu_step_dtype=bfloat16: bf16 step matvecs with full-precision
+    metrics must still reach the exact optimum (switches to full
+    precision when the bf16 phase floors)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "pdlp")
+    h.setOptionValue("presolve", "off")
+    h.setOptionValue("tpu_step_dtype", "bfloat16")
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - (-464.7531429)) < 1e-3
