@@ -61,6 +61,7 @@ class _Node:
     branch_frac: float = dataclasses.field(compare=False, default=0.0)
     parent_obj: float = dataclasses.field(compare=False, default=0.0)
     basis: object = dataclasses.field(compare=False, default=None)
+    cached: object = dataclasses.field(compare=False, default=None)
 
 
 class _Pseudocost:
@@ -230,11 +231,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
     last_duals = {"z": None}
 
-    def solve_node_lp(lo, up, warm_basis=None):
+    def solve_node_lp(lo, up, warm_basis=None, cached=None):
         """Returns (feasible, obj_minimize, x, basis) for the node
         relaxation.  Reduced costs of the last solve are stashed in
-        last_duals["z"] (for reduced-cost fixing)."""
+        last_duals["z"] (for reduced-cost fixing).  `cached` carries a
+        batched-evaluator result (converged, dual_bound, x)."""
         last_duals["z"] = None
+        if cached is not None:
+            converged, dual_bound, xc = cached
+            if converged and xc is not None:
+                return True, dual_bound, xc, None
+            # fall through to the exact engine
         if use_simplex:
             from ..simplex.native import (RESULT_INFEASIBLE,
                                           RESULT_OPTIMAL,
@@ -726,6 +733,39 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     log(f"MIP reduced-cost fixing tightened {ntight} "
                         f"bounds")
 
+    # ---- batched node evaluation (SURVEY §7.7: open nodes as one
+    # vmapped device program; also the deterministic stand-in for the
+    # reference's parallel workers, mip_search_simulate_concurrency) ----
+    batch_k = int(getattr(options, "tpu_mip_batch_nodes", 0))
+    if batch_k == 0 and options.mip_search_simulate_concurrency:
+        batch_k = 8
+    _batch_state = {"ev": None, "rows": -1}
+
+    def get_batch_evaluator():
+        if not use_simplex or _Relax.a_csc is None:
+            return None
+        nrows = _Relax.a_csc.shape[0]
+        if _batch_state["ev"] is None or _batch_state["rows"] != nrows:
+            try:
+                from ...models.lp import HighsSparseMatrix
+                from .batch_nodes import BatchNodeEvaluator
+                tmpl = HighsLp(
+                    num_col=lp.num_col, num_row=nrows,
+                    col_cost=lp.col_cost.copy(),
+                    col_lower=root_lo_p.copy(),
+                    col_upper=root_up_p.copy(),
+                    row_lower=np.asarray(_Relax.row_lower,
+                                         dtype=np.float64).copy(),
+                    row_upper=np.asarray(_Relax.row_upper,
+                                         dtype=np.float64).copy(),
+                    a_matrix=HighsSparseMatrix.from_scipy(_Relax.a_csc),
+                    sense=lp.sense)
+                _batch_state["ev"] = BatchNodeEvaluator(tmpl)
+            except Exception:
+                _batch_state["ev"] = None
+            _batch_state["rows"] = nrows
+        return _batch_state["ev"]
+
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
 
     heap: List[_Node] = []
@@ -815,8 +855,32 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if conflicted:
                 continue
 
+        # fill a round of caches via the batched evaluator
+        if batch_k > 1 and node.cached is None:
+            ev = get_batch_evaluator()
+            if ev is not None:
+                round_nodes = [node]
+                while heap and len(round_nodes) < batch_k:
+                    nd2 = heapq.heappop(heap)
+                    if nd2.bound >= cutoff_value() - abs_gap:
+                        continue
+                    round_nodes.append(nd2)
+                if len(round_nodes) > 1:
+                    los = np.stack([nd.lo for nd in round_nodes])
+                    ups = np.stack([nd.up for nd in round_nodes])
+                    try:
+                        res = ev.evaluate(los, ups)
+                    except Exception:
+                        res = None
+                    if res is not None:
+                        for nd, rr in zip(round_nodes, res):
+                            nd.cached = rr
+                for nd in round_nodes[1:]:
+                    heapq.heappush(heap, nd)
+
         feasible, obj_bound, x, node_basis = solve_node_lp(
-            node.lo, node.up, warm_basis=node.basis)
+            node.lo, node.up, warm_basis=node.basis,
+            cached=node.cached)
         info.mip_node_count += 1
         nodes_since_fj += 1
         if node.branch_j >= 0 and feasible and \
@@ -921,7 +985,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         other = 1 - plunge_child
         if built[other] is not None:
             heapq.heappush(heap, built[other])
-        if built[plunge_child] is not None and node.depth < 400:
+        if built[plunge_child] is not None and node.depth < 400 and \
+                batch_k <= 1:
             current = built[plunge_child]
         elif built[plunge_child] is not None:
             heapq.heappush(heap, built[plunge_child])

@@ -138,3 +138,19 @@ def test_mip_improving_solution_file(instances_dir, tmp_path):
     objs = [float(ln.split()[2]) for ln in text.splitlines()
             if ln.startswith("# objective")]
     assert abs(objs[-1] - 1201500.0) < 1.0
+
+
+@pytest.mark.parametrize("mode", [{"tpu_mip_batch_nodes": 4},
+                                  {"mip_search_simulate_concurrency": True}])
+def test_mip_batched_node_evaluation(instances_dir, mode):
+    """Batched node-LP rounds (vmapped IPM over node bounds) must reach
+    the same optimum as the sequential engine (SURVEY §7.7)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 120.0)
+    for k, v in mode.items():
+        h.setOptionValue(k, v)
+    h.readModel(instance_path("egout.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - 568.1007) < 1e-2
