@@ -474,3 +474,113 @@ class CliqueTable:
                                 viol / nrm))
         cuts.sort(key=lambda c: -c.efficacy)
         return cuts[:max_cuts]
+
+
+# --------------------------------------------------------------------------
+# Path-aggregation c-MIR cuts (reference HighsPathSeparator: aggregate
+# rows along continuous variables that appear in exactly two rows, then
+# run c-MIR on the aggregate via HighsCutGeneration)
+# --------------------------------------------------------------------------
+
+def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                      row_upper: np.ndarray, lo: np.ndarray,
+                      up: np.ndarray, x: np.ndarray, is_int: np.ndarray,
+                      feastol: float = 1e-6, max_aggregations: int = 4,
+                      max_starts: int = 50) -> List[Cut]:
+    m, n = a_csr.shape
+    if m == 0:
+        return []
+    a_csc = a_csr.tocsc()
+    col_deg = np.diff(a_csc.indptr)
+    # continuous variables in exactly two rows: aggregation channels
+    chan = (~is_int) & (col_deg == 2)
+
+    def row_as_leq(i, prefer_sign):
+        """Row i as  a'x <= b  (choose the side that exists; ranged rows
+        pick the side matching prefer_sign when possible)."""
+        s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+        cols = a_csr.indices[s:e]
+        vals = a_csr.data[s:e]
+        has_up = np.isfinite(row_upper[i])
+        has_lo = np.isfinite(row_lower[i])
+        if has_up and (prefer_sign > 0 or not has_lo):
+            return cols, vals.copy(), float(row_upper[i])
+        if has_lo:
+            return cols, -vals.copy(), float(-row_lower[i])
+        return None
+
+    cuts: List[Cut] = []
+    # start from rows with both integer and continuous support
+    starts = []
+    for i in range(m):
+        s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+        cols = a_csr.indices[s:e]
+        if len(cols) and is_int[cols].any() and chan[cols].any():
+            starts.append(i)
+        if len(starts) >= max_starts:
+            break
+
+    for i0 in starts:
+        base = row_as_leq(i0, +1)
+        if base is None:
+            continue
+        agg = {int(c): float(v) for c, v in zip(base[0], base[1])}
+        rhs = base[2]
+        used_rows = {i0}
+        for _depth in range(max_aggregations):
+            # try a c-MIR cut on the current aggregate
+            cols_a = np.fromiter(agg.keys(), dtype=np.int64)
+            vals_a = np.fromiter(agg.values(), dtype=np.float64)
+            got = _mir_on_leq(cols_a, vals_a, rhs, x, lo, up, is_int,
+                              feastol)
+            if got is not None:
+                cc, vv, rr, eff = got
+                cleaned = _clean_cut(cc, vv, rr, lo, up)
+                if cleaned is not None:
+                    c2, v2, r2 = cleaned
+                    cuts.append(Cut(cols=c2, vals=v2, rhs=r2,
+                                    efficacy=eff))
+            # pick the continuous channel variable farthest inside its
+            # bounds (most in need of elimination)
+            cand_j = -1
+            cand_score = feastol
+            for j, aj in agg.items():
+                if not chan[j] or abs(aj) <= _EPS:
+                    continue
+                slack = min(x[j] - _finite(lo[j], -1e30),
+                            _finite(up[j], 1e30) - x[j])
+                if slack > cand_score:
+                    cand_score = slack
+                    cand_j = j
+            if cand_j < 0:
+                break
+            # partner row of the channel variable
+            s, e = a_csc.indptr[cand_j], a_csc.indptr[cand_j + 1]
+            rows_j = a_csc.indices[s:e]
+            partner = [r for r in rows_j if r not in used_rows]
+            if not partner:
+                break
+            i2 = int(partner[0])
+            # sign so that the channel coefficient cancels
+            aj_agg = agg[cand_j]
+            s2, e2 = a_csr.indptr[i2], a_csr.indptr[i2 + 1]
+            cols2 = a_csr.indices[s2:e2]
+            vals2 = a_csr.data[s2:e2]
+            aj_row = float(vals2[cols2 == cand_j][0])
+            # need lambda * aj_row = -aj_agg with lambda > 0 for <= rows
+            lam = -aj_agg / aj_row
+            pref = 1 if lam > 0 else -1
+            leq2 = row_as_leq(i2, pref)
+            if leq2 is None:
+                break
+            cols2, vals2, rhs2 = leq2
+            aj_row2 = float(vals2[cols2 == cand_j][0])
+            lam = -aj_agg / aj_row2
+            if lam <= 0:
+                break  # would flip the inequality
+            for c, v in zip(cols2, vals2):
+                agg[int(c)] = agg.get(int(c), 0.0) + lam * float(v)
+            rhs += lam * rhs2
+            agg = {c: v for c, v in agg.items() if abs(v) > _EPS}
+            used_rows.add(i2)
+    return cuts

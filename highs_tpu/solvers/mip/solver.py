@@ -490,8 +490,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # rootSeparationRound loop, HighsMipSolverData.cpp:1987+) ----------
     if use_simplex and root_x is not None and \
             math.isfinite(root_bound) and (is_int.any()):
-        from .cuts import CliqueTable, CutPool, separate_gomory, \
-            separate_mir
+        from .cuts import (CliqueTable, CutPool, separate_gomory,
+                           separate_mir, separate_path_mir)
         cutpool = CutPool(lp.num_col, options.mip_pool_age_limit,
                           options.mip_pool_soft_limit)
         clique_table = CliqueTable(a_csr, lp.row_lower, lp.row_upper,
@@ -516,6 +516,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_mir(a_csr, lp.row_lower, lp.row_upper,
                                   root_lo_p, root_up_p, root_x, is_int,
                                   feastol)
+            found += separate_path_mir(
+                a_csr, lp.row_lower, lp.row_upper, root_lo_p,
+                root_up_p, root_x, is_int, feastol)
             found += clique_table.separate(root_x)
             added = [c for c in found if cutpool.add(c)]
             if not added:
@@ -912,6 +915,57 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             cand = round_and_repair(x, node.lo, node.up)
             if cand is not None and try_incumbent(cand, "rounding"):
                 apply_root_redcost_fixing()
+        # node-level separation (option mip_allow_cut_separation_at_nodes;
+        # reference: separation during search via HighsSeparation) — cuts
+        # are derived from ROOT bounds, so they are globally valid rows
+        if use_simplex and options.mip_allow_cut_separation_at_nodes \
+                and is_int.any() and info.mip_node_count % 200 == 0 \
+                and _Relax.num_cut_rows < 500:
+            from .cuts import separate_mir
+            node_cuts = separate_mir(
+                a_csr, lp.row_lower, lp.row_upper, root_lo_p, root_up_p,
+                x, is_int, feastol)
+            strong = [c for c in node_cuts if c.efficacy > 1e-3][:20]
+            keep_cuts = []
+            for c in strong:
+                if debug_sol is not None and debug_sol.active:
+                    dense_c = np.zeros(lp.num_col)
+                    dense_c[c.cols] = c.vals
+                    if not debug_sol.check_cut(dense_c, c.rhs,
+                                               "node cut"):
+                        continue
+                keep_cuts.append(c)
+            if keep_cuts:
+                import scipy.sparse as _sp
+                data, rix, cix, rhs_list = [], [], [], []
+                for r, c in enumerate(keep_cuts):
+                    data.extend(c.vals.tolist())
+                    rix.extend([r] * len(c.cols))
+                    cix.extend(c.cols.tolist())
+                    rhs_list.append(c.rhs)
+                cut_block = _sp.csc_matrix(
+                    (data, (rix, cix)),
+                    shape=(len(keep_cuts), lp.num_col))
+                _Relax.a_csc = _sp.vstack(
+                    [_Relax.a_csc, cut_block]).tocsc()
+                _Relax.row_lower = np.concatenate(
+                    [_Relax.row_lower,
+                     np.full(len(keep_cuts), -kHighsInf)])
+                _Relax.row_upper = np.concatenate(
+                    [_Relax.row_upper, np.asarray(rhs_list)])
+                _Relax.num_cut_rows += len(keep_cuts)
+                # stored warm bases grow by one basic logical per row
+                ext = np.ones(len(keep_cuts), dtype=np.int8)
+                for nd in heap:
+                    if nd.basis is not None:
+                        nd.basis = np.concatenate([nd.basis, ext])
+                if node_basis is not None:
+                    node_basis = np.concatenate([node_basis, ext])
+                _batch_state["ev"] = None  # row count changed
+                if log is not None:
+                    log(f"MIP node separation: +{len(keep_cuts)} cuts "
+                        f"({_Relax.num_cut_rows} total)")
+
         if sub_level == 0 and options.mip_heuristic_run_rins and \
                 incumbent_obj < math.inf and incumbent_x is not None and \
                 info.mip_node_count % 100 == 0:

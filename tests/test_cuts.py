@@ -115,3 +115,38 @@ def test_mip_with_cuts_still_correct():
     st, sol, info = solve_mip(lp, HighsOptions())
     assert st == HighsModelStatus.kOptimal
     assert info.primal_obj == pytest.approx(-20.0, abs=1e-6)
+
+
+def test_path_mir_aggregation():
+    """Path-aggregation c-MIR (reference HighsPathSeparator): aggregate
+    two rows along a degree-2 continuous variable, then MIR.
+
+    Rows:  2x1 + 3x2 + y <= 7.5   and   y >= 1.2 (as -y <= -1.2),
+    x integer, y continuous (deg 2).  Aggregate eliminates y:
+    2x1 + 3x2 <= 6.3 -> MIR cut exists at fractional x*."""
+    import scipy.sparse as sp
+    import numpy as np
+    from highs_tpu.solvers.mip.cuts import separate_path_mir
+
+    a = sp.csr_matrix(np.array([
+        [2.0, 3.0, 1.0],
+        [0.0, 0.0, 1.0]]))
+    row_lower = np.array([-np.inf, 1.2])
+    row_upper = np.array([7.5, np.inf])
+    lo = np.zeros(3)
+    up = np.array([10.0, 10.0, 10.0])
+    is_int = np.array([True, True, False])
+    # fractional LP point on the aggregated face
+    x = np.array([1.65, 1.0, 1.2])
+    cuts = separate_path_mir(a, row_lower, row_upper, lo, up, x, is_int)
+    assert cuts, "aggregation must produce at least one cut"
+    # every returned cut must be valid for the integer points of the box
+    # satisfying the rows: brute-force check
+    for c in cuts:
+        for x1 in range(0, 4):
+            for x2 in range(0, 3):
+                y = 1.2
+                if 2 * x1 + 3 * x2 + y <= 7.5 + 1e-9:
+                    dense = np.zeros(3)
+                    dense[c.cols] = c.vals
+                    assert dense @ np.array([x1, x2, y]) <= c.rhs + 1e-6
