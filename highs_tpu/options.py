@@ -389,6 +389,9 @@ _opt("tpu_mesh_shape", str, "",
      "Device mesh, e.g. '4x2'; empty = single device")
 _opt("tpu_batch_solve", bool, False,
      "Batch multiple instances through vmapped solves")
+_opt("tpu_ipm_newton", str, "choose",
+     "IPM normal-equations solver: choose / cholesky / cg "
+     "(cg = matrix-free Jacobi-preconditioned conjugate gradients)")
 _opt("tpu_mip_batch_nodes", int, 0,
      "Evaluate MIP node LPs in vmapped device batches of this size "
      "(0 = sequential node engine)", 0, 1024)

@@ -113,14 +113,20 @@ def _residuals(problem: IpmProblem, state: IpmState):
     return rb, rc, rl, ru, c_full
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("settings", "newton"))
 def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
-             settings: Tuple) -> Tuple[IpmState, IpmMetrics]:
+             settings: Tuple, newton: str = "chol"
+             ) -> Tuple[IpmState, IpmMetrics]:
     """One Mehrotra predictor-corrector iteration, fully on device.
 
     `regs` = device array (reg_primal, reg_dual) — dynamic so the host
     can escalate regularization (on Cholesky breakdown) without
     recompilation.  `settings` = (sigma_min, sigma_max, ftb, theta_max).
+    `newton` picks the normal-equations solver: "chol" = dense Cholesky
+    (MXU matmuls, exact); "cg" = Jacobi-preconditioned conjugate
+    gradients, matrix-free in M (two matvecs per CG iteration) — the
+    IPX-style iterative KKT path (kkt_solver_diag.h) that scales past
+    the O(m^3) factorization.
     """
     (sigma_min, sigma_max, ftb, theta_max) = settings
     reg_p, reg_d = regs[0], regs[1]
@@ -143,11 +149,32 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
     theta_x, theta_s = theta[:n], theta[n:]
 
     # normal matrix M = K Theta_x K' + Theta_s (ineq diag) + reg_d I
-    at_weighted = problem.a * theta_x[None, :]
-    mmat = at_weighted @ problem.a.T
     diag_extra = theta_s * problem.slack_mask + reg_d
-    mmat = mmat + jnp.diag(diag_extra)
-    chol = jnp.linalg.cholesky(mmat)
+    if newton == "chol":
+        at_weighted = problem.a * theta_x[None, :]
+        mmat = at_weighted @ problem.a.T
+        mmat = mmat + jnp.diag(diag_extra)
+        chol = jnp.linalg.cholesky(mmat)
+
+        def solve_m(rhs_y):
+            return jax.scipy.linalg.cho_solve((chol, True), rhs_y)
+    else:
+        # matrix-free CG on M with Jacobi preconditioner
+        # diag(M)_i = sum_j K_ij^2 theta_j + diag_extra_i
+        diag_m = (problem.a * problem.a) @ theta_x + diag_extra
+
+        def mdot(v):
+            # [K,-I_s] Theta [K,-I_s]' v already contains the
+            # Theta_s slack diagonal, so only reg_d is added here
+            return _mv(problem, theta * _rmv(problem, v)) + reg_d * v
+
+        def precond(v):
+            return v / jnp.maximum(diag_m, eps)
+
+        def solve_m(rhs_y):
+            dy, _ = jax.scipy.sparse.linalg.cg(
+                mdot, rhs_y, M=precond, tol=1e-14, maxiter=400)
+            return dy
 
     def solve_newton(rmu_l, rmu_u):
         rhs_x = (rc -
@@ -159,7 +186,7 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
                  problem.up_fin)
         w = theta * rhs_x
         rhs_y = rb + _mv(problem, w)
-        dy = jax.scipy.linalg.cho_solve((chol, True), rhs_y)
+        dy = solve_m(rhs_y)
         dx = theta * (_rmv(problem, dy) - rhs_x)
         dxl = (dx - rl) * problem.lo_fin
         dxu = (ru - dx) * problem.up_fin
@@ -371,6 +398,15 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
                   settings.fraction_to_boundary, settings.theta_max)
     regs = np.array([settings.reg_primal, settings.reg_dual])
 
+    newton_opt = getattr(options, "tpu_ipm_newton", "choose")
+    if newton_opt == "cg":
+        newton = "cg"
+    elif newton_opt == "cholesky":
+        newton = "chol"
+    else:
+        # dense Cholesky is O(m^3); switch to matrix-free CG at scale
+        newton = "cg" if m > 2500 else "chol"
+
     state = _starting_point(problem)
 
     norm_c_h = float(problem.norm_c)
@@ -384,7 +420,7 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
         prev_state = state
         state, metrics = ipm_step(problem, state,
                                   jnp.asarray(regs, dtype=dtype),
-                                  sett_tuple)
+                                  sett_tuple, newton)
         it += 1
         mh = jax.device_get(metrics)
         if not np.isfinite(float(mh.mu)):

@@ -104,3 +104,21 @@ def test_crossover_api(instances_dir):
     assert h2.crossover(sol) == 0
     assert h2.getBasis().valid
     assert abs(h2.getObjectiveValue() - (-4.6475314286e2)) < 1e-4
+
+
+def test_ipm_cg_newton_matches_cholesky(instances_dir):
+    """The matrix-free CG Newton path (tpu_ipm_newton=cg) must reach the
+    same optimum as the dense Cholesky path."""
+    objs = {}
+    for newton in ("cholesky", "cg"):
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("solver", "ipm")
+        h.setOptionValue("presolve", "off")
+        h.setOptionValue("tpu_ipm_newton", newton)
+        h.readModel(instance_path("adlittle.mps"))
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        objs[newton] = h.getObjectiveValue()
+    assert abs(objs["cg"] - 2.2549496316e5) < 1e-2
+    assert abs(objs["cg"] - objs["cholesky"]) < 1e-3
