@@ -154,3 +154,28 @@ def test_mip_batched_node_evaluation(instances_dir, mode):
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert abs(h.getObjectiveValue() - 568.1007) < 1e-2
+
+
+def test_semi_variable_modification_sequence(instances_dir):
+    """Reference TestSemiVariables.cpp: solve (8.22333), fix the semi
+    column at 0 (6.83333), switch to semi-integer and restore bounds
+    (8.13333)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("semi-continuous.mps"))
+    lp = h.getLp()
+    integ = np.asarray(lp.integrality)
+    semi_col = int(np.nonzero(
+        integ == int(HighsVarType.kSemiContinuous))[0][0])
+    lo0, up0 = float(lp.col_lower[semi_col]), float(lp.col_upper[semi_col])
+    h.run()
+    assert abs(h.getObjectiveValue() - 8.22333) < 1e-4
+
+    h.changeColBounds(semi_col, 0.0, 0.0)
+    h.run()
+    assert abs(h.getObjectiveValue() - 6.83333) < 1e-4
+
+    h.changeColIntegrality(semi_col, HighsVarType.kSemiInteger)
+    h.changeColBounds(semi_col, lo0, up0)
+    h.run()
+    assert abs(h.getObjectiveValue() - 8.13333) < 1e-4
