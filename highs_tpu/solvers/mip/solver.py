@@ -141,7 +141,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # node relaxations: hot-started native simplex when the dense basis
     # inverse fits (the reference's node engine is hot-started dual
     # simplex, HighsLpRelaxation); IPM otherwise
-    use_simplex = lp.num_row <= 2000
+    use_simplex = lp.num_row <= 10000
     mip_feastol = feastol
 
     # mutable relaxation state: root cut separation appends globally

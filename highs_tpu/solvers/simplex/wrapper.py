@@ -38,9 +38,10 @@ _STATUS_MAP = {
     3: HighsBasisStatus.kZero,
 }
 
-# problems beyond this row count use the IPM path (the dense basis
-# inverse is O(m^2) per pivot)
-SIMPLEX_MAX_ROWS = 3000
+# problems beyond this row count use the IPM path (the sparse-LU
+# kernel scales much further than the old dense inverse; the remaining
+# limit reflects the serial pricing loop, not memory)
+SIMPLEX_MAX_ROWS = 20000
 
 
 def basis_from_statuses(statuses: np.ndarray, n: int, m: int) -> HighsBasis:
@@ -81,13 +82,19 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
              for s in list(basis.col_status) + list(basis.row_status)],
             dtype=np.int8)
 
+    # native pivot budget: highly degenerate instances (e.g. greenbea)
+    # crawl in primal phase 1; past this budget the IPM + crossover
+    # route is faster and still ends at a vertex basis (the reference
+    # solves those with dual simplex + DSE)
+    native_budget = min(options.simplex_iteration_limit,
+                        max(100000, 100 * lp.num_row))
     result, x, y, z, basis_out, iters = simplex_solve(
         lp.a_matrix.to_scipy().tocsc(), sense * lp.col_cost,
         lp.col_lower, lp.col_upper, lp.row_lower, lp.row_upper,
         basis_in=basis_in,
         tol_p=options.primal_feasibility_tolerance * 1e-2,
         tol_d=options.dual_feasibility_tolerance * 1e-2,
-        max_iter=min(options.simplex_iteration_limit, 10**7))
+        max_iter=native_budget)
 
     info.iterations = iters
     info.simplex_iterations = iters
@@ -100,6 +107,36 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
     elif result == RESULT_UNBOUNDED:
         info.status = HighsModelStatus.kUnbounded
         return info.status, HighsSolution(), info
+    elif result == RESULT_ITER_LIMIT and \
+            native_budget < options.simplex_iteration_limit and \
+            _elastic_says_infeasible(lp, options):
+        # phase-1 stall arbiter: the elastic LP  min 1'(p+q) s.t.
+        # rl <= Ax + p - q <= ru  is always feasible (phase 2 only, so
+        # it cannot stall in phase-1 degeneracy); a strictly positive
+        # optimum certifies infeasibility of the original LP
+        info.status = HighsModelStatus.kInfeasible
+        return info.status, HighsSolution(), info
+    elif result == RESULT_ITER_LIMIT and \
+            native_budget < options.simplex_iteration_limit:
+        # budget exhausted (not a user limit): IPM -> crossover gives a
+        # vertex basis; the crossover cleanup re-enters the native
+        # simplex warm-started near the optimum
+        from ..ipm.wrapper import solve_lp_ipm
+        st, sol, raw = solve_lp_ipm(lp, options, log=log)
+        if sol.value_valid and st in (HighsModelStatus.kOptimal,
+                                      HighsModelStatus.kUnknown,
+                                      HighsModelStatus.kIterationLimit):
+            # even an imprecise interior point is a good crossover seed:
+            # the warm-started cleanup simplex proves optimality itself
+            # (reference: IPM "imprecise" -> simplex cleanup,
+            # HighsSolve.cpp:123-163)
+            from .crossover import crossover_from_solution
+            st2, sol2, info2 = crossover_from_solution(lp, options, sol)
+            if st2 == HighsModelStatus.kOptimal:
+                info2.ipm_iterations = raw.iterations
+                info2.simplex_iterations = iters + info2.iterations
+                return st2, sol2, info2
+        return st, sol, raw
     elif result == RESULT_ITER_LIMIT:
         info.status = HighsModelStatus.kIterationLimit
     else:
@@ -115,3 +152,30 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
     info.primal_obj = float(lp.col_cost @ x) + lp.offset
     info.basis = basis_from_statuses(basis_out, lp.num_col, lp.num_row)
     return info.status, sol, info
+
+
+def _elastic_says_infeasible(lp: HighsLp, options: HighsOptions) -> bool:
+    """Solve the elastic feasibility LP with the native simplex and
+    report whether its optimum certifies primal infeasibility."""
+    import scipy.sparse as sp
+
+    from .native import RESULT_OPTIMAL, simplex_solve
+
+    m = lp.num_row
+    if m == 0:
+        return bool(np.any(lp.col_lower > lp.col_upper + 1e-9))
+    a = lp.a_matrix.to_scipy().tocsc()
+    ident = sp.identity(m, format="csc")
+    a_el = sp.hstack([a, ident, -ident]).tocsc()
+    cost = np.concatenate([np.zeros(lp.num_col), np.ones(2 * m)])
+    lo_el = np.concatenate([lp.col_lower, np.zeros(2 * m)])
+    up_el = np.concatenate([lp.col_upper, np.full(2 * m, np.inf)])
+    result, x, _y, _z, _b, _it = simplex_solve(
+        a_el, cost, lo_el, up_el, lp.row_lower, lp.row_upper,
+        tol_p=1e-9, tol_d=1e-9,
+        max_iter=max(100000, 50 * (lp.num_col + m)))
+    if result != RESULT_OPTIMAL:
+        return False  # inconclusive
+    scale = 1.0 + float(np.max(np.abs(np.where(
+        np.isfinite(lp.row_upper), lp.row_upper, 0.0)), initial=0.0))
+    return float(cost @ x) > 1e-7 * scale

@@ -1,16 +1,18 @@
-// Bounded-variable revised simplex (primal), dense basis inverse.
+// Bounded-variable revised simplex (primal), sparse LU basis kernel.
 //
 // Native cleanup/crossover stage of the highs_tpu framework: the
 // reference keeps its simplex in C++ (highs/simplex/HEkk*, util/HFactor)
 // because the pivot loop is strictly sequential and latency-bound —
-// exactly the part that does not map to TPU (SURVEY §3.1).  This
-// implementation follows the same role with a simpler numerical core:
+// exactly the part that does not map to TPU (SURVEY §3.1).
 //
 // - problem:  min c'x  s.t.  L <= Ax <= U, l <= x <= u, posed over the
 //   augmented system W = [A, -I] with logical (slack) variables holding
 //   the row bounds, so every basis is square in R^{m x m};
-// - dense explicit basis inverse B^{-1}, product-form update per pivot,
-//   periodic refactorization by Gauss-Jordan with partial pivoting;
+// - basis kernel: sparse left-looking LU with threshold partial
+//   pivoting and nnz column preordering (the role of HFactor::build,
+//   highs/util/HFactor.h:204), sparse column-wise L/U triangular
+//   solves for FTRAN/BTRAN (:481-487), and product-form eta updates
+//   between periodic refactorizations (the PF update form, :492-503);
 // - phase 1: piecewise-linear minimization of primal infeasibility
 //   (composite subcosts -1/0/+1), phase 2: Dantzig pricing with a
 //   bounded-variable Harris-lite ratio test and bound flips;
@@ -25,6 +27,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <cstdio>
 
 namespace {
 
@@ -45,6 +48,41 @@ enum Result : int {
   kSingular = 4,
 };
 
+// Sparse LU of the basis with product-form eta updates.
+//
+// Columns are factorized in nnz-increasing order (logicals first), each
+// by a left-looking elimination against the L columns built so far with
+// threshold-free max-magnitude pivoting over the unassigned rows.
+// FTRAN/BTRAN are column-wise sparse triangular solves; between
+// refactorizations pivots append eta vectors (basis-position indexed).
+struct SparseLU {
+  int m = 0;
+  // L: strictly-below-pivot entries, column-wise (unit diagonal)
+  std::vector<int> Lstart, Lrow;
+  std::vector<double> Lval;
+  // U: off-diagonal entries reference earlier processing POSITIONS
+  std::vector<int> Ustart, Upos;
+  std::vector<double> Uval, Upiv;
+  std::vector<int> pivrow;   // processing position -> original row
+  std::vector<int> posofp;   // basis position -> processing position
+  std::vector<int> qcol;     // processing position -> basis position
+
+  struct Eta {
+    int p;                   // pivotal basis position
+    double piv;
+    std::vector<int> idx;    // non-pivot basis positions
+    std::vector<double> val;
+  };
+  std::vector<Eta> etas;
+
+  void clear() {
+    Lstart.assign(1, 0); Lrow.clear(); Lval.clear();
+    Ustart.assign(1, 0); Upos.clear(); Uval.clear(); Upiv.clear();
+    pivrow.clear(); posofp.assign(m, -1); qcol.clear();
+    etas.clear();
+  }
+};
+
 struct Workspace {
   int m, n, nv;  // rows, structural cols, total vars (n + m)
   const int64_t* Ap;
@@ -53,7 +91,7 @@ struct Workspace {
   std::vector<double> cost, lo, up;
   std::vector<int8_t> stat;   // per variable
   std::vector<int32_t> basic; // basic variable per basis position, size m
-  std::vector<double> binv;   // m*m row-major B^{-1}
+  SparseLU lu;
   std::vector<double> xval;   // values of all variables
   std::vector<double> work_col, work_row, work_m;
 
@@ -77,61 +115,170 @@ struct Workspace {
   }
 };
 
-// Build dense B from basis and invert with Gauss-Jordan partial
-// pivoting.  On rank deficiency the dependent basic variable is demoted
-// and replaced by a non-basic logical (basis repair — the reference
-// does this inside HFactor::build with singleton handling), then the
-// factorization restarts; up to `m` repairs.
+// Sparse left-looking LU of the basis (role of HFactor::build).  On
+// rank deficiency *fail_pos reports the dependent BASIS POSITION for
+// repair by the caller.
 bool refactor_once(Workspace& w, int* fail_pos) {
   const int m = w.m;
-  std::vector<double> B(static_cast<size_t>(m) * m, 0.0);
+  SparseLU& lu = w.lu;
+  lu.m = m;
+  lu.clear();
+
+  // nnz-increasing column preorder (logicals = 1 nnz go first; the
+  // reference's triangle/singleton detection achieves the same effect)
+  std::vector<int> order(m);
+  std::vector<int> nnz(m);
   for (int p = 0; p < m; ++p) {
+    order[p] = p;
     int j = w.basic[p];
-    if (j < w.n) {
-      for (int64_t k = w.Ap[j]; k < w.Ap[j + 1]; ++k)
-        B[static_cast<size_t>(w.Ai[k]) * m + p] = w.Ax[k];
-    } else {
-      B[static_cast<size_t>(j - w.n) * m + p] = -1.0;
-    }
+    nnz[p] = (j < w.n) ? static_cast<int>(w.Ap[j + 1] - w.Ap[j]) : 1;
   }
-  // Gauss-Jordan: binv starts as identity
-  std::fill(w.binv.begin(), w.binv.end(), 0.0);
-  for (int i = 0; i < m; ++i) w.binv[static_cast<size_t>(i) * m + i] = 1.0;
-  for (int col = 0; col < m; ++col) {
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return nnz[a] < nnz[b]; });
+
+  std::vector<double> work(m, 0.0);
+  std::vector<int> touched;
+  touched.reserve(64);
+  std::vector<char> intouch(m, 0);
+  std::vector<int> rowassigned(m, -1);  // original row -> position
+
+  lu.pivrow.resize(m);
+  lu.qcol.resize(m);
+  lu.Upiv.resize(m);
+
+  auto touch = [&](int r) {
+    if (!intouch[r]) {
+      intouch[r] = 1;
+      touched.push_back(r);
+    }
+  };
+
+  for (int pos = 0; pos < m; ++pos) {
+    const int p = order[pos];
+    const int j = w.basic[p];
+    lu.qcol[pos] = p;
+    // scatter W_j
+    touched.clear();
+    if (j < w.n) {
+      for (int64_t k = w.Ap[j]; k < w.Ap[j + 1]; ++k) {
+        work[w.Ai[k]] = w.Ax[k];
+        touch(w.Ai[k]);
+      }
+    } else {
+      work[j - w.n] = -1.0;
+      touch(j - w.n);
+    }
+    // left-looking elimination against earlier columns; also collect
+    // fill-in rows so work[] can be reset exactly
+    for (int pos2 = 0; pos2 < pos; ++pos2) {
+      const double t = work[lu.pivrow[pos2]];
+      if (t == 0.0) continue;
+      for (int k = lu.Lstart[pos2]; k < lu.Lstart[pos2 + 1]; ++k) {
+        const int r = lu.Lrow[k];
+        touch(r);
+        work[r] -= lu.Lval[k] * t;
+      }
+    }
+    // U column: entries at already-pivotal rows
+    for (int r : touched) {
+      const int pos2 = rowassigned[r];
+      if (pos2 >= 0 && work[r] != 0.0) {
+        lu.Upos.push_back(pos2);
+        lu.Uval.push_back(work[r]);
+      }
+    }
+    lu.Ustart.push_back(static_cast<int>(lu.Upos.size()));
+    // pivot: max magnitude over unassigned rows
     int piv = -1;
     double best = 1e-9;
-    for (int r = col; r < m; ++r) {
-      double v = std::fabs(B[static_cast<size_t>(r) * m + col]);
+    for (int r : touched) {
+      if (rowassigned[r] >= 0) continue;
+      const double v = std::fabs(work[r]);
       if (v > best) { best = v; piv = r; }
     }
-    if (piv < 0) { *fail_pos = col; return false; }
-    if (piv != col) {
-      for (int k = 0; k < m; ++k) {
-        std::swap(B[static_cast<size_t>(piv) * m + k],
-                  B[static_cast<size_t>(col) * m + k]);
-        std::swap(w.binv[static_cast<size_t>(piv) * m + k],
-                  w.binv[static_cast<size_t>(col) * m + k]);
+    if (piv < 0) {
+      for (int r : touched) {
+        work[r] = 0.0;
+        intouch[r] = 0;
+      }
+      *fail_pos = p;
+      return false;
+    }
+    const double d = work[piv];
+    lu.Upiv[pos] = d;
+    lu.pivrow[pos] = piv;
+    rowassigned[piv] = pos;
+    // L column: remaining unassigned rows scaled by the pivot
+    for (int r : touched) {
+      if (rowassigned[r] >= 0 || r == piv) continue;
+      const double v = work[r];
+      if (std::fabs(v) > 1e-14 * std::fabs(d)) {
+        lu.Lrow.push_back(r);
+        lu.Lval.push_back(v / d);
       }
     }
-    const double d = B[static_cast<size_t>(col) * m + col];
-    const double dinv = 1.0 / d;
-    for (int k = 0; k < m; ++k) {
-      B[static_cast<size_t>(col) * m + k] *= dinv;
-      w.binv[static_cast<size_t>(col) * m + k] *= dinv;
-    }
-    for (int r = 0; r < m; ++r) {
-      if (r == col) continue;
-      const double f = B[static_cast<size_t>(r) * m + col];
-      if (f == 0.0) continue;
-      for (int k = 0; k < m; ++k) {
-        B[static_cast<size_t>(r) * m + k] -=
-            f * B[static_cast<size_t>(col) * m + k];
-        w.binv[static_cast<size_t>(r) * m + k] -=
-            f * w.binv[static_cast<size_t>(col) * m + k];
-      }
+    lu.Lstart.push_back(static_cast<int>(lu.Lrow.size()));
+    for (int r : touched) {
+      work[r] = 0.0;
+      intouch[r] = 0;
     }
   }
+  lu.posofp.assign(m, -1);
+  for (int pos = 0; pos < m; ++pos) lu.posofp[lu.qcol[pos]] = pos;
   return true;
+}
+
+// base-LU FTRAN: x (basis-position indexed) with B0 x = b (row indexed);
+// b is consumed as workspace
+void lu_ftran_base(const Workspace& w, double* b, double* x) {
+  const SparseLU& lu = w.lu;
+  const int m = lu.m;
+  // L solve (forward over processing positions)
+  for (int pos = 0; pos < m; ++pos) {
+    const double t = b[lu.pivrow[pos]];
+    if (t == 0.0) continue;
+    for (int k = lu.Lstart[pos]; k < lu.Lstart[pos + 1]; ++k)
+      b[lu.Lrow[k]] -= lu.Lval[k] * t;
+  }
+  // U solve (backward); acc[pos] starts as the eliminated rhs.  The
+  // column-wise U entries push contributions of x_pos to earlier rows:
+  // note L/Upiv scaling makes U's diagonal Upiv and the U entries were
+  // recorded UNSCALED, so divide at the end.
+  std::vector<double>& acc = const_cast<Workspace&>(w).work_m;
+  acc.resize(m);
+  for (int pos = 0; pos < m; ++pos) acc[pos] = b[lu.pivrow[pos]];
+  for (int pos = m - 1; pos >= 0; --pos) {
+    const double xv = acc[pos] / lu.Upiv[pos];
+    x[lu.qcol[pos]] = xv;
+    if (xv == 0.0) continue;
+    for (int k = lu.Ustart[pos]; k < lu.Ustart[pos + 1]; ++k)
+      acc[lu.Upos[k]] -= lu.Uval[k] * xv;
+  }
+}
+
+// base-LU BTRAN: y (row indexed) with B0' y = e (basis-position indexed)
+void lu_btran_base(const Workspace& w, const double* e, double* y) {
+  const SparseLU& lu = w.lu;
+  const int m = lu.m;
+  // U' z = e_q (forward over positions; off-diag entries are at earlier
+  // positions, already solved)
+  std::vector<double>& z = const_cast<Workspace&>(w).work_m;
+  z.resize(m);
+  for (int pos = 0; pos < m; ++pos) {
+    double s = e[lu.qcol[pos]];
+    for (int k = lu.Ustart[pos]; k < lu.Ustart[pos + 1]; ++k)
+      s -= lu.Uval[k] * z[lu.Upos[k]];
+    z[pos] = s / lu.Upiv[pos];
+  }
+  // L' w = z (backward); output on original rows
+  for (int i = 0; i < m; ++i) y[i] = 0.0;
+  for (int pos = 0; pos < m; ++pos) y[lu.pivrow[pos]] = z[pos];
+  for (int pos = m - 1; pos >= 0; --pos) {
+    double s = y[lu.pivrow[pos]];
+    for (int k = lu.Lstart[pos]; k < lu.Lstart[pos + 1]; ++k)
+      s -= lu.Lval[k] * y[lu.Lrow[k]];
+    y[lu.pivrow[pos]] = s;
+  }
 }
 
 bool refactor(Workspace& w) {
@@ -156,29 +303,45 @@ bool refactor(Workspace& w) {
   return false;
 }
 
-// ftran: alpha = B^{-1} * W_j  (dense)
-void ftran(const Workspace& w, int j, double* alpha) {
-  const int m = w.m;
-  std::vector<double> col(m, 0.0);
-  const_cast<Workspace&>(w).axpy_col(j, 1.0, col.data());
-  for (int r = 0; r < m; ++r) {
-    double s = 0.0;
-    const double* row = &w.binv[static_cast<size_t>(r) * m];
-    for (int k = 0; k < m; ++k) s += row[k] * col[k];
-    alpha[r] = s;
+// apply accumulated eta updates (FTRAN direction):
+// B_new = B_old E  =>  B_new^{-1} v = E^{-1} B_old^{-1} v
+void apply_etas_ftran(const Workspace& w, double* x) {
+  for (const auto& e : w.lu.etas) {
+    const double xp = x[e.p] / e.piv;
+    x[e.p] = xp;
+    if (xp == 0.0) continue;
+    for (size_t k = 0; k < e.idx.size(); ++k)
+      x[e.idx[k]] -= e.val[k] * xp;
   }
 }
 
-// btran: y = (B^{-1})' * e  given dense e (size m)
+// apply eta transposes in reverse (BTRAN direction)
+void apply_etas_btran(const Workspace& w, double* e_vec) {
+  for (auto it = w.lu.etas.rbegin(); it != w.lu.etas.rend(); ++it) {
+    double s = e_vec[it->p];
+    for (size_t k = 0; k < it->idx.size(); ++k)
+      s -= it->val[k] * e_vec[it->idx[k]];
+    e_vec[it->p] = s / it->piv;
+  }
+}
+
+// ftran: alpha = B^{-1} * W_j  (basis-position indexed)
+void ftran(const Workspace& w, int j, double* alpha) {
+  const int m = w.m;
+  std::vector<double>& col = const_cast<Workspace&>(w).work_col;
+  col.assign(m, 0.0);
+  const_cast<Workspace&>(w).axpy_col(j, 1.0, col.data());
+  lu_ftran_base(w, col.data(), alpha);
+  apply_etas_ftran(w, alpha);
+}
+
+// btran: y = (B^{-1})' * e  given e over basis positions; y over rows
 void btran_dense(const Workspace& w, const double* e, double* y) {
   const int m = w.m;
-  for (int k = 0; k < m; ++k) y[k] = 0.0;
-  for (int r = 0; r < m; ++r) {
-    const double f = e[r];
-    if (f == 0.0) continue;
-    const double* row = &w.binv[static_cast<size_t>(r) * m];
-    for (int k = 0; k < m; ++k) y[k] += f * row[k];
-  }
+  std::vector<double>& ework = const_cast<Workspace&>(w).work_row;
+  ework.assign(e, e + m);
+  apply_etas_btran(w, ework.data());
+  lu_btran_base(w, ework.data(), y);
 }
 
 // recompute basic variable values: W_B x_B = -W_N x_N  (rhs b = 0)
@@ -193,37 +356,35 @@ void compute_basics(Workspace& w) {
     w.xval[j] = v;
     w.axpy_col(j, -v, rhs.data());
   }
-  for (int p = 0; p < m; ++p) {
-    // x_B[p] = row p of B^{-1} ... B^{-1} rhs -> need column ordering:
-    // basic[p]'s value is (B^{-1} rhs)[p]
-    double s = 0.0;
-    const double* row = &w.binv[static_cast<size_t>(p) * m];
-    for (int k = 0; k < m; ++k) s += row[k] * rhs[k];
-    w.xval[w.basic[p]] = s;
-  }
+  std::vector<double> xb(m);
+  lu_ftran_base(w, rhs.data(), xb.data());
+  apply_etas_ftran(w, xb.data());
+  for (int p = 0; p < m; ++p) w.xval[w.basic[p]] = xb[p];
 }
 
-// product-form update of B^{-1} after basic position p gets column with
-// ftran result alpha (alpha[p] is the pivot element)
+// product-form eta update after basic position p gets the column whose
+// ftran result is alpha (alpha[p] is the pivot element) — the PF update
+// form of HFactor (HFactor.h:492-503)
 void update_binv(Workspace& w, int p, const double* alpha) {
   const int m = w.m;
-  const double piv = alpha[p];
-  const double pinv = 1.0 / piv;
-  double* prow = &w.binv[static_cast<size_t>(p) * m];
-  for (int k = 0; k < m; ++k) prow[k] *= pinv;
+  SparseLU::Eta e;
+  e.p = p;
+  e.piv = alpha[p];
   for (int r = 0; r < m; ++r) {
-    if (r == p) continue;
-    const double f = alpha[r];
-    if (f == 0.0) continue;
-    double* row = &w.binv[static_cast<size_t>(r) * m];
-    for (int k = 0; k < m; ++k) row[k] -= f * prow[k];
+    if (r == p || alpha[r] == 0.0) continue;
+    if (std::fabs(alpha[r]) > 1e-14) {
+      e.idx.push_back(r);
+      e.val.push_back(alpha[r]);
+    }
   }
+  w.lu.etas.push_back(std::move(e));
 }
 
 struct PricingResult {
   int j = -1;
   int dir = 0;  // +1 increase, -1 decrease
   double score = 0.0;
+  double zabs = 0.0;  // |reduced cost| of the chosen column
 };
 
 }  // namespace
@@ -262,7 +423,6 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
   }
   w.stat.assign(w.nv, kLower);
   w.basic.resize(m);
-  w.binv.assign(static_cast<size_t>(m) * m, 0.0);
   w.xval.assign(w.nv, 0.0);
 
   // ---- initial basis ----------------------------------------------------
@@ -338,6 +498,24 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
     long long check_counter = 0;
     int verify_retries = 0;
     int degen_run = 0;  // consecutive (near-)zero-step pivots
+    // ---- cost perturbation (reference: HEkk cost perturbation) -------
+    // deterministic xorshift noise, magnitude ~100 tol_d relative to
+    // the cost scale; active in phase 2 until perturbed optimality,
+    // then removed for exact cleanup iterations
+    bool perturbed = true;
+    std::vector<double> pert(w.nv, 0.0);
+    {
+      uint64_t s = 0x9E3779B97F4A7C15ull;
+      for (int j = 0; j < w.nv; ++j) {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+        const double u = 0.5 + 0.5 * double(s % 1024) / 1024.0;
+        pert[j] = 100.0 * tol_d * (1.0 + std::fabs(w.cost[j])) * u;
+      }
+    }
+    // ---- Devex reference-framework weights (reference HEkkDual devex;
+    // score z^2 / weight) ----------------------------------------------
+    std::vector<double> devex(w.nv, 1.0);
+    int devex_resets = 0;
     // scale-relative primal tolerance: bounds in real LPs span 1e0-1e6,
     // and an absolute 1e-9 test makes phase classification flap on
     // drift, ending in false "infeasible" verdicts (the reference works
@@ -367,6 +545,17 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         else if (v > w.up[j] + tj) infeas_sum += v - w.up[j];
       }
       const int phase = (infeas_sum > 0.0) ? 1 : 2;
+      const char* dbg_every_s = std::getenv("HX_DEBUG_EVERY");
+      const int dbg_every = dbg_every_s ? std::atoi(dbg_every_s) : 20000;
+      if (std::getenv("HX_DEBUG") && iters % dbg_every == 0) {
+        double obj = 0.0;
+        for (int j = 0; j < w.nv; ++j) obj += w.cost[j] * w.xval[j];
+        std::fprintf(stderr,
+                     "hx iter=%d phase=%d infeas=%.3e obj=%.8e "
+                     "degen=%d pert=%d\n",
+                     iters, phase, infeas_sum, obj, degen_run,
+                     int(perturbed));
+      }
       if (phase == 1) {
         for (int p = 0; p < m; ++p) {
           int j = w.basic[p];
@@ -377,6 +566,12 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         }
       } else {
         for (int j = 0; j < w.nv; ++j) ecost[j] = w.cost[j];
+        if (perturbed) {
+          for (int j = 0; j < w.nv; ++j) {
+            if (w.stat[j] == kLower) ecost[j] += pert[j];
+            else if (w.stat[j] == kUpper) ecost[j] -= pert[j];
+          }
+        }
       }
       // ---- duals: pi = (B^-1)' c_B ------------------------------------
       for (int p = 0; p < m; ++p) e[p] = ecost[w.basic[p]];
@@ -388,6 +583,11 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
       PricingResult pr;
       for (int j = 0; j < w.nv; ++j) {
         if (w.stat[j] == kBasic) continue;
+        // fixed variables (l == u) can never move: any reduced-cost
+        // sign is dual-feasible for them, and "entering" one is a
+        // guaranteed degenerate pivot (observed 2-cycles of fixed
+        // columns swapping in and out)
+        if (w.up[j] - w.lo[j] <= 0.0) continue;
         double zj = ecost[j] - w.dot_col(j, pi.data());
         int dir = 0;
         double score = 0.0;
@@ -398,9 +598,22 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
           if (zj > tol_d) { dir = -1; score = zj; }
         }
         if (dir != 0) {
-          if (bland) { pr.j = j; pr.dir = dir; pr.score = score; break; }
-          if (score > pr.score) { pr.j = j; pr.dir = dir; pr.score = score; }
+          if (bland) {
+            pr.j = j; pr.dir = dir; pr.score = score; pr.zabs = score;
+            break;
+          }
+          const double dscore = score * score / devex[j];
+          if (dscore > pr.score) {
+            pr.j = j; pr.dir = dir; pr.score = dscore; pr.zabs = score;
+          }
         }
+      }
+      if (pr.j < 0 && phase == 2 && perturbed) {
+        // optimal for the PERTURBED costs: remove the perturbation and
+        // continue with exact costs (reference: perturbation removal +
+        // cleanup solve)
+        perturbed = false;
+        continue;
       }
       if (pr.j < 0) {
         // re-verify with a fresh factorization before concluding
@@ -425,13 +638,20 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         if (check_inf > 0.0) continue;  // drift: rerun phase 1
         result = kOptimal; goto finish;
       }
-      // ---- ratio test --------------------------------------------------
+      // ---- ratio test: Harris two-pass (reference HEkkDual Harris
+      // ratio test): pass 1 finds the tolerance-relaxed step limit,
+      // pass 2 picks the largest-pivot blocker within it — degenerate
+      // ties resolve toward numerically strong pivots instead of
+      // cycling on tiny ones ---------------------------------------------
       ftran(w, pr.j, alpha.data());
       // entering moves by t*dir; basic j_p changes by -t*dir*alpha[p]
       double t_max = w.up[pr.j] - w.lo[pr.j];  // bound flip distance
       if (t_max < 0) t_max = 0;
       int leave_p = -1;
       int leave_to = kLower;
+      struct RtCand { int p; double room; double a; int to; };
+      std::vector<RtCand> rt_cands;
+      rt_cands.reserve(32);
       for (int p = 0; p < m; ++p) {
         double a = -pr.dir * alpha[p];
         if (std::fabs(a) < 1e-9) continue;
@@ -449,17 +669,41 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
           double tj = 10.0 * ptol(jb);
           if (a > 0) {
             double target;
-            if (v < w.lo[jb] - tj) target = w.lo[jb];       // rising to lo
-            else if (v <= w.up[jb] + tj) target = w.up[jb];  // in range
-            else continue;  // above up, rising further: no block
+            if (v < w.lo[jb] - tj) {
+              target = w.lo[jb];  // rising toward its violated lower
+              // second breakpoint: continuing past lo up to up makes
+              // it infeasible again (slope rises by |a| there too)
+              if (w.up[jb] < kInf) {
+                const double room2 = (w.up[jb] - v) / a;
+                if (room2 >= 0)
+                  rt_cands.push_back(
+                      RtCand{p, room2, std::fabs(-pr.dir * alpha[p]),
+                             kUpper});
+              }
+            } else if (v <= w.up[jb] + tj) {
+              target = w.up[jb];  // in range
+            } else {
+              continue;  // above up, rising further: no block
+            }
             if (target >= kInf) continue;
             room = (target - v) / a;
             to = (target == w.lo[jb]) ? kLower : kUpper;
           } else {
             double target;
-            if (v > w.up[jb] + tj) target = w.up[jb];        // falling to up
-            else if (v >= w.lo[jb] - tj) target = w.lo[jb];  // in range
-            else continue;  // below lo, falling further: no block
+            if (v > w.up[jb] + tj) {
+              target = w.up[jb];  // falling toward its violated upper
+              if (w.lo[jb] > -kInf) {
+                const double room2 = (w.lo[jb] - v) / a;
+                if (room2 >= 0)
+                  rt_cands.push_back(
+                      RtCand{p, room2, std::fabs(-pr.dir * alpha[p]),
+                             kLower});
+              }
+            } else if (v >= w.lo[jb] - tj) {
+              target = w.lo[jb];  // in range
+            } else {
+              continue;  // below lo, falling further: no block
+            }
             if (target <= -kInf) continue;
             room = (target - v) / a;
             to = (target == w.up[jb]) ? kUpper : kLower;
@@ -476,10 +720,79 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
           }
         }
         if (room < -tol_p) room = 0.0;
-        if (room < t_max - 1e-12) {
-          t_max = room;
-          leave_p = p;
-          leave_to = to;
+        if (room < 0) room = 0.0;
+        rt_cands.push_back(RtCand{p, room, std::fabs(a), to});
+      }
+      if (bland) {
+        // textbook Bland leaving rule: minimal room, ties broken by
+        // least variable index — the combination Bland-entering +
+        // Bland-leaving is provably cycle-free, which the piecewise /
+        // Harris tests are not
+        double t_sel = 1e31;
+        int best_jb = w.nv + 1;
+        int sel_p = -1, sel_to = kLower;
+        for (const auto& c : rt_cands) {
+          const double room = std::max(0.0, c.room);
+          if (room < t_sel - 1e-12 ||
+              (room <= t_sel + 1e-12 && w.basic[c.p] < best_jb)) {
+            t_sel = std::min(t_sel, room);
+            best_jb = w.basic[c.p];
+            sel_p = c.p;
+            sel_to = c.to;
+          }
+        }
+        if (sel_p >= 0 && t_sel <= t_max) {
+          leave_p = sel_p;
+          leave_to = sel_to;
+          t_max = t_sel;
+        }
+      } else if (phase == 1) {
+        // piecewise-linear ratio test (composite phase 1, Maros-style):
+        // keep stepping past breakpoints while the infeasibility-
+        // direction slope stays negative — each passed breakpoint
+        // raises the slope by its |pivot|.  This is what prevents the
+        // massive tie-degeneracy of stopping at the first breakpoint.
+        std::sort(rt_cands.begin(), rt_cands.end(),
+                  [](const RtCand& x, const RtCand& y) {
+                    return x.room < y.room;
+                  });
+        double flip_dist = w.up[pr.j] - w.lo[pr.j];
+        if (flip_dist < 0) flip_dist = 0;
+        double slope = -pr.zabs;
+        double t_sel = flip_dist;  // default: bound flip
+        for (const auto& c : rt_cands) {
+          if (c.room > flip_dist) break;  // entering flips first
+          slope += c.a;
+          leave_p = c.p;
+          leave_to = c.to;
+          t_sel = std::max(0.0, c.room);
+          if (slope >= -1e-12) break;
+        }
+        t_max = t_sel;
+      } else {
+        // Harris two-pass for phase 2
+        double t_relaxed = t_max;
+        for (const auto& c : rt_cands) {
+          const double tol_rel = ptol(w.basic[c.p]) / c.a;
+          t_relaxed = std::min(t_relaxed, c.room + tol_rel);
+        }
+        double best_piv = 0.0;
+        for (const auto& c : rt_cands) {
+          if (c.room <= t_relaxed && c.a > best_piv) {
+            best_piv = c.a;
+            leave_p = c.p;
+            leave_to = c.to;
+          }
+        }
+        if (leave_p >= 0) {
+          double room_sel = 0.0;
+          for (const auto& c : rt_cands)
+            if (c.p == leave_p) { room_sel = c.room; break; }
+          if (room_sel > t_max) {
+            leave_p = -1;  // beyond the flip distance: flip instead
+          } else {
+            t_max = room_sel;
+          }
         }
       }
       if (t_max >= kInf && leave_p < 0) {
@@ -495,6 +808,14 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         result = kUnbounded;
         goto finish;
       }
+      if (std::getenv("HX_DEBUG_PIVOTS") && iters >= 200 && iters < 240) {
+        std::fprintf(stderr,
+                     "piv iter=%d phase=%d j=%d dir=%d z=%.3e leave_p=%d"
+                     " jl=%d to=%d t=%.3e stat_j=%d lo=%.3e up=%.3e\n",
+                     iters, phase, pr.j, pr.dir, pr.zabs, leave_p,
+                     leave_p >= 0 ? w.basic[leave_p] : -1, leave_to,
+                     t_max, int(w.stat[pr.j]), w.lo[pr.j], w.up[pr.j]);
+      }
       // ---- apply step --------------------------------------------------
       double t = pr.dir * t_max;
       for (int p = 0; p < m; ++p)
@@ -507,12 +828,41 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
         w.stat[pr.j] = (pr.dir > 0) ? kUpper : kLower;
       } else {
         int jl = w.basic[leave_p];
+        // ---- Devex weight update (Forrest-Goldfarb; reference
+        // HEkkDual devex framework) before the basis changes ----------
+        {
+          const double apq = alpha[leave_p];
+          if (std::fabs(apq) > 1e-10) {
+            std::vector<double>& rho = w.work_row;
+            rho.assign(m, 0.0);
+            std::vector<double> ep(m, 0.0);
+            ep[leave_p] = 1.0;
+            btran_dense(w, ep.data(), rho.data());
+            const double wq = devex[pr.j];
+            const double s = wq / (apq * apq);
+            for (int j2 = 0; j2 < w.nv; ++j2) {
+              if (w.stat[j2] == kBasic || j2 == pr.j) continue;
+              const double arow = w.dot_col(j2, rho.data());
+              if (arow == 0.0) continue;
+              const double cand = arow * arow * s;
+              if (cand > devex[j2]) devex[j2] = cand;
+            }
+            devex[jl] = std::max(s, 1.0);
+            double wmax = 1.0;
+            for (int j2 = 0; j2 < w.nv; ++j2)
+              wmax = std::max(wmax, devex[j2]);
+            if (wmax > 1e8) {
+              std::fill(devex.begin(), devex.end(), 1.0);
+              ++devex_resets;
+            }
+          }
+        }
         w.stat[jl] = static_cast<int8_t>(leave_to);
         w.xval[jl] = (leave_to == kLower) ? w.lo[jl] : w.up[jl];
         w.stat[pr.j] = kBasic;
         w.basic[leave_p] = pr.j;
-        if (std::fabs(alpha[leave_p]) < 1e-7 ||
-            ++since_refactor >= 60) {
+        if (std::fabs(alpha[leave_p]) < 1e-6 ||
+            ++since_refactor >= 30) {
           if (!refactor(w)) { result = kSingular; goto finish; }
           compute_basics(w);
           since_refactor = 0;

@@ -19,6 +19,9 @@ LP_OBJECTIVES = {
     "stair": -2.5126695119e2,
     "standata": 1.2576995000e3,
     "avgas": -7.75,
+    "25fv47": 5.5018458883e3,
+    "greenbea": -7.2555248130e7,
+    "80bau3b": 9.8722419241e5,
 }
 
 INFEASIBLE = ["galenet", "woodinfe", "box1", "bgetam"]
