@@ -547,7 +547,11 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                                   (cl == 0.0) & (cu == 1.0))[0]
             if len(binaries) and a2r.nnz:
                 from ..solvers.mip.propagate import Propagator
-                prop = Propagator(a2r, rl, ru, is_int, tol)
+                # deactivated rows keep stale bounds; mask them to
+                # free rows so the zeroed matrix rows stay redundant
+                rl_act = np.where(row_active, rl, -np.inf)
+                ru_act = np.where(row_active, ru, np.inf)
+                prop = Propagator(a2r, rl_act, ru_act, is_int, tol)
                 # probe the binaries appearing in the most rows first
                 col_counts = np.diff(a2r.tocsc().indptr)
                 order = binaries[np.argsort(-col_counts[binaries])]

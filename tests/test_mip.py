@@ -16,6 +16,8 @@ MIP_OBJECTIVES = {
     "flugpl": 1201500.0,
     "egout": 568.1007,
     "rgn": 82.19999924,
+    "gt2": 21166.0,
+    "lseu": 1120.0,
 }
 
 

@@ -242,3 +242,12 @@ def test_dual_fixing_fixes_column():
     # x was fixed (to 0) and removed, or its bounds collapsed
     if pr.reduced_lp.num_col == 2:
         assert pr.reduced_lp.col_upper[0] == 0.0
+
+
+def test_probing_masked_inactive_rows(instances_dir):
+    """Regression: probing must ignore rows deactivated by earlier
+    rules (their stale bounds made feasible MIPs presolve to
+    infeasible — lseu/bell5)."""
+    lp = read_mps(instance_path("lseu.mps")).lp
+    pr = presolve_lp(lp, HighsOptions())
+    assert pr.status != HighsModelStatus.kInfeasible
