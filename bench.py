@@ -6,8 +6,11 @@ Prints ONE JSON line:
 
 The measured quantity is sustained PDHG iterations/second of the jitted
 device block (2 matvecs + elementwise per iteration) on a dense
-4096x4096 standard-form LP in float32 — the core loop whose CPU analogue
-is the reference HiPDLP iteration (highs/pdlp/hipdlp/pdhg.cc:961).
+4096x4096 standard-form LP — the core loop whose CPU analogue is the
+reference HiPDLP iteration (highs/pdlp/hipdlp/pdhg.cc:961).  The block
+runs the production mixed-precision stepping mode
+(tpu_step_dtype=bfloat16): bf16 step matvecs (half the HBM traffic),
+float32 iterates and metrics — exactly what solve_pdhg executes.
 `vs_baseline` is measured against a 1000 iter/s anchor, a generous
 estimate of the reference's CPU PDLP iteration rate at this size
 (the reference publishes no absolute numbers — BASELINE.md).
@@ -30,9 +33,11 @@ def main():
     from highs_tpu.solvers.pdlp.pdhg import pdhg_block
 
     problem, state = g._synthetic_problem(m=m, n=n, dtype=dtype, seed=7)
+    from highs_tpu.ops.linops import cast_linop
+    step_op = cast_linop(problem.k_op, jnp.bfloat16)
 
     def block(problem, state):
-        return pdhg_block(problem, state, steps_per_block, 1.0)
+        return pdhg_block(problem, state, steps_per_block, 1.0, step_op)
 
     # warm up / compile (scalar readback is the only reliable sync on
     # tunneled backends — block_until_ready can return early there)
