@@ -112,6 +112,13 @@ class PdhgSettings:
     # `step_dtype_switch_tol`, then switch to full precision
     step_dtype: str = ""
     step_dtype_switch_tol: float = 1e-3
+    # step-size strategy (reference pdlp_step_size_strategy;
+    # cupdlp_step.c fixed/adaptive/Malitsky-Pock).  The Halpern mode is
+    # natively fixed-step; "adaptive" and "malitsky_pock" re-estimate
+    # eta between device blocks from the observed iterate movement vs
+    # operator interaction (the linesearch quantities of cuPDLP,
+    # evaluated at block granularity so the device block stays fused)
+    step_size_strategy: str = "fixed"
 
 
 @dataclasses.dataclass
@@ -270,6 +277,20 @@ def power_method(k_op: LinOp, n: int, iters: int, dtype):
 
 
 @jax.jit
+def _step_size_stats(problem: PdhgProblem, state: PdhgState,
+                     x_prev: jax.Array, y_prev: jax.Array):
+    """movement/interaction of the last block (cuPDLP linesearch
+    quantities): movement = w/2 ||dx||^2 + 1/(2w) ||dy||^2,
+    interaction = |dy' K dx|."""
+    dx = state.x_pd - x_prev
+    dy = state.y_pd - y_prev
+    movement = (0.5 * state.omega * jnp.sum(dx * dx) +
+                0.5 / state.omega * jnp.sum(dy * dy))
+    interaction = jnp.abs(jnp.dot(dy, problem.k_op.mv(dx)))
+    return movement, interaction
+
+
+@jax.jit
 def _restart_state(state: PdhgState, new_omega: jax.Array) -> PdhgState:
     """Reset the Halpern anchor to the current PDHG iterate."""
     return state._replace(
@@ -342,6 +363,7 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
 
     total_iters = 0
     restarts = 0
+    prev_iterates = None
     fp_err_at_restart = None
     last_fp_err = None
     status = HighsModelStatus.kNotset
@@ -479,6 +501,37 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if time.perf_counter() - t_start > settings.time_limit:
             status = HighsModelStatus.kTimeLimit
             break
+
+        # --- adaptive step size (between blocks) -------------------------
+        if settings.step_size_strategy in ("adaptive", "malitsky_pock") \
+                and prev_iterates is not None:
+            movement, interaction = _step_size_stats(
+                problem, state, prev_iterates[0], prev_iterates[1])
+            movement = float(movement)
+            interaction = float(interaction)
+            eta_cur = float(jax.device_get(state.eta))
+            if interaction > 1e-300 and movement > 0.0:
+                eta_limit = movement / interaction
+                k = total_iters / max(1, settings.check_interval)
+                if settings.step_size_strategy == "adaptive":
+                    # cuPDLP reduction/growth exponents 0.3/0.6
+                    # (defs.hpp:129-137), block-level
+                    eta_new = min(eta_limit * (1.0 - (k + 1.0)**-0.3),
+                                  eta_cur * (1.0 + (k + 1.0)**-0.6))
+                else:  # malitsky_pock: cautious multiplicative ratio
+                    grow = min(1.0 + 0.5 / (k + 1.0), 1.2)
+                    eta_new = min(eta_limit * 0.9, eta_cur * grow)
+                # PDHG stability requires eta ||K|| < 1 and eta0 is
+                # already at 0.998/||K||: adaptation can only trim
+                # DOWNWARD (toward the observed curvature) and recover
+                # back up to the spectral bound, never beyond it
+                eta_new = min(max(eta_new, 0.25 * eta0), eta0)
+                if eta_new > 0 and abs(eta_new - eta_cur) > \
+                        1e-12 * eta_cur:
+                    state = state._replace(
+                        eta=jnp.asarray(eta_new, dtype=dtype))
+        if settings.step_size_strategy in ("adaptive", "malitsky_pock"):
+            prev_iterates = (state.x_pd, state.y_pd)
 
         # --- restart logic (checkRestartCriteria behavior) ---------------
         if settings.restart_strategy > 0:

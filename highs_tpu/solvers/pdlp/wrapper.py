@@ -153,7 +153,18 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
         dtype=options.tpu_dtype,
         checkpoint_file=options.pdlp_checkpoint_file,
         checkpoint_interval=options.pdlp_checkpoint_interval,
-        step_dtype=options.tpu_step_dtype)
+        step_dtype=options.tpu_step_dtype,
+        # int codes follow the reference (cupdlp_step.c): 0 fixed,
+        # 1 adaptive, 2 Malitsky-Pock.  The reflected-Halpern mode is
+        # natively fixed-step (pdhg.cc kUseCupdlpx), so the default
+        # adaptive code only engages when the restart strategy is not
+        # the Halpern scheme.
+        step_size_strategy=(
+            "fixed" if options.pdlp_step_size_strategy == 0 or
+            (options.pdlp_step_size_strategy == 1 and
+             options.pdlp_restart_strategy >= 2) else
+            "malitsky_pock" if options.pdlp_step_size_strategy == 2
+            else "adaptive"))
 
     x0_s = None
     y0_s = None

@@ -144,3 +144,19 @@ def test_pdlp_mixed_precision_stepping(instances_dir):
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert abs(h.getObjectiveValue() - (-464.7531429)) < 1e-3
+
+
+@pytest.mark.parametrize("strategy,restart", [(0, 2), (1, 1), (2, 1)])
+def test_pdlp_step_size_strategies(instances_dir, strategy, restart):
+    """pdlp_step_size_strategy codes (reference cupdlp_step.c: 0 fixed,
+    1 adaptive, 2 Malitsky-Pock) must all reach the optimum."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "pdlp")
+    h.setOptionValue("presolve", "off")
+    h.setOptionValue("pdlp_step_size_strategy", strategy)
+    h.setOptionValue("pdlp_restart_strategy", restart)
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - (-464.7531429)) < 1e-3
