@@ -259,6 +259,20 @@ class Highs(HighsModelApi, HighsAnalysisApi):
     # ------------------------------------------------------------------
     def run(self) -> HighsStatus:
         t0 = time.perf_counter()
+        # debug images (reference HighsMatrixPic, options
+        # write_matrix_image / write_hessian_image)
+        if self._options.write_matrix_image and self._model.lp.num_nz:
+            from .utils.matrix_pic import write_matrix_pbm
+            name = self._model.lp.model_name or "model"
+            write_matrix_pbm(self._model.lp.a_matrix.to_scipy(),
+                             f"{name}_matrix.pbm")
+        if self._options.write_hessian_image and \
+                self._model.hessian is not None and \
+                self._model.hessian.dim:
+            from .utils.matrix_pic import write_matrix_pbm
+            name = self._model.lp.model_name or "model"
+            write_matrix_pbm(self._model.hessian.to_scipy_full(),
+                             f"{name}_hessian.pbm")
         self._options._timer = self._timer
         self._timer.start("run")
         try:

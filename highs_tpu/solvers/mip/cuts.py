@@ -177,11 +177,18 @@ def _clean_cut(cols: np.ndarray, vals: np.ndarray, rhs: float,
         return None
     if not np.isfinite(rhs) or abs(rhs) > 1e15:
         return None
-    # normalize to unit max coefficient so cut rows never dominate the
-    # scaling of the relaxation (reference: cut integral scaling /
-    # postprocessCut normalization)
-    vals = vals / amax
-    rhs = rhs / amax
+    # integral scaling when a small rational scale makes every
+    # coefficient integer (reference HighsIntegers::integralScale via
+    # HighsCutGeneration) — integer cuts are numerically sturdier;
+    # otherwise normalize to unit max coefficient
+    from ...utils.integers import integral_scale
+    s = integral_scale(vals)
+    if s is not None and s * amax <= 1e4:
+        vals = np.round(vals * s)
+        rhs = rhs * s
+    else:
+        vals = vals / amax
+        rhs = rhs / amax
     return cols, vals, float(rhs)
 
 
