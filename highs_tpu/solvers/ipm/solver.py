@@ -390,12 +390,23 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
         norm_c=jnp.asarray(np.linalg.norm(c_scaled), dtype=dtype),
         norm_b=jnp.asarray(np.linalg.norm(b_scaled), dtype=dtype))
 
+    # analytic-centring mode (reference run_centring, ipx/ipm.cc:450):
+    # zero objective + near-unit centering parameter drives the iterate
+    # to the analytic centre of the feasible region (used by the MIP
+    # root's analytic-centre heuristic)
+    centring = bool(getattr(options, "run_centring", False))
+    if centring:
+        c_scaled = np.zeros_like(c_scaled)
+
     settings = IpmSettings(
         tolerance=options.ipm_optimality_tolerance,
-        iteration_limit=min(options.ipm_iteration_limit, 300),
+        iteration_limit=(min(options.max_centring_steps, 300) if centring
+                         else min(options.ipm_iteration_limit, 300)),
         time_limit=options.time_limit)
-    sett_tuple = (settings.sigma_min, settings.sigma_max,
-                  settings.fraction_to_boundary, settings.theta_max)
+    sett_tuple = ((0.5, 0.99, settings.fraction_to_boundary,
+                   settings.theta_max) if centring else
+                  (settings.sigma_min, settings.sigma_max,
+                   settings.fraction_to_boundary, settings.theta_max))
     regs = np.array([settings.reg_primal, settings.reg_dual])
 
     newton_opt = getattr(options, "tpu_ipm_newton", "choose")
@@ -454,8 +465,26 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
             stall = 0
         else:
             stall += 1
-        if (rel_p < settings.tolerance and rel_d < settings.tolerance and
-                rel_gap < settings.tolerance):
+        if centring:
+            # centring termination: primal feasible and the pairwise
+            # products x_i z_i within the centring ratio tolerance
+            if rel_p < settings.tolerance and it >= 3:
+                sh = jax.device_get(state)
+                prods = np.concatenate([
+                    np.asarray(sh.xl) * np.asarray(sh.zl),
+                    np.asarray(sh.xu) * np.asarray(sh.zu)])
+                fin = np.concatenate([
+                    np.asarray(jax.device_get(problem.lo_fin)) > 0,
+                    np.asarray(jax.device_get(problem.up_fin)) > 0])
+                prods = prods[fin]
+                prods = prods[prods > 0]
+                if len(prods) == 0 or (prods.max() <=
+                                       options.centring_ratio_tolerance *
+                                       max(prods.min(), 1e-300)):
+                    status = HighsModelStatus.kOptimal
+                    break
+        elif (rel_p < settings.tolerance and rel_d < settings.tolerance
+                and rel_gap < settings.tolerance):
             status = HighsModelStatus.kOptimal
             break
         if float(mh.alpha_p) < 1e-8 and float(mh.alpha_d) < 1e-8:

@@ -67,3 +67,35 @@ def test_capi_modification():
     capi.Highs_changeColCost(h, 1, -3.0)
     capi.Highs_run(h)
     assert abs(capi.Highs_getObjectiveValue(h) - (-12.0)) < 1e-6
+
+
+def test_options_file_roundtrip(tmp_path):
+    """HiGHS-style options file read/write (reference io/LoadOptions)."""
+    from highs_tpu import Highs
+    path = str(tmp_path / "opts.set")
+    h = Highs()
+    h.setOptionValue("solver", "ipm")
+    h.setOptionValue("time_limit", 42.5)
+    h.setOptionValue("mip_rel_gap", 0.01)
+    assert h.writeOptions(path) == 0
+    h2 = Highs()
+    assert h2.readOptions(path) == 0
+    assert h2.getOptionValue("solver") == "ipm"
+    assert h2.getOptionValue("time_limit") == 42.5
+    assert h2.getOptionValue("mip_rel_gap") == 0.01
+
+
+def test_options_file_highs_format(tmp_path):
+    """Parse the reference's 'name = value' file format with comments."""
+    from highs_tpu import Highs
+    path = str(tmp_path / "opts2.set")
+    with open(path, "w") as f:
+        f.write("# comment line\n")
+        f.write("presolve = off\n")
+        f.write("random_seed = 7\n")
+        f.write("output_flag = false\n")
+    h = Highs()
+    assert h.readOptions(path) == 0
+    assert h.getOptionValue("presolve") == "off"
+    assert h.getOptionValue("random_seed") == 7
+    assert h.getOptionValue("output_flag") is False

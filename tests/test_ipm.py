@@ -122,3 +122,25 @@ def test_ipm_cg_newton_matches_cholesky(instances_dir):
         objs[newton] = h.getObjectiveValue()
     assert abs(objs["cg"] - 2.2549496316e5) < 1e-2
     assert abs(objs["cg"] - objs["cholesky"]) < 1e-3
+
+
+def test_run_centring_analytic_centre(instances_dir):
+    """run_centring (reference ipx run_centring, ipm.cc:450): returns a
+    strictly interior, primal-feasible point — the analytic centre."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "ipm")
+    h.setOptionValue("run_centring", True)
+    h.setOptionValue("run_crossover", "off")
+    h.setOptionValue("presolve", "off")
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    lp = h.getLp()
+    x = np.asarray(h.getSolution().col_value)
+    ax = lp.a_matrix.to_scipy() @ x
+    assert np.all(ax >= lp.row_lower - 1e-6)
+    assert np.all(ax <= lp.row_upper + 1e-6)
+    # strictly interior w.r.t. finite bounds
+    fin_lo = np.isfinite(lp.col_lower)
+    assert np.all(x[fin_lo] > lp.col_lower[fin_lo])
