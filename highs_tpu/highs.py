@@ -353,7 +353,10 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         from .presolve.presolve import postsolve_lp, presolve_lp
         lp = self._model.lp
         presolve_result = None
-        if self._options.presolve != "off":
+        # presolve has no SOS awareness: reductions could silently drop
+        # or remap set members, so SOS models solve un-presolved
+        if self._options.presolve != "off" and not getattr(lp, "sos",
+                                                           None):
             presolve_result = presolve_lp(lp, self._options)
             if presolve_result.status in (
                     HighsModelStatus.kInfeasible,

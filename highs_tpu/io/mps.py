@@ -464,6 +464,7 @@ def read_mps(path: str) -> HighsModel:
         integrality=(np.array(col_integrality, dtype=np.uint8)
                      if any(v != 0 for v in col_integrality)
                      else np.zeros(0, dtype=np.uint8)),
+        sos=[s for s in sos if s[2]],
     )
 
     hessian = HighsHessian()

@@ -119,6 +119,9 @@ class HighsLp:
     row_names: List[str] = dataclasses.field(default_factory=list)
     integrality: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, dtype=np.uint8))
+    # SOS sets: (type "S1"/"S2", priority, member cols, weights)
+    # (reference: SOS read by HMpsFF, branched on by the MIP solver)
+    sos: List[tuple] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
         self.col_cost = np.asarray(self.col_cost, dtype=np.float64)
@@ -132,6 +135,8 @@ class HighsLp:
         return self.a_matrix.num_nz
 
     def is_mip(self) -> bool:
+        if len(self.sos) > 0:
+            return True
         return (len(self.integrality) > 0 and
                 bool(np.any(np.asarray(self.integrality) !=
                             int(HighsVarType.kContinuous))))
@@ -167,7 +172,8 @@ class HighsLp:
             sense=self.sense, offset=self.offset,
             model_name=self.model_name, objective_name=self.objective_name,
             col_names=list(self.col_names), row_names=list(self.row_names),
-            integrality=np.array(self.integrality, copy=True))
+            integrality=np.array(self.integrality, copy=True),
+            sos=[(t, p, list(c), list(w)) for t, p, c, w in self.sos])
 
 
 @dataclasses.dataclass

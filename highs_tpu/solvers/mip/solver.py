@@ -130,6 +130,27 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     root_up = lp.col_upper.copy()
     root_lo = np.where(is_semi, np.minimum(0.0, root_lo), root_lo)
 
+    # SOS sets (reference: SOS branching in HighsSearch): members
+    # sorted by weight; SOS1 = at most one nonzero, SOS2 = at most two,
+    # adjacent in weight order
+    sos_sets = []
+    for typ, _pri, scols, sweights in getattr(lp, "sos", []):
+        order = np.argsort(np.asarray(sweights, dtype=np.float64))
+        members = np.asarray(scols, dtype=np.int64)[order]
+        sos_sets.append((2 if str(typ).upper().endswith("2") else 1,
+                         members))
+
+    def sos_first_violated(x):
+        """Index of the first violated SOS set, or -1."""
+        for si, (styp, members) in enumerate(sos_sets):
+            nz = np.nonzero(np.abs(x[members]) > feastol)[0]
+            if styp == 1 and len(nz) > 1:
+                return si
+            if styp == 2 and (len(nz) > 2 or
+                              (len(nz) == 2 and nz[1] != nz[0] + 1)):
+                return si
+        return -1
+
     a_csr = lp.a_matrix.to_scipy().tocsr()
     prop = Propagator(a_csr, lp.row_lower, lp.row_upper, is_int, feastol)
 
@@ -305,8 +326,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return True, -math.inf, None, None  # keep node, trivial bound
 
     def violation(x):
-        """Max integrality/semi violation of a point."""
+        """Max integrality/semi/SOS violation of a point."""
         v = 0.0
+        if sos_sets and sos_first_violated(np.asarray(x)) >= 0:
+            v = max(v, 1.0)
         if is_int.any():
             v = float(np.max(np.abs(x[is_int] - np.round(x[is_int])),
                              initial=0.0))
@@ -988,9 +1011,55 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 if x[j] > feastol and x[j] < lp.col_lower[j] - feastol \
                         and node.up[j] > 0 and node.lo[j] <= 0:
                     semi_cand.append(j)
-        if len(cand_int) == 0 and not semi_cand:
+        sos_viol = sos_first_violated(x) if sos_sets else -1
+        if len(cand_int) == 0 and not semi_cand and sos_viol < 0:
             # numerically integral
             try_incumbent(np.where(is_int, np.round(x), x), "snap")
+            continue
+
+        if len(cand_int) == 0 and not semi_cand and sos_viol >= 0:
+            # ---- SOS branching (reference: HighsSearch SOS handling):
+            # split the violated set at the weighted centre; each child
+            # zeroes one half ------------------------------------------
+            styp, members = sos_sets[sos_viol]
+            absx = np.abs(x[members])
+            tot = float(absx.sum())
+            wpos = float((np.arange(len(members)) * absx).sum() / tot) \
+                if tot > 0 else 0.5 * len(members)
+            split = int(np.clip(round(wpos), 1, len(members) - 1))
+            # SOS2 keeps one overlap member free in both children
+            right0 = split + (1 if styp == 2 else 0)
+            # zeroing a member = intersect its box with {0}: when the
+            # node box excludes 0 the child is (correctly) infeasible
+            lo1, up1 = node.lo.copy(), node.up.copy()
+            zr = members[right0:]
+            lo1[zr] = np.maximum(lo1[zr], 0.0)
+            up1[zr] = np.minimum(up1[zr], 0.0)
+            lo2, up2 = node.lo.copy(), node.up.copy()
+            zl = members[:split]
+            lo2[zl] = np.maximum(lo2[zl], 0.0)
+            up2[zl] = np.minimum(up2[zl], 0.0)
+            children = [(lo1, up1), (lo2, up2)]
+            plunge_child = 0 if absx[:split].sum() >= \
+                absx[split:].sum() else 1
+            built = []
+            for clo, cup in children:
+                okc, plo, pup = prop.propagate(clo, cup)
+                if not okc:
+                    built.append(None)
+                    continue
+                child = _Node(obj_bound, seq, plo, pup, node.depth + 1,
+                              basis=node_basis)
+                seq += 1
+                built.append(child)
+            other = 1 - plunge_child
+            if built[other] is not None:
+                heapq.heappush(heap, built[other])
+            if built[plunge_child] is not None and node.depth < 400 and \
+                    batch_k <= 1:
+                current = built[plunge_child]
+            elif built[plunge_child] is not None:
+                heapq.heappush(heap, built[plunge_child])
             continue
 
         if semi_cand:
