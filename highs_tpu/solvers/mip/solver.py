@@ -793,6 +793,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return _batch_state["ev"]
 
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
+    # strong-branching LP budget (reliability branching; reference
+    # bounds strong-branching effort inside HighsSearch::branch)
+    strong_branch_budget = [200 if sub_level == 0 else 0]
 
     heap: List[_Node] = []
     seq = 0
@@ -1078,6 +1081,51 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             scores = np.array([
                 pscost.score(j, fj, 1.0 - fj, avg_up, avg_dn)
                 for j, fj in zip(cand_int, f)])
+
+            # ---- reliability (strong) branching: initialize unreliable
+            # pseudocosts by actually solving both children shallowly
+            # (reference: strong branching under mip_pscost_minreliable,
+            # HighsSearch::branch) ------------------------------------
+            if use_simplex and strong_branch_budget[0] > 0 and \
+                    node.depth <= 8 and math.isfinite(obj_bound):
+                from ..simplex.native import (RESULT_INFEASIBLE,
+                                              RESULT_OPTIMAL)
+                from ..simplex.native import simplex_solve as _sbx
+                order = np.argsort(-scores)
+                for oi in order[:3]:
+                    jc = int(cand_int[oi])
+                    if pscost.reliable(jc) or \
+                            strong_branch_budget[0] <= 0:
+                        continue
+                    fjc = float(x[jc] - math.floor(x[jc]))
+                    for dirn, bnd in ((-1, math.floor(x[jc])),
+                                      (+1, math.ceil(x[jc]))):
+                        lo_sb = node.lo.copy()
+                        up_sb = node.up.copy()
+                        if dirn < 0:
+                            up_sb[jc] = bnd
+                        else:
+                            lo_sb[jc] = bnd
+                        res_sb, x_sb, _ys, _zs, _bs, it_sb = _sbx(
+                            _Relax.a_csc, sense * lp.col_cost, lo_sb,
+                            up_sb, _Relax.row_lower, _Relax.row_upper,
+                            basis_in=node_basis, tol_p=1e-9, tol_d=1e-9,
+                            max_iter=500)
+                        info.iterations += it_sb
+                        strong_branch_budget[0] -= 1
+                        frac_d = fjc if dirn < 0 else 1.0 - fjc
+                        if res_sb == RESULT_OPTIMAL:
+                            child_obj = float(sense * lp.col_cost @ x_sb)
+                            pscost.update(jc, dirn, frac_d,
+                                          child_obj - obj_bound)
+                        elif res_sb == RESULT_INFEASIBLE:
+                            # infeasible child: huge degradation signal
+                            pscost.update(jc, dirn, frac_d,
+                                          1e4 * (1.0 + abs(obj_bound)))
+                scores = np.array([
+                    pscost.score(j2, fj2, 1.0 - fj2, avg_up, avg_dn)
+                    for j2, fj2 in zip(cand_int, f)])
+
             j = int(cand_int[int(np.argmax(scores))])
             fj = x[j] - math.floor(x[j])
             lo1, up1 = node.lo.copy(), node.up.copy()
