@@ -792,6 +792,48 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             _batch_state["rows"] = nrows
         return _batch_state["ev"]
 
+    # ---- restart on heavy root fixing (reference: restart-on-inactive-
+    # columns, HighsMipSolverData.cpp:2127-2143, mip_allow_restart):
+    # when the root bound work fixed a large share of the integer
+    # variables, re-solving the tightened model lets presolve shrink it
+    # and every structure (cuts, propagation, symmetry) rebuild smaller
+    if options.mip_allow_restart and sub_level == 0 and \
+            not getattr(options, "_mip_restarted", False) and \
+            bool(is_int.any()):
+        n_int = int(is_int.sum())
+        n_fixed_root = int(np.sum(is_int & (root_lo_p >= root_up_p)))
+        newly_fixed = n_fixed_root - int(np.sum(
+            is_int & (lp.col_lower >= lp.col_upper)))
+        if n_int > 0 and newly_fixed > 0.2 * n_int:
+            if log is not None:
+                log(f"MIP restart: {newly_fixed}/{n_int} integer "
+                    f"variables fixed at the root")
+            restart_lp = lp.copy()
+            restart_lp.col_lower = root_lo_p.copy()
+            restart_lp.col_upper = root_up_p.copy()
+            r_opts = options.copy()
+            r_opts._mip_restarted = True
+            r_opts.time_limit = max(
+                1.0, options.time_limit - (time.perf_counter() - t0))
+            st_r, sol_r, info_r = solve_mip(restart_lp, r_opts, log=log,
+                                            callbacks=callbacks)
+            info_r.solve_time += time.perf_counter() - t0 - \
+                info_r.solve_time
+            # fold in the incumbent found before restarting, if better
+            # (the restart box preserves all feasible solutions, so this
+            # only matters when the restart hit a limit early)
+            if incumbent_x is not None and (
+                    not sol_r.value_valid or
+                    sense * (info_r.primal_obj - lp.offset) >
+                    incumbent_obj + 1e-12):
+                sol_r = HighsSolution(
+                    value_valid=True, dual_valid=False,
+                    col_value=incumbent_x,
+                    row_value=(a_csr @ incumbent_x if lp.num_row
+                               else np.zeros(0)))
+                info_r.primal_obj = sense * incumbent_obj + lp.offset
+            return st_r, sol_r, info_r
+
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
     # strong-branching LP budget (reliability branching; reference
     # bounds strong-branching effort inside HighsSearch::branch)

@@ -242,3 +242,35 @@ def test_sos_mps_read(instances_dir):
     lp = read_mps(instance_path("80bau3b.mps")).lp
     # 80bau3b carries SOS sections in the reference instance set
     assert isinstance(lp.sos, list)
+
+
+def test_mip_restart_on_heavy_fixing():
+    """mip_allow_restart: when the root fixes a large share of integer
+    variables, the solver restarts on the tightened model (reference
+    restart-on-inactive-columns) — same answer either way."""
+    import scipy.sparse as sp
+    from highs_tpu.models.lp import HighsSparseMatrix
+    # x_i binary; constraints force x_i = 0 for most i via singleton
+    # rows; objective rewards all
+    n = 10
+    a = sp.identity(n, format="csc")
+    lp = HighsLp(
+        num_col=n, num_row=n,
+        col_cost=np.full(n, -1.0),
+        col_lower=np.zeros(n), col_upper=np.ones(n),
+        row_lower=np.full(n, -np.inf),
+        row_upper=np.concatenate([np.zeros(n - 2), [1.5, 1.5]]),
+        a_matrix=HighsSparseMatrix.from_scipy(a),
+        integrality=np.ones(n, dtype=np.uint8))
+    objs = {}
+    for flag in (True, False):
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("mip_allow_restart", flag)
+        h.setOptionValue("presolve", "off")
+        h.passModel(lp)
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        objs[flag] = h.getObjectiveValue()
+    assert abs(objs[True] - (-2.0)) < 1e-6
+    assert abs(objs[True] - objs[False]) < 1e-9
