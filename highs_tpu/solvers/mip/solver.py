@@ -718,6 +718,33 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if cand is not None and try_incumbent(
                     cand, "randomized rounding"):
                 break
+        # central rounding: round the analytic centre of the relaxation
+        # (reference: centralRounding via the IPX analytic centre,
+        # HighsMipSolverData.cpp evaluateRootNode) — the centre sits far
+        # from degenerate vertices, so its rounding often repairs well
+        if incumbent_obj == math.inf and lp.num_col <= 2000 and \
+                lp.num_row <= 2000:
+            try:
+                c_opts = options.copy()
+                c_opts.run_centring = True
+                c_opts.max_centring_steps = 30
+                c_opts.time_limit = max(
+                    1.0, min(10.0,
+                             0.1 * (options.time_limit -
+                                    (time.perf_counter() - t0))))
+                relax_c = relax
+                relax_c.col_lower = root_lo_p
+                relax_c.col_upper = root_up_p
+                st_c, sol_c, _ic = solve_lp_ipm_native(relax_c, c_opts)
+                if st_c == HighsModelStatus.kOptimal and \
+                        sol_c.value_valid:
+                    cand = round_and_repair(
+                        np.asarray(sol_c.col_value), root_lo_p,
+                        root_up_p)
+                    if cand is not None:
+                        try_incumbent(cand, "central rounding")
+            except Exception:
+                pass
         if options.mip_heuristic_run_rens and incumbent_obj == math.inf:
             lo2, up2 = heur.submip_bounds_rens(
                 is_int, root_x, root_lo_p, root_up_p)
