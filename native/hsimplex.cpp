@@ -490,6 +490,115 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
     return -1;
   };
 
+  // ---- dual simplex phase (reference HEkkDual; simplex_strategy
+  // default = dual): a warm basis after bound changes stays DUAL
+  // feasible while turning primal infeasible — exactly the MIP node
+  // hot-start shape.  Run dual pivots (leaving = most primal-infeasible
+  // basic, entering = min dual ratio on the BTRAN pivot row) until
+  // primal feasible, then fall through to the primal loop to confirm.
+  if (have_warm) {
+    auto ptol_d = [&](int j) {
+      double s = 1.0;
+      if (w.lo[j] > -kInf) s = std::max(s, std::fabs(w.lo[j]));
+      if (w.up[j] < kInf) s = std::max(s, std::fabs(w.up[j]));
+      return tol_p * s;
+    };
+    // dual feasibility check with true costs
+    for (int p = 0; p < m; ++p) e[p] = w.cost[w.basic[p]];
+    btran_dense(w, e.data(), pi.data());
+    bool dual_feasible = true;
+    for (int j = 0; j < w.nv && dual_feasible; ++j) {
+      if (w.stat[j] == kBasic || w.up[j] - w.lo[j] <= 0.0) continue;
+      const double zj = w.cost[j] - w.dot_col(j, pi.data());
+      if (w.stat[j] == kLower && zj < -1e3 * tol_d) dual_feasible = false;
+      else if (w.stat[j] == kUpper && zj > 1e3 * tol_d)
+        dual_feasible = false;
+      else if (w.stat[j] == kZero && std::fabs(zj) > 1e3 * tol_d)
+        dual_feasible = false;
+    }
+    int dual_budget = 4 * m + 1000;
+    std::vector<double> rho(m), arow(w.nv), zrow(w.nv);
+    while (dual_feasible && iters < max_iter && dual_budget-- > 0) {
+      // leaving: most primal-infeasible basic
+      int leave_p = -1;
+      double worst = 0.0;
+      double target = 0.0;
+      for (int p = 0; p < m; ++p) {
+        const int jb = w.basic[p];
+        const double v = w.xval[jb];
+        const double tj = 10.0 * ptol_d(jb);
+        if (v < w.lo[jb] - tj && w.lo[jb] - v > worst) {
+          worst = w.lo[jb] - v;
+          leave_p = p;
+          target = w.lo[jb];
+        } else if (v > w.up[jb] + tj && v - w.up[jb] > worst) {
+          worst = v - w.up[jb];
+          leave_p = p;
+          target = w.up[jb];
+        }
+      }
+      if (leave_p < 0) break;  // primal feasible: dual phase done
+      const int jl = w.basic[leave_p];
+      const double delta = w.xval[jl] - target;
+      // pivot row via BTRAN + PRICE
+      std::fill(e.begin(), e.end(), 0.0);
+      e[leave_p] = 1.0;
+      btran_dense(w, e.data(), rho.data());
+      // duals for the ratio test
+      for (int p = 0; p < m; ++p) e[p] = w.cost[w.basic[p]];
+      btran_dense(w, e.data(), pi.data());
+      int enter_j = -1;
+      double best_ratio = 1e300;
+      double best_piv = 0.0;
+      for (int j = 0; j < w.nv; ++j) {
+        if (w.stat[j] == kBasic || w.up[j] - w.lo[j] <= 0.0) continue;
+        const double aj = w.dot_col(j, rho.data());
+        if (std::fabs(aj) < 1e-9) continue;
+        const double dj = (w.stat[j] == kUpper) ? -aj : aj;
+        // need xval[jl] to move toward target: change = -d_j * teff
+        if (delta < 0 ? (dj >= 0) : (dj <= 0)) continue;
+        const double zj = w.cost[j] - w.dot_col(j, pi.data());
+        const double zeff = (w.stat[j] == kUpper) ? -zj : zj;
+        const double ratio = std::max(zeff, 0.0) / std::fabs(dj);
+        if (ratio < best_ratio - 1e-12 ||
+            (ratio < best_ratio + 1e-12 &&
+             std::fabs(aj) > std::fabs(best_piv))) {
+          best_ratio = ratio;
+          best_piv = aj;
+          enter_j = j;
+        }
+      }
+      if (enter_j < 0) {
+        // dual unbounded: primal infeasible
+        result = kInfeasible;
+        goto finish;
+      }
+      ftran(w, enter_j, alpha.data());
+      const double apj = alpha[leave_p];
+      if (std::fabs(apj) < 1e-9) {
+        // pivot row/column inconsistency: refresh and leave dual phase
+        if (!refactor(w)) { result = kSingular; goto finish; }
+        compute_basics(w);
+        break;
+      }
+      const double t = delta / apj;
+      for (int p = 0; p < m; ++p) w.xval[w.basic[p]] -= t * alpha[p];
+      w.xval[enter_j] += t;
+      ++iters;
+      w.stat[jl] = (target == w.lo[jl]) ? kLower : kUpper;
+      w.xval[jl] = target;
+      w.stat[enter_j] = kBasic;
+      w.basic[leave_p] = enter_j;
+      if (std::fabs(apj) < 1e-7 || ++since_refactor >= 30) {
+        if (!refactor(w)) { result = kSingular; goto finish; }
+        compute_basics(w);
+        since_refactor = 0;
+      } else {
+        update_binv(w, leave_p, alpha.data());
+      }
+    }
+  }
+
   {
     // composite loop: the phase is re-derived every iteration from the
     // actual basic infeasibility, so numerical drift in the incremental
