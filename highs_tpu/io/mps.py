@@ -614,6 +614,12 @@ def write_mps(model: HighsModel, path: str) -> HighsStatus:
             for k in range(h.start[j], h.start[j + 1]):
                 lines.append(f"    {col_names[h.index[k]]}  {col_names[j]}  "
                              f"{_fmt(h.value[k])}")
+    if getattr(lp, "sos", None):
+        lines.append("SOS")
+        for si, (typ, _pri, scols, sweights) in enumerate(lp.sos):
+            lines.append(f" {typ} SOS{si + 1}")
+            for cj, wj in zip(scols, sweights):
+                lines.append(f"    {col_names[cj]}  {_fmt(wj)}")
     lines.append("ENDATA")
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "wt") as f:

@@ -792,6 +792,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     batch_k = int(getattr(options, "tpu_mip_batch_nodes", 0))
     if batch_k == 0 and options.mip_search_simulate_concurrency:
         batch_k = 8
+    if batch_k == 0 and options.parallel == "on":
+        # "parallel=on" maps to batched node rounds — the TPU stand-in
+        # for the reference's parallel MIP workers
+        batch_k = max(2, options.threads) if options.threads else 8
     _batch_state = {"ev": None, "rows": -1}
 
     def get_batch_evaluator():

@@ -167,3 +167,31 @@ def test_gzip_read(instances_dir, tmp_path):
         shutil.copyfileobj(fin, fout)
     lp = read_mps(str(dst)).lp
     assert lp.num_col == 32
+
+
+def test_mps_sos_roundtrip(tmp_path):
+    """SOS sections round-trip through the MPS writer/reader."""
+    import scipy.sparse as sp
+    from highs_tpu import Highs, HighsLp
+    from highs_tpu.models.lp import HighsSparseMatrix
+    lp = HighsLp(
+        num_col=3, num_row=1,
+        col_cost=np.array([-1.0, -1.0, -1.0]),
+        col_lower=np.zeros(3), col_upper=np.ones(3),
+        row_lower=np.array([-np.inf]), row_upper=np.array([10.0]),
+        a_matrix=HighsSparseMatrix.from_scipy(
+            sp.csc_matrix(np.ones((1, 3)))),
+        integrality=np.array([0, 1, 2], dtype=np.uint8),
+        sos=[("S1", 0, [0, 1, 2], [1.0, 2.0, 3.0])],
+        model_name="t")
+    h = Highs()
+    h.passModel(lp)
+    path = str(tmp_path / "sos.mps")
+    h.writeModel(path)
+    h2 = Highs()
+    assert h2.readModel(path) == 0
+    lp2 = h2.getLp()
+    assert len(lp2.sos) == 1
+    typ, _pri, cols, weights = lp2.sos[0]
+    assert typ == "S1" and list(cols) == [0, 1, 2]
+    assert list(lp2.integrality) == [0, 1, 2]
