@@ -49,7 +49,17 @@ def _open(path: str) -> TextIO:
 
 
 def _tokens(line: str) -> List[str]:
-    return line.split()
+    toks = line.split()
+    # inline comments (reference HMpsFF): a token starting with '$'
+    # ends the data on the line; a token starting with '*' does too
+    # when it appears after the first field (full-line '*' comments are
+    # filtered before tokenization)
+    out = []
+    for i, t in enumerate(toks):
+        if t.startswith("$") or (i > 0 and t.startswith("*")):
+            break
+        out.append(t)
+    return out
 
 
 def _parse_value(tok: str) -> float:

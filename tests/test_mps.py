@@ -195,3 +195,14 @@ def test_mps_sos_roundtrip(tmp_path):
     typ, _pri, cols, weights = lp2.sos[0]
     assert typ == "S1" and list(cols) == [0, 1, 2]
     assert list(lp2.integrality) == [0, 1, 2]
+
+
+def test_mps_inline_comments(instances_dir):
+    """Inline '$'/'*' comments (reference comment.mps: optimal -4)."""
+    from highs_tpu import Highs, HighsModelStatus
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    assert h.readModel(instance_path("comment.mps")) == 0
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - (-4.0)) < 1e-9
