@@ -239,9 +239,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         cost = np.concatenate([np.zeros(lp.num_col), np.ones(2 * mm)])
         lo_el = np.concatenate([lo, np.zeros(2 * mm)])
         up_el = np.concatenate([up, np.full(2 * mm, np.inf)])
+        remaining_el = max(1.0, options.time_limit -
+                           (time.perf_counter() - t0))
         result, x, y, z, b, iters = simplex_solve(
             a_el, cost, lo_el, up_el, _Relax.row_lower,
-            _Relax.row_upper, tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+            _Relax.row_upper, tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+            time_limit=min(remaining_el, 1e18))
         info.iterations += iters
         if result != RESULT_OPTIMAL:
             return False  # inconclusive: keep the node
@@ -268,10 +271,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                           RESULT_OPTIMAL,
                                           RESULT_UNBOUNDED,
                                           simplex_solve)
+            remaining = max(1.0, options.time_limit -
+                            (time.perf_counter() - t0))
             result, x, y, z, basis_out, iters = simplex_solve(
                 _Relax.a_csc, sense * lp.col_cost, lo, up,
                 _Relax.row_lower, _Relax.row_upper, basis_in=warm_basis,
-                tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+                tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+                time_limit=min(remaining, 1e18))
             info.iterations += iters
             if result not in (RESULT_OPTIMAL, RESULT_UNBOUNDED) and \
                     warm_basis is not None:

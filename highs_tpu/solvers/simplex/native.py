@@ -61,6 +61,7 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float64),
             ctypes.c_void_p,  # basis_in (nullable)
             ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_double,  # time_limit_s (<=0 or huge: none)
             np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.float64),
             np.ctypeslib.ndpointer(np.float64),
@@ -83,7 +84,7 @@ RESULT_SINGULAR = 4
 def simplex_solve(a_csc, col_cost, col_lower, col_upper, row_lower,
                   row_upper, basis_in: Optional[np.ndarray] = None,
                   tol_p: float = 1e-9, tol_d: float = 1e-9,
-                  max_iter: int = 200000
+                  max_iter: int = 200000, time_limit: float = 0.0
                   ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray,
                              np.ndarray, int]:
     """Solve min c'x s.t. L <= Ax <= U, l <= x <= u with the native
@@ -120,6 +121,6 @@ def simplex_solve(a_csc, col_cost, col_lower, col_upper, row_lower,
 
     lib.hx_simplex_solve(
         m, n, ap, ai, ax, c, cl, cu, rl, ru,
-        basis_ptr, tol_p, tol_d, max_iter,
+        basis_ptr, tol_p, tol_d, max_iter, float(time_limit),
         x, y, z, basis_out, ctypes.byref(iters), ctypes.byref(status))
     return int(status.value), x, y, z, basis_out, int(iters.value)

@@ -94,7 +94,8 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
         basis_in=basis_in,
         tol_p=options.primal_feasibility_tolerance * 1e-2,
         tol_d=options.dual_feasibility_tolerance * 1e-2,
-        max_iter=native_budget)
+        max_iter=native_budget,
+        time_limit=min(options.time_limit, 1e18))
 
     info.iterations = iters
     info.simplex_iterations = iters
@@ -173,7 +174,8 @@ def _elastic_says_infeasible(lp: HighsLp, options: HighsOptions) -> bool:
     result, x, _y, _z, _b, _it = simplex_solve(
         a_el, cost, lo_el, up_el, lp.row_lower, lp.row_upper,
         tol_p=1e-9, tol_d=1e-9,
-        max_iter=max(100000, 50 * (lp.num_col + m)))
+        max_iter=max(100000, 50 * (lp.num_col + m)),
+        time_limit=min(options.time_limit, 1e18))
     if result != RESULT_OPTIMAL:
         return False  # inconclusive
     scale = 1.0 + float(np.max(np.abs(np.where(

@@ -28,6 +28,7 @@
 #include <cstring>
 #include <vector>
 #include <cstdio>
+#include <chrono>
 
 namespace {
 
@@ -398,9 +399,16 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
                      const double* col_lo, const double* col_up,
                      const double* row_lo, const double* row_up,
                      const int8_t* basis_in, double tol_p, double tol_d,
-                     int max_iter, double* x_out, double* y_out,
-                     double* z_out, int8_t* basis_out, int* iter_out,
-                     int* status_out) {
+                     int max_iter, double time_limit_s, double* x_out,
+                     double* y_out, double* z_out, int8_t* basis_out,
+                     int* iter_out, int* status_out) {
+  const auto t_start = std::chrono::steady_clock::now();
+  auto out_of_time = [&]() {
+    if (time_limit_s <= 0.0 || time_limit_s > 1e19) return false;
+    const std::chrono::duration<double> el =
+        std::chrono::steady_clock::now() - t_start;
+    return el.count() > time_limit_s;
+  };
   Workspace w;
   w.m = m;
   w.n = n;
@@ -519,6 +527,7 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
     int dual_budget = 4 * m + 1000;
     std::vector<double> rho(m), arow(w.nv), zrow(w.nv);
     while (dual_feasible && iters < max_iter && dual_budget-- > 0) {
+      if ((iters & 255) == 0 && out_of_time()) break;
       // leaving: most primal-infeasible basic
       int leave_p = -1;
       double worst = 0.0;
@@ -637,6 +646,10 @@ int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
     };
     while (true) {
       if (iters >= max_iter) { result = kIterLimit; goto finish; }
+      if ((iters & 255) == 0 && out_of_time()) {
+        result = kIterLimit;
+        goto finish;
+      }
       if (++check_counter % 200 == 0) {
         // periodic exact recompute to bound drift
         if (!refactor(w)) { result = kSingular; goto finish; }
