@@ -44,6 +44,15 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
     info = LpSolveInfo()
     solver = options.solver or "choose"
 
+    import time as _time
+    if math.isfinite(options.time_limit):
+        # absolute deadline shared by every stage of this solve (a
+        # multi-stage "choose" cascade must not restart the clock)
+        options._solve_deadline = _time.perf_counter() + \
+            options.time_limit
+    else:
+        options._solve_deadline = None
+
     # named clocks (reference HighsTimer registry); the facade passes
     # its timer via the internal _timer attribute
     timer = getattr(options, "_timer", None)
@@ -125,6 +134,25 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
     return status, solution, info
 
 
+def _deadline_exceeded(options) -> bool:
+    import time as _time
+    dl = getattr(options, "_solve_deadline", None)
+    return dl is not None and _time.perf_counter() > dl
+
+
+def _remaining_time(options) -> float:
+    import time as _time
+    dl = getattr(options, "_solve_deadline", None)
+    if dl is None:
+        return math.inf
+    return max(0.0, dl - _time.perf_counter())
+
+
+class _TimeoutInfo:
+    iterations = 0
+    solve_time = 0.0
+
+
 def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
                 basis, warm_solution):
     x0 = warm_solution.col_value if (
@@ -186,6 +214,9 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
         # via elastic feasibility LPs (reference analogue: simplex
         # phase 1 / IPX termination states)
         from .classify import classify_inconclusive
+        if _deadline_exceeded(options):
+            info.status = HighsModelStatus.kTimeLimit
+            return HighsModelStatus.kTimeLimit, solution, info
         verdict = classify_inconclusive(lp, options, log=log)
         if verdict in (HighsModelStatus.kInfeasible,
                        HighsModelStatus.kUnbounded):
@@ -195,6 +226,9 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
 
     # pdlp / hipdlp / large "choose" -> PDHG workhorse
     from .pdlp.wrapper import solve_lp_pdlp
+    if _deadline_exceeded(options):
+        return (HighsModelStatus.kTimeLimit, HighsSolution(),
+                _TimeoutInfo())
     status, solution, info = solve_lp_pdlp(lp, options, x0=x0, y0=y0)
 
     if solver == "choose" and status not in (

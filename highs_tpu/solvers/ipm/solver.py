@@ -326,6 +326,10 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
     """Solve an LP with the dense normal-equations IPM."""
     t0 = time.perf_counter()
     info = IpmRunInfo()
+    deadline = getattr(options, "_solve_deadline", None)
+    if deadline is not None and time.perf_counter() > deadline:
+        info.status = HighsModelStatus.kTimeLimit
+        return info.status, HighsSolution(), info
     if lp.num_row == 0:
         from ..pdlp.wrapper import _solve_bound_lp
         status, sol = _solve_bound_lp(lp)
@@ -398,11 +402,15 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
     if centring:
         c_scaled = np.zeros_like(c_scaled)
 
+    time_budget = options.time_limit
+    if deadline is not None:
+        time_budget = min(time_budget,
+                          max(0.0, deadline - time.perf_counter()))
     settings = IpmSettings(
         tolerance=options.ipm_optimality_tolerance,
         iteration_limit=(min(options.max_centring_steps, 300) if centring
                          else min(options.ipm_iteration_limit, 300)),
-        time_limit=options.time_limit)
+        time_limit=time_budget)
     sett_tuple = ((0.5, 0.99, settings.fraction_to_boundary,
                    settings.theta_max) if centring else
                   (settings.sigma_min, settings.sigma_max,

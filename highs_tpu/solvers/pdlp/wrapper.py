@@ -144,10 +144,16 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
         norm_b=jnp.asarray(np.linalg.norm(std.b), dtype=dtype),
         norm_c=jnp.asarray(np.linalg.norm(std.c), dtype=dtype))
 
+    import time as _time
+    _deadline = getattr(options, "_solve_deadline", None)
+    _budget = options.time_limit
+    if _deadline is not None:
+        _budget = min(_budget, max(0.0,
+                                   _deadline - _time.perf_counter()))
     settings = PdhgSettings(
         eps_optimal=options.pdlp_optimality_tolerance,
         iteration_limit=options.pdlp_iteration_limit,
-        time_limit=options.time_limit,
+        time_limit=_budget,
         check_interval=options.tpu_check_interval,
         restart_strategy=options.pdlp_restart_strategy,
         dtype=options.tpu_dtype,

@@ -46,7 +46,7 @@ class QpAsmInfo:
     solve_time: float = 0.0
 
 
-def _phase1_start(a_csc, lo_v, up_v, n, m):
+def _phase1_start(a_csc, lo_v, up_v, n, m, time_limit=0.0):
     """Feasible start via zero-cost LP on  [A -I] v = 0, lo<=v<=up."""
     from ..simplex.native import RESULT_OPTIMAL, simplex_solve
     ident = sp.identity(m, format="csc")
@@ -55,7 +55,8 @@ def _phase1_start(a_csc, lo_v, up_v, n, m):
     rhs = np.zeros(m)
     result, v, _y, _z, basis, iters = simplex_solve(
         a_eq, np.zeros(n + m), lo_v, up_v, rhs, rhs,
-        tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+        tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+        time_limit=time_limit)
     if result != RESULT_OPTIMAL:
         return None, None, iters
     return v, basis, iters
@@ -95,7 +96,9 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
             else sp.csr_matrix((0, nv)))
     a_eq_d = a_eq.toarray() if m else np.zeros((0, nv))
 
-    v, _basis, p1_iters = _phase1_start(a_csc, lo_v, up_v, n, m)
+    v, _basis, p1_iters = _phase1_start(
+        a_csc, lo_v, up_v, n, m,
+        time_limit=min(options.time_limit, 1e18))
     info.iterations += p1_iters
     if v is None:
         info.status = HighsModelStatus.kInfeasible

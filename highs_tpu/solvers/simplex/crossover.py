@@ -76,7 +76,8 @@ def crossover_from_solution(lp: HighsLp, options: HighsOptions,
         basis_in=statuses,
         tol_p=options.primal_feasibility_tolerance * 1e-2,
         tol_d=options.dual_feasibility_tolerance * 1e-2,
-        max_iter=min(options.simplex_iteration_limit, 10**7))
+        max_iter=min(options.simplex_iteration_limit, 10**7),
+        time_limit=min(options.time_limit, 1e18))
 
     info = SimplexRunInfo()
     info.iterations = iters
