@@ -206,3 +206,15 @@ def test_mps_inline_comments(instances_dir):
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert abs(h.getObjectiveValue() - (-4.0)) < 1e-9
+
+
+@pytest.mark.parametrize("name", ["nan0.mps", "nan1.mps", "nan2.mps",
+                                  "garbage.mps", "garbage.lp",
+                                  "qcqp.lp"])
+def test_bad_files_are_read_errors(instances_dir, name):
+    """Reference behavior: NaN values, garbage and quadratic
+    constraints are read errors (TestFilereader.cpp, TestLPFileFormat)."""
+    from highs_tpu import Highs
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    assert h.readModel(instance_path(name)) != 0
