@@ -13,6 +13,15 @@ CPU crossover/cleanup for vertex solutions.
 
 __version__ = "0.1.0"
 
+# HiGHS is a double-precision solver: its printed objectives and KKT
+# tolerances (kkt_tolerance 1e-4 .. 1e-9) are only reachable in f64, so
+# enable x64 before any jax array is created (SURVEY.md §7: "float64
+# everywhere"; solvers opt into f32/bf16 stepping explicitly via
+# tpu_step_dtype where it is safe).
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
 from .constants import (HighsStatus, HighsModelStatus, ObjSense,
                         HighsVarType, HighsBasisStatus, MatrixFormat,
                         HessianFormat, SolutionStatus, BasisValidity,

@@ -50,13 +50,16 @@ def _open(path: str) -> TextIO:
 
 def _tokens(line: str) -> List[str]:
     toks = line.split()
-    # inline comments (reference HMpsFF): a token starting with '$'
-    # ends the data on the line; a token starting with '*' does too
-    # when it appears after the first field (full-line '*' comments are
-    # filtered before tokenization)
+    # Inline comments: a token starting with '$' ends the data on the
+    # line (fixed-MPS comment field).  '*' is NOT an inline comment
+    # marker — only full-line comments start with '*' (reference
+    # HMpsFF.cpp:223 has remove_trailing_comments=false, and row names
+    # like '*OBJ*' occur in the wild, e.g. check/instances/sctest.mps).
+    # Stray trailing '*...' words are instead dropped per-section as
+    # unknown row names, matching the reference's ignored-row warnings.
     out = []
-    for i, t in enumerate(toks):
-        if t.startswith("$") or (i > 0 and t.startswith("*")):
+    for t in toks:
+        if t.startswith("$"):
             break
         out.append(t)
     return out
@@ -244,7 +247,13 @@ def read_mps(path: str) -> HighsModel:
                     col_binary[colidx] = True
             pairs = toks[1:]
             if len(pairs) % 2 != 0:
-                raise MpsParseError(f"odd COLUMNS entries in {raw!r}")
+                # tolerate a stray trailing token that is not a row name
+                # (the reference ignores undefined row names with a
+                # warning; '*...' pseudo-comments land here)
+                if pairs and pairs[-1] not in rowname2idx:
+                    pairs = pairs[:-1]
+                else:
+                    raise MpsParseError(f"odd COLUMNS entries in {raw!r}")
             for j in range(0, len(pairs), 2):
                 rname, vtok = pairs[j], pairs[j + 1]
                 value = _parse_value(vtok)
@@ -264,7 +273,10 @@ def read_mps(path: str) -> HighsModel:
             if pairs and pairs[0] not in rowname2idx:
                 pairs = pairs[1:]
             if len(pairs) % 2 != 0:
-                raise MpsParseError(f"odd RHS entries in {raw!r}")
+                if pairs and pairs[-1] not in rowname2idx:
+                    pairs = pairs[:-1]
+                else:
+                    raise MpsParseError(f"odd RHS entries in {raw!r}")
             for j in range(0, len(pairs), 2):
                 rname, vtok = pairs[j], pairs[j + 1]
                 value = _parse_value(vtok)
@@ -291,7 +303,10 @@ def read_mps(path: str) -> HighsModel:
             if pairs and pairs[0] not in rowname2idx:
                 pairs = pairs[1:]
             if len(pairs) % 2 != 0:
-                raise MpsParseError(f"odd RANGES entries in {raw!r}")
+                if pairs and pairs[-1] not in rowname2idx:
+                    pairs = pairs[:-1]
+                else:
+                    raise MpsParseError(f"odd RANGES entries in {raw!r}")
             for j in range(0, len(pairs), 2):
                 rname, vtok = pairs[j], pairs[j + 1]
                 value = _parse_value(vtok)

@@ -591,3 +591,188 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
             agg = {c: v for c, v in agg.items() if abs(v) > _EPS}
             used_rows.add(i2)
     return cuts
+
+
+# --------------------------------------------------------------------------
+# Maximally violated mod-k cuts (reference HighsModkSeparator +
+# HighsGFkSolve: congruence system over GF(k) from tight integral rows,
+# then the MIR procedure with divisor k; violation (k-1)/k by
+# construction).  TPU-build idiom: vectorized GF(p) Gaussian
+# elimination on the host.
+# --------------------------------------------------------------------------
+
+def _gfk_solve(M: np.ndarray, t: np.ndarray, k: int,
+               max_solutions: int = 8) -> List[np.ndarray]:
+    """Solve M @ lam == t (mod k) for prime k.  Returns up to
+    `max_solutions` distinct solutions (particular solution plus
+    single-free-variable perturbations), or [] if inconsistent."""
+    M = M % k
+    t = t % k
+    nrow, ncol = M.shape
+    aug = np.concatenate([M, t[:, None]], axis=1).astype(np.int64)
+    pivots = []  # (row, col)
+    r = 0
+    for c in range(ncol):
+        if r >= nrow:
+            break
+        nz = np.nonzero(aug[r:, c])[0]
+        if nz.size == 0:
+            continue
+        p = r + int(nz[0])
+        if p != r:
+            aug[[r, p]] = aug[[p, r]]
+        inv = pow(int(aug[r, c]), k - 2, k)
+        aug[r] = (aug[r] * inv) % k
+        mask = np.nonzero(aug[:, c])[0]
+        mask = mask[mask != r]
+        if mask.size:
+            aug[mask] = (aug[mask] - np.outer(aug[mask, c], aug[r])) % k
+        pivots.append((r, c))
+        r += 1
+    # consistency: zero rows must have zero rhs
+    if r < nrow and np.any(aug[r:, -1] % k):
+        return []
+    lam0 = np.zeros(ncol, dtype=np.int64)
+    for (pr, pc) in pivots:
+        lam0[pc] = aug[pr, -1] % k
+    sols = []
+    if lam0.any():
+        sols.append(lam0)
+    # null-space perturbations: set one free variable to 1..k-1
+    pivot_cols = {pc for _, pc in pivots}
+    free_cols = [c for c in range(ncol) if c not in pivot_cols]
+    for fc in free_cols:
+        for val in range(1, k):
+            lam = lam0.copy()
+            lam[fc] = val
+            for (pr, pc) in pivots:
+                lam[pc] = (aug[pr, -1] - val * aug[pr, fc]) % k
+            if lam.any():
+                sols.append(lam)
+            if len(sols) >= max_solutions:
+                return sols
+    return sols
+
+
+def separate_modk(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                  row_upper: np.ndarray, lo: np.ndarray, up: np.ndarray,
+                  x: np.ndarray, is_int: np.ndarray,
+                  feastol: float = 1e-6, ks: Sequence[int] = (2, 3),
+                  max_rows: int = 400, max_cuts: int = 16) -> List[Cut]:
+    """Mod-k MIR cuts.
+
+    Candidate rows are tight rows, taken in <=-form, bound-substituted
+    so every variable is measured from its nearest finite bound
+    (xh >= 0).  A row qualifies when (a) every continuous variable in it
+    sits at zero after substitution, and (b) a small integral scale
+    makes its integer coefficients and rhs integral (reference
+    HighsModkSeparator.h:10-38).  The congruence system asks for weights
+    lam in GF(k) with  lam' a_j == 0 (mod k)  for every integer column
+    with nonzero substituted value and  lam' b == k-1 (mod k); MIR with
+    divisor k on the aggregated row is then violated by (k-1)/k.
+    """
+    from ...utils.integers import integral_scale
+    m, n = a_csr.shape
+    if m == 0:
+        return []
+    # global bound substitution (same map for congruences and MIR)
+    flo = _finite(lo, -np.inf)
+    fup = _finite(up, np.inf)
+    use_lower = np.abs(x - flo) <= np.abs(fup - x)
+    use_lower &= np.isfinite(lo)
+    use_upper = ~use_lower & np.isfinite(up)
+    subst_ok = use_lower | use_upper
+    sub_b = np.where(use_lower, _finite(lo), _finite(up))
+    sign = np.where(use_lower, 1.0, -1.0)
+    xh = sign * (x - sub_b)
+
+    act = a_csr @ x
+    cand = []          # (cols, ah, bh_int) rows in substituted <=-form
+    for i in range(m):
+        s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+        cols = a_csr.indices[s:e]
+        vals = a_csr.data[s:e]
+        if cols.size == 0 or not np.all(subst_ok[cols]):
+            continue
+        cont = ~is_int[cols]
+        if np.any(cont & (xh[cols] > 100 * feastol)):
+            continue
+        for sgn, b in ((1.0, row_upper[i]), (-1.0, -row_lower[i])):
+            if not np.isfinite(b) or sgn * act[i] < b - 100 * feastol:
+                continue  # not tight in this sense
+            ah = sgn * vals * sign[cols]
+            bh = sgn * b - float(sgn * vals @ sub_b[cols])
+            ints = is_int[cols]
+            scale_vec = np.concatenate([ah[ints], [bh]])
+            sc = integral_scale(scale_vec)
+            if sc is None or sc > 64:
+                continue
+            cand.append((cols, ah * sc, int(round(bh * sc))))
+            break
+        if len(cand) >= max_rows:
+            break
+    if not cand:
+        return []
+
+    # integer columns with nonzero substituted value: must vanish mod k
+    F = np.nonzero(is_int & (xh > 10 * feastol) & subst_ok)[0]
+    col_pos = {int(j): idx for idx, j in enumerate(F)}
+
+    cuts: List[Cut] = []
+    for k in ks:
+        if len(cuts) >= max_cuts:
+            break
+        M = np.zeros((len(F) + 1, len(cand)), dtype=np.int64)
+        usable = []
+        for r, (cols, ah, bh) in enumerate(cand):
+            ok = True
+            for c, a in zip(cols, ah):
+                if is_int[c] and xh[c] > 10 * feastol:
+                    ai = int(round(a))
+                    if abs(a - ai) > 1e-7:
+                        ok = False
+                        break
+                    M[col_pos[int(c)], r] = ai % k
+            if ok:
+                M[-1, r] = bh % k
+                usable.append(r)
+        t = np.zeros(len(F) + 1, dtype=np.int64)
+        t[-1] = k - 1
+        Mu = M[:, usable]
+        if Mu.shape[1] == 0:
+            continue
+        for lam in _gfk_solve(Mu, t, k):
+            # aggregate in substituted space
+            agg = np.zeros(n)
+            brhs = 0.0
+            for w, r in zip(lam, usable):
+                if w == 0:
+                    continue
+                cols, ah, bh = cand[r]
+                agg[cols] += w * ah
+                brhs += w * bh
+            f = brhs / k - math.floor(brhs / k)
+            if f < 0.5 - 1e-9:   # need remainder k-1 -> f=(k-1)/k
+                continue
+            nzc = np.nonzero(np.abs(agg) > _EPS)[0]
+            a_d = agg[nzc] / k
+            fl = np.floor(a_d)
+            gi = fl + np.maximum(a_d - fl - f, 0.0) / (1.0 - f)
+            gc = np.minimum(a_d, 0.0) / (1.0 - f)
+            g = np.where(is_int[nzc], gi, gc)
+            grhs = math.floor(brhs / k)
+            # un-substitute: g'xh <= grhs, xh = sign*(x - sub_b)
+            out_vals = g * sign[nzc]
+            out_rhs = grhs + float(g @ (sign[nzc] * sub_b[nzc]))
+            res = _clean_cut(nzc.astype(np.int32), out_vals, out_rhs,
+                             lo, up)
+            if res is None:
+                continue
+            ccols, cvals, crhs = res
+            viol = float(x[ccols] @ cvals) - crhs
+            nrm = float(np.linalg.norm(cvals))
+            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+                cuts.append(Cut(ccols, cvals, crhs, viol / nrm))
+                if len(cuts) >= max_cuts:
+                    break
+    return cuts

@@ -520,7 +520,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     if use_simplex and root_x is not None and \
             math.isfinite(root_bound) and (is_int.any()):
         from .cuts import (CliqueTable, CutPool, separate_gomory,
-                           separate_mir, separate_path_mir)
+                           separate_mir, separate_modk, separate_path_mir)
         cutpool = CutPool(lp.num_col, options.mip_pool_age_limit,
                           options.mip_pool_soft_limit)
         clique_table = CliqueTable(a_csr, lp.row_lower, lp.row_upper,
@@ -548,6 +548,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_path_mir(
                 a_csr, lp.row_lower, lp.row_upper, root_lo_p,
                 root_up_p, root_x, is_int, feastol)
+            found += separate_modk(a_csr, lp.row_lower, lp.row_upper,
+                                   root_lo_p, root_up_p, root_x, is_int,
+                                   feastol)
             found += clique_table.separate(root_x)
             added = [c for c in found if cutpool.add(c)]
             if not added:

@@ -150,3 +150,53 @@ def test_path_mir_aggregation():
                     dense = np.zeros(3)
                     dense[c.cols] = c.vals
                     assert dense @ np.array([x1, x2, y]) <= c.rhs + 1e-6
+
+
+def test_modk_odd_cycle_cut():
+    """Mod-2 cut on the triangle matching LP: rows x_i + x_j <= 1 admit
+    the aggregated {0,1/2}-cut x1+x2+x3 <= 1 at the fractional vertex
+    (1/2,1/2,1/2) (reference HighsModkSeparator)."""
+    from highs_tpu.solvers.mip.cuts import separate_modk
+    a = sp.csr_matrix(np.array(
+        [[1.0, 1.0, 0.0],
+         [0.0, 1.0, 1.0],
+         [1.0, 0.0, 1.0]]))
+    row_lower = np.full(3, -np.inf)
+    row_upper = np.ones(3)
+    lo = np.zeros(3)
+    up = np.ones(3)
+    is_int = np.ones(3, dtype=bool)
+    x = np.full(3, 0.5)
+    cuts = separate_modk(a, row_lower, row_upper, lo, up, x, is_int)
+    assert cuts
+    found = False
+    for c in cuts:
+        dense = np.zeros(3)
+        dense[c.cols] = c.vals
+        # validity on all feasible binary points
+        for bits in range(8):
+            y = np.array([(bits >> k) & 1 for k in range(3)], dtype=float)
+            if (a @ y <= row_upper + 1e-9).all():
+                assert dense @ y <= c.rhs + 1e-6
+        if np.allclose(dense, [1, 1, 1]) and abs(c.rhs - 1.0) < 1e-9:
+            found = True
+    assert found, "the odd-cycle cut x1+x2+x3<=1 must be separated"
+
+
+def test_modk_solver_integration():
+    """MIP on the 5-cycle matching problem solves to optimality with
+    mod-k separation enabled in the root loop."""
+    from highs_tpu import Highs, HighsModelStatus
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    n = 5
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    h.addVars(n, np.zeros(n), np.ones(n))
+    for j in range(n):
+        h.changeColIntegrality(j, 1)
+        h.changeColCost(j, -1.0)
+    for (i, j) in edges:
+        h.addRow(-np.inf, 1.0, 2, np.array([i, j]), np.array([1.0, 1.0]))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - (-2.0)) < 1e-6

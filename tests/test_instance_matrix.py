@@ -18,14 +18,35 @@ LP_OBJECTIVES = {
     "adlittle": 2.2549496316e5,
     "stair": -2.5126695119e2,
     "standata": 1.2576995000e3,
+    "standgub": 1.2576995000e3,
+    "standmps": 1.4060175000e3,
     "avgas": -7.75,
     "25fv47": 5.5018458883e3,
     "greenbea": -7.2555248130e7,
     "80bau3b": 9.8722419241e5,
+    "etamacro": -7.5571523330e2,
+    "shell": 1.2088253460e9,
 }
 
-INFEASIBLE = ["galenet", "woodinfe", "box1", "bgetam"]
+INFEASIBLE = ["galenet", "woodinfe", "box1", "bgetam",
+              "ex72a", "forest6", "gams10am", "refinery"]
 UNBOUNDED = ["gas11"]
+
+# PDLP instance list (check/CMakeLists.txt:305-345).  The ctest
+# patterns are prefixes of the printed objective, so exponents are
+# resolved against our own simplex ground truth (blending/chip are
+# -3.2e3/-9.0e2, not -3.2/-9.0).
+PDLP_OBJECTIVES = {
+    "afiro": -4.6475314286e2,
+    "adlittle": 2.2549496316e5,
+    "stair": -2.5126695119e2,
+    "avgas": -7.75,
+    "blending": -3.2e3,
+    "chip": -9.0e2,
+    "sctest": 5.75,
+    "standata": 1.2576995e3,
+    "standgub": 1.2576995e3,
+}
 
 
 def _solve(name, presolve="on", seed=0, solver="simplex"):
@@ -74,11 +95,31 @@ def test_unbounded_instances(instances_dir, name):
         HighsModelStatus.kUnboundedOrInfeasible)
 
 
-@pytest.mark.parametrize("name", ["afiro", "adlittle", "stair"])
+@pytest.mark.parametrize("name", sorted(PDLP_OBJECTIVES))
 def test_pdlp_objective_agreement(instances_dir, name):
     """PDLP instance list objective agreement at relative tolerance
     (check/CMakeLists.txt:303-345)."""
     h = _solve(name, solver="pdlp")
     assert h.getModelStatus() == HighsModelStatus.kOptimal
-    ref = LP_OBJECTIVES[name]
+    ref = PDLP_OBJECTIVES[name]
     assert abs(h.getObjectiveValue() - ref) <= 1e-4 * max(1.0, abs(ref))
+
+
+# MIP instance objective list (check/CMakeLists.txt:268-280); the fast
+# subset — bell5/sp150x300d/p0548 need minutes to prove optimality.
+MIP_OBJECTIVES = {
+    "small_mip": 3.2368421,
+    "rgn": 82.19999924,
+    "dcmulti": 188182.0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(MIP_OBJECTIVES))
+def test_mip_objective_matrix(instances_dir, name):
+    h = _solve(name)
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    ref = MIP_OBJECTIVES[name]
+    # within the default mip_rel_gap (1e-4), like the solver's own
+    # optimality declaration
+    assert h.getObjectiveValue() <= ref + 1e-4 * abs(ref) + 1e-6
+    assert h.getObjectiveValue() >= ref - 1e-6
