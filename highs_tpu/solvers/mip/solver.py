@@ -525,6 +525,32 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                           options.mip_pool_soft_limit)
         clique_table = CliqueTable(a_csr, lp.row_lower, lp.row_upper,
                                    root_lo_p, root_up_p, is_int, feastol)
+        # root probing of fractional binaries (reference
+        # HighsImplications): implication store for implied-bound cuts,
+        # probing fixings applied to the root domain
+        from .implications import Implications
+        implications = Implications(prop, feastol)
+        binary = is_int & (root_lo_p >= -feastol) & \
+            (root_up_p <= 1.0 + feastol) & (root_up_p - root_lo_p > 0.5)
+        frac = np.abs(root_x - np.round(root_x))
+        probe_order = np.argsort(-np.where(binary, frac, -1.0))
+        probe_cand = [int(j) for j in probe_order if binary[j]]
+        new_lo, new_up = implications.probe(
+            probe_cand, root_lo_p, root_up_p,
+            max_probes=min(64, max(8, lp.num_col // 4)))
+        if implications.infeasible:
+            info.status = HighsModelStatus.kInfeasible
+            info.solve_time = time.perf_counter() - t0
+            return info.status, HighsSolution(), info
+        if implications.fixed or np.any(new_lo > root_lo_p) or \
+                np.any(new_up < root_up_p):
+            root_lo_p, root_up_p = new_lo, new_up
+            feasible, root_bound, root_x, root_basis = solve_node_lp(
+                root_lo_p, root_up_p)
+            if not feasible or root_x is None:
+                info.status = HighsModelStatus.kInfeasible
+                info.solve_time = time.perf_counter() - t0
+                return info.status, HighsSolution(), info
         stall = 0
         for _round in range(10):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
@@ -551,6 +577,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_modk(a_csr, lp.row_lower, lp.row_upper,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
+            found += implications.separate(root_x, root_lo_p, root_up_p)
             found += clique_table.separate(root_x)
             added = [c for c in found if cutpool.add(c)]
             if not added:

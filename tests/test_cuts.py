@@ -200,3 +200,46 @@ def test_modk_solver_integration():
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert abs(h.getObjectiveValue() - (-2.0)) < 1e-6
+
+
+def test_implications_probing_and_implied_bound_cut():
+    """Probing an integrality-rounded implication chain (y=1 -> x1>=2.5
+    -> x1>=3 -> x2<=5) yields the implied-bound cut x2 <= 8 - 3y
+    (reference HighsImplications + implied-bound separation)."""
+    from highs_tpu.solvers.mip.implications import Implications
+    from highs_tpu.solvers.mip.propagate import Propagator
+    # cols: y (binary), x1 (integer in [0,8]), x2 (continuous in [0,8])
+    a = sp.csr_matrix(np.array(
+        [[-2.5, 1.0, 0.0],    # x1 - 2.5 y >= 0
+         [0.0, 1.0, 1.0]]))   # x1 + x2 <= 8
+    row_lower = np.array([0.0, -np.inf])
+    row_upper = np.array([np.inf, 8.0])
+    is_int = np.array([True, True, False])
+    prop = Propagator(a, row_lower, row_upper, is_int)
+    impl = Implications(prop)
+    lo = np.zeros(3)
+    up = np.array([1.0, 8.0, 8.0])
+    lo2, up2 = impl.probe([0], lo, up)
+    assert not impl.infeasible
+    assert 0 in impl.store
+    lo0, up0, lo1, up1 = impl.store[0]
+    assert lo1[1] >= 3.0 - 1e-5        # x1 >= 3 when y=1
+    assert up1[2] <= 5.0 + 1e-5        # x2 <= 5 when y=1 (feastol pad)
+    x = np.array([0.5, 1.25, 6.75])    # LP-feasible, cut-violated
+    cuts = impl.separate(x, lo2, up2)
+    assert cuts
+    ok = False
+    for c in cuts:
+        dense = np.zeros(3)
+        dense[c.cols] = c.vals
+        # validity at the integer corners
+        for y in (0.0, 1.0):
+            for x1 in range(0, 9):
+                if x1 < 2.5 * y:
+                    continue
+                x2max = 8.0 - x1
+                pt = np.array([y, x1, x2max])
+                assert dense @ pt <= c.rhs + 1e-6
+        if dense @ x > c.rhs + 1e-6:
+            ok = True
+    assert ok, "at least one cut must be violated at the LP point"
