@@ -383,6 +383,125 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             if infeasible:
                 break
 
+        # --- sparsify: cancel nonzeros with equality rows -------------------
+        # (reference kPresolveRuleSparsify, HPresolve::sparsify: add
+        # lambda * (equality row e) to row r when that nets fewer
+        # nonzeros; feasible set unchanged.  Postsolve: equality-row-
+        # addition replay  y_e += lambda * y_r.)
+        if _rule_on(options, PresolveRuleType.kSparsify):
+            a_csr = (sp.diags(row_active.astype(float)) @ a @
+                     sp.diags(col_active.astype(float))).tocsr()
+            a_csr.eliminate_zeros()
+            a2c = a_csr.tocsc()
+            row_nnz = np.diff(a_csr.indptr)
+            eq_rows = np.nonzero(row_active & (row_nnz >= 2) &
+                                 (row_nnz <= 32) & np.isfinite(rl) &
+                                 np.isfinite(ru) &
+                                 (np.abs(ru - rl) <= tol))[0]
+            a_lil3 = None
+            edits = 0
+            stale: set = set()
+            for e in eq_rows[:100]:
+                if edits >= 50:
+                    break
+                if int(e) in stale:
+                    continue
+                ecols, evals = row_cols(e)
+                if len(ecols) < 2:
+                    continue
+                esup = {int(c): float(v) for c, v in zip(ecols, evals)}
+                # pivot on e's sparsest column (fewest other rows)
+                degs = np.diff(a2c.indptr)[ecols]
+                j0 = int(ecols[np.argmin(degs)])
+                v0 = esup[j0]
+                s0, e0 = a2c.indptr[j0], a2c.indptr[j0 + 1]
+                for r in a2c.indices[s0:e0]:
+                    r = int(r)
+                    if r == int(e) or not row_active[r] or r in stale:
+                        continue
+                    rcols, rvals = row_cols(r)
+                    rsup = {int(c): float(v)
+                            for c, v in zip(rcols, rvals)}
+                    lam = -rsup[j0] / v0
+                    if abs(lam) > 1e4 or abs(lam) < 1e-10:
+                        continue
+                    # nonzero delta: entries cancelled minus fill-in
+                    cancelled = 0
+                    fill = 0
+                    for cc, vv in esup.items():
+                        if cc in rsup:
+                            if abs(rsup[cc] + lam * vv) <= 1e-11 * \
+                                    max(1.0, abs(rsup[cc])):
+                                cancelled += 1
+                        else:
+                            fill += 1
+                    if cancelled - fill < 1:
+                        continue
+                    if a_lil3 is None:
+                        a_lil3 = a.tolil()
+                    for cc, vv in esup.items():
+                        newv = float(a_lil3[r, cc]) + lam * vv
+                        if abs(newv) <= 1e-11:
+                            newv = 0.0
+                        a_lil3[r, cc] = newv
+                    be = float(rl[e])
+                    if np.isfinite(rl[r]):
+                        rl[r] += lam * be
+                    if np.isfinite(ru[r]):
+                        ru[r] += lam * be
+                    stack.append(("sparsify", int(r), int(e),
+                                  float(lam)))
+                    stale.add(r)
+                    edits += 1
+                    changed = True
+                stale.add(int(e))
+            if a_lil3 is not None:
+                a = a_lil3.tocsc()
+                a_csr = a.tocsr()
+
+        # --- dependent equations --------------------------------------------
+        # (reference kPresolveRuleDependentEquations: Gaussian
+        # elimination over the equality rows; a row reducing to zero is
+        # redundant when its rhs also cancels, else infeasible.)
+        if _rule_on(options, PresolveRuleType.kDependentEquations) and \
+                _pass == 0:
+            a_csr = (sp.diags(row_active.astype(float)) @ a @
+                     sp.diags(col_active.astype(float))).tocsr()
+            a_csr.eliminate_zeros()
+            eq_rows = np.nonzero(row_active & np.isfinite(rl) &
+                                 np.isfinite(ru) &
+                                 (np.abs(ru - rl) <= tol) &
+                                 (np.diff(a_csr.indptr) > 0))[0]
+            if 2 <= len(eq_rows) <= 300 and n <= 4000:
+                dense = np.asarray(a_csr[eq_rows].todense())
+                aug = np.concatenate(
+                    [dense, rl[eq_rows, None]], axis=1)
+                # incremental elimination: reduce each row against the
+                # accepted pivot rows; zero rows are dependent
+                pivots: List[Tuple[int, np.ndarray]] = []  # (col, row)
+                for t, i in enumerate(eq_rows):
+                    rvec = aug[t]
+                    for (pc, pv) in pivots:
+                        f = rvec[pc]
+                        if f != 0.0:
+                            rvec = rvec - f * pv
+                    scale = np.max(np.abs(rvec[:-1]))
+                    if scale <= 1e-10 * max(
+                            1.0, float(np.max(np.abs(dense[t])))):
+                        # coefficients vanished: consistent?
+                        if abs(rvec[-1]) > 1e-7 * (
+                                1.0 + abs(rl[i])):
+                            infeasible = True
+                            break
+                        stack.append(("redundant_row", int(i)))
+                        row_active[i] = False
+                        changed = True
+                        continue
+                    pc = int(np.argmax(np.abs(rvec[:-1])))
+                    pivots.append((pc, rvec / rvec[pc]))
+                if infeasible:
+                    break
+
         # --- forcing rows --------------------------------------------------
         if _rule_on(options, PresolveRuleType.kForcingRow):
             a_csr = (sp.diags(row_active.astype(float)) @ a @
@@ -682,6 +801,13 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
             y[i] = 0.0
             if row_bs is not None:
                 row_bs[i] = BS.kBasic
+        elif kind == "sparsify":
+            # reduced row r was (a_r + lam a_e); in original terms the
+            # equality row e absorbs lam * y_r (equality-row-addition
+            # replay, reference HighsPostsolveStack kEqualityRowAddition)
+            _, r, e, lam = rec
+            if have_dual:
+                y[e] += lam * y[r]
         elif kind == "singleton_row":
             (_, i, j, v, old_cl, old_cu, new_cl, new_cu,
              rl_i, ru_i) = rec

@@ -58,7 +58,9 @@ def test_presolve_rule_off_bitmask(instances_dir):
                  PresolveRuleType.kForcingRow,
                  PresolveRuleType.kFreeColSubstitution,
                  PresolveRuleType.kDominatedCol,
-                 PresolveRuleType.kProbing):
+                 PresolveRuleType.kProbing,
+                 PresolveRuleType.kSparsify,
+                 PresolveRuleType.kDependentEquations):
         mask |= 1 << int(rule)
     opts.presolve_rule_off = mask
     pr = presolve_lp(lp, opts)
@@ -251,3 +253,56 @@ def test_probing_masked_inactive_rows(instances_dir):
     lp = read_mps(instance_path("lseu.mps")).lp
     pr = presolve_lp(lp, HighsOptions())
     assert pr.status != HighsModelStatus.kInfeasible
+
+
+def test_sparsify_rule_preserves_solution_and_duals():
+    """Sparsify cancels nonzeros via equality-row additions; primal and
+    dual solutions must replay exactly (reference kPresolveRuleSparsify
+    + kEqualityRowAddition postsolve)."""
+    # eq row: x0 + x1 + x2 = 6; second row shares the full support:
+    # 2x0 + 2x1 + 2x2 + x3 <= 14  -> sparsify to  x3 <= 2
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.addVars(4, np.zeros(4), np.full(4, 10.0))
+    for j, cj in enumerate([1.0, 2.0, 3.0, -1.0]):
+        h.changeColCost(j, cj)
+    h.addRow(6.0, 6.0, 3, np.array([0, 1, 2]), np.ones(3))
+    h.addRow(-np.inf, 14.0, 4, np.array([0, 1, 2, 3]),
+             np.array([2.0, 2.0, 2.0, 1.0]))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # optimum: x0=6 (cheapest), x3=2 (negative cost): obj 6 - 2 = 4
+    assert abs(h.getObjectiveValue() - 4.0) < 1e-7
+    sol = h.getSolution()
+    assert abs(sol.col_value[0] - 6.0) < 1e-7
+    assert abs(sol.col_value[3] - 2.0) < 1e-7
+    # dual feasibility on the ORIGINAL rows: c - A'y - z = 0
+    a = np.array([[1.0, 1.0, 1.0, 0.0], [2.0, 2.0, 2.0, 1.0]])
+    c = np.array([1.0, 2.0, 3.0, -1.0])
+    resid = c - a.T @ np.asarray(sol.row_dual) - np.asarray(sol.col_dual)
+    assert np.max(np.abs(resid)) < 1e-6
+
+
+def test_dependent_equations_redundant_and_infeasible():
+    """Linearly dependent equality rows are removed; inconsistent
+    dependencies are infeasible (kPresolveRuleDependentEquations)."""
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.addVars(3, np.zeros(3), np.full(3, 10.0))
+    h.changeColCost(0, 1.0)
+    h.addRow(3.0, 3.0, 2, np.array([0, 1]), np.array([1.0, 1.0]))
+    h.addRow(4.0, 4.0, 2, np.array([1, 2]), np.array([1.0, 1.0]))
+    # dependent: row0 + row1 = (1, 2, 1) with rhs 7
+    h.addRow(7.0, 7.0, 3, np.array([0, 1, 2]), np.array([1.0, 2.0, 1.0]))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getObjectiveValue() - 0.0) < 1e-7
+
+    h2 = Highs()
+    h2.setOptionValue("output_flag", False)
+    h2.addVars(3, np.zeros(3), np.full(3, 10.0))
+    h2.addRow(3.0, 3.0, 2, np.array([0, 1]), np.array([1.0, 1.0]))
+    h2.addRow(4.0, 4.0, 2, np.array([1, 2]), np.array([1.0, 1.0]))
+    h2.addRow(8.0, 8.0, 3, np.array([0, 1, 2]), np.array([1.0, 2.0, 1.0]))
+    h2.run()
+    assert h2.getModelStatus() == HighsModelStatus.kInfeasible
