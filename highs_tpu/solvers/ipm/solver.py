@@ -323,7 +323,26 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
                         x0: Optional[np.ndarray] = None
                         ) -> Tuple[HighsModelStatus, HighsSolution,
                                    IpmRunInfo]:
-    """Solve an LP with the dense normal-equations IPM."""
+    """Solve an LP with the dense normal-equations IPM.
+
+    Tiny problems run on the CPU backend: below MXU-payoff size the
+    accelerator adds only backend-init + compile latency (the MIP
+    node/heuristic path calls this on toy relaxations)."""
+    if lp.num_row * max(1, lp.num_col) <= 1_000_000:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                return _solve_lp_ipm_impl(lp, options, log=log, x0=x0)
+    return _solve_lp_ipm_impl(lp, options, log=log, x0=x0)
+
+
+def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
+                       x0: Optional[np.ndarray] = None
+                       ) -> Tuple[HighsModelStatus, HighsSolution,
+                                  IpmRunInfo]:
     t0 = time.perf_counter()
     info = IpmRunInfo()
     deadline = getattr(options, "_solve_deadline", None)

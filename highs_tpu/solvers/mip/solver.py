@@ -62,6 +62,10 @@ class _Node:
     parent_obj: float = dataclasses.field(compare=False, default=0.0)
     basis: object = dataclasses.field(compare=False, default=None)
     cached: object = dataclasses.field(compare=False, default=None)
+    # generation of the Propagator whose fixpoint (lo, up) is: child
+    # propagation may seed incrementally from the branched columns only
+    # when the propagator has not been rebuilt since (cut rows added)
+    prop_gen: int = dataclasses.field(compare=False, default=0)
 
 
 class _Pseudocost:
@@ -320,9 +324,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 1e-7 * (1.0 + float(np.abs(lp.row_upper[
                     np.isfinite(lp.row_upper)]).sum())):
             return False, math.inf, None, None
-        # numerically hard but feasible: retry with the PDHG solver
-        from ..pdlp.wrapper import solve_lp_pdlp
+        # numerically hard but feasible: retry with the PDHG solver,
+        # bounded by the remaining MIP budget (a node fallback must
+        # never eat the whole solve)
         pd_options = _copy.copy(options)
+        pd_options._solve_deadline = min(
+            getattr(options, "_solve_deadline", math.inf),
+            t0 + options.time_limit)
+        from ..pdlp.wrapper import solve_lp_pdlp
         st3, sol3, inf3 = solve_lp_pdlp(node_lp, pd_options)
         if st3 == HighsModelStatus.kOptimal:
             return True, sense * (inf3.primal_obj - lp.offset), \
@@ -504,6 +513,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return info.status, HighsSolution(), info
     feasible, root_bound, root_x, root_basis = solve_node_lp(
         root_lo_p, root_up_p)
+    # snapshot the root duals NOW: solve_node_lp is also called by
+    # heuristics (round_and_repair completion LPs with fixed integers)
+    # whose duals must never be paired with root_bound for
+    # reduced-cost fixing — that pairing prunes optimal solutions
+    root_z = last_duals["z"]
     info.mip_node_count = 1
     if not feasible:
         info.status = HighsModelStatus.kInfeasible
@@ -539,9 +553,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             probe_cand, root_lo_p, root_up_p,
             max_probes=min(64, max(8, lp.num_col // 4)))
         if implications.infeasible:
+            if debug_sol is not None and debug_sol.active:
+                debug_sol._report("root probing infeasibility")
             info.status = HighsModelStatus.kInfeasible
             info.solve_time = time.perf_counter() - t0
             return info.status, HighsSolution(), info
+        if debug_sol is not None and debug_sol.active:
+            debug_sol.check_bounds(new_lo, new_up, "root probing",
+                                   feastol)
         if implications.fixed or np.any(new_lo > root_lo_p) or \
                 np.any(new_up < root_up_p):
             root_lo_p, root_up_p = new_lo, new_up
@@ -608,6 +627,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             prev_bound = root_bound
             feasible, root_bound, root_x, root_basis = solve_node_lp(
                 root_lo_p, root_up_p, warm_basis=warm)
+            root_z = last_duals["z"]
             info.mip_node_count += 1
             if not feasible or root_x is None or \
                     not math.isfinite(root_bound):
@@ -620,6 +640,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 _Relax.num_cut_rows = 0
                 feasible, root_bound, root_x, root_basis = solve_node_lp(
                     root_lo_p, root_up_p)
+                root_z = last_duals["z"]
                 break
             if log is not None:
                 log(f"MIP root cuts round {_round + 1}: "
@@ -654,11 +675,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         f"{dropped} slack")
                 feasible, root_bound, root_x, root_basis = \
                     solve_node_lp(root_lo_p, root_up_p)
+                root_z = last_duals["z"]
         if _Relax.num_cut_rows:
             # stronger propagation with cut rows included
             full_csr = _Relax.a_csc.tocsr()
             prop = Propagator(full_csr, _Relax.row_lower,
                               _Relax.row_upper, is_int, feastol)
+            prop.gen = 1  # invalidates incremental seeding of old nodes
         # another rounding attempt from the cut-tightened relaxation
         if root_x is not None:
             cand = round_and_repair(root_x, root_lo_p, root_up_p)
@@ -692,8 +715,6 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     if options.mip_heuristic_run_feasibility_jump and \
             incumbent_obj == math.inf and sub_level == 0:
         run_feasibility_jump(root_x, root_lo_p, root_up_p)
-
-    root_z = last_duals["z"]
 
     # ---- primal heuristics (reference HighsPrimalHeuristics.cpp) ------
     from . import heuristics as heur
@@ -815,8 +836,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             root_z, root_x, root_bound, incumbent_obj - abs_gap,
             root_lo_p, root_up_p, is_int, feastol)
         if ntight:
+            if debug_sol is not None and debug_sol.active:
+                debug_sol.check_bounds(lo2, up2,
+                                       "reduced-cost fixing", feastol)
             ok2, lo3, up3 = prop.propagate(lo2, up2)
             if ok2:
+                if debug_sol is not None and debug_sol.active:
+                    debug_sol.check_bounds(
+                        lo3, up3, "post-redcost propagation", feastol)
                 root_lo_p, root_up_p = lo3, up3
                 if log is not None:
                     log(f"MIP reduced-cost fixing tightened {ntight} "
@@ -959,9 +986,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             current = None
         else:
             node = heapq.heappop(heap)
+        # heap is bound-ordered (_Node compares on (bound, seq)), so the
+        # global dual bound is O(1) at the top
         dual_bound = min(node.bound,
-                         min((nd.bound for nd in heap),
-                             default=node.bound))
+                         heap[0].bound if heap else node.bound)
         if incumbent_obj < math.inf:
             if current_gap(dual_bound) <= rel_gap:
                 break
@@ -1036,6 +1064,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             add_conflict(node.lo, node.up)
             continue
         if obj_bound >= cutoff_value() - abs_gap:
+            # debug check: a node containing the debug solution must
+            # have an LP bound <= its objective (it is LP-feasible)
+            if debug_sol is not None and debug_sol.active and \
+                    debug_sol.in_box(node.lo, node.up) and \
+                    obj_bound > sense * float(
+                        lp.col_cost @ debug_sol.x) + 1e-6 * (
+                            1.0 + abs(obj_bound)):
+                debug_sol._report(
+                    f"bound prune with wrong LP bound {obj_bound:.10g} "
+                    f"at depth {node.depth}")
             continue
         if x is None:
             continue
@@ -1155,13 +1193,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             plunge_child = 0 if absx[:split].sum() >= \
                 absx[split:].sum() else 1
             built = []
-            for clo, cup in children:
-                okc, plo, pup = prop.propagate(clo, cup)
+            sos_seeds = [zr, zl]
+            for ci_s, (clo, cup) in enumerate(children):
+                seed = sos_seeds[ci_s] \
+                    if node.prop_gen == prop.gen else None
+                okc, plo, pup = prop.propagate(clo, cup,
+                                               seed_cols=seed)
                 if not okc:
                     built.append(None)
                     continue
                 child = _Node(obj_bound, seq, plo, pup, node.depth + 1,
-                              basis=node_basis)
+                              basis=node_basis, prop_gen=prop.gen)
                 seq += 1
                 built.append(child)
             other = 1 - plunge_child
@@ -1248,12 +1290,24 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
         built = []
         for ci, (clo, cup) in enumerate(children):
-            ok, plo, pup = prop.propagate(clo, cup)
+            # both the integer and the semi branch change exactly one
+            # column's bounds relative to the parent fixpoint —
+            # incremental propagation seeds only its rows
+            seed = np.array([j], dtype=np.int32) \
+                if node.prop_gen == prop.gen else None
+            ok, plo, pup = prop.propagate(clo, cup, seed_cols=seed)
+            if debug_sol is not None and debug_sol.active and \
+                    debug_sol.in_box(clo, cup):
+                if not ok:
+                    debug_sol._report("child propagation infeasible")
+                else:
+                    debug_sol.check_bounds(plo, pup,
+                                           "child propagation")
             if not ok:
                 built.append(None)
                 continue
             child = _Node(obj_bound, seq, plo, pup, node.depth + 1,
-                          basis=node_basis)
+                          basis=node_basis, prop_gen=prop.gen)
             if not semi_cand:
                 child.branch_j = j
                 # child 0 = down branch, child 1 = up branch

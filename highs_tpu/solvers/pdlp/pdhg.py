@@ -372,6 +372,18 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     infeas_hits = 0
     unbounded_hits = 0
     mlast = None
+    # stall-adaptive reflection damping: full reflection (gamma=1) is
+    # the fastest mode when it converges, but can cycle on degenerate
+    # problems (e.g. Netlib scrs8: 500k+ iterations without progress).
+    # When the KKT merit produces no new best for `_STALL_CHECKS`
+    # consecutive convergence checks (a true cycle: the merit
+    # oscillates without ever improving), damp the reflection to 0.9 —
+    # one extra jit compile, then strictly averaged iterations that
+    # break the cycle.  Slow-but-monotone convergence keeps setting new
+    # bests and never triggers this.
+    _STALL_CHECKS = 150
+    merit_best = None
+    merit_stall = 0
 
     # --- mixed-precision step operator ------------------------------------
     step_op = None
@@ -456,6 +468,18 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if rel_p < eps and rel_d < eps and rel_gap < eps:
             status = HighsModelStatus.kOptimal
             break
+
+        # --- stall-adaptive reflection damping ---------------------------
+        if gamma > 0.9:
+            merit = max(rel_p, rel_d, rel_gap)
+            if merit_best is None or merit < merit_best * (1 - 1e-3):
+                merit_best = min(merit, merit_best or merit)
+                merit_stall = 0
+            else:
+                merit_stall += 1
+                if merit_stall >= _STALL_CHECKS:
+                    gamma = 0.9
+                    merit_stall = 0
 
         # mixed precision: switch to full precision once the bf16 phase
         # reaches its target resolution OR stalls (bf16 rounding floors

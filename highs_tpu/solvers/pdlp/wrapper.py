@@ -10,6 +10,7 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,6 +71,31 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
                   y0: Optional[np.ndarray] = None,
                   log_callback=None
                   ) -> Tuple[HighsModelStatus, HighsSolution, PdlpRunInfo]:
+    """Restarted-Halpern PDHG solve (reference solveLpHiPdlp,
+    pdlp/HiPdlpWrapper.cpp:26).
+
+    Tiny problems run on the CPU backend: every 40-step device block
+    ends in a scalar readback, and below MXU-payoff size the
+    accelerator round-trip latency dominates the matvecs."""
+    if lp.num_row * max(1, lp.num_col) <= 1_000_000:
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                return _solve_lp_pdlp_impl(lp, options, x0=x0, y0=y0,
+                                           log_callback=log_callback)
+    return _solve_lp_pdlp_impl(lp, options, x0=x0, y0=y0,
+                               log_callback=log_callback)
+
+
+def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
+                        x0: Optional[np.ndarray] = None,
+                        y0: Optional[np.ndarray] = None,
+                        log_callback=None
+                        ) -> Tuple[HighsModelStatus, HighsSolution,
+                                   PdlpRunInfo]:
     info = PdlpRunInfo()
     if lp.num_row == 0:
         status, sol = _solve_bound_lp(lp)

@@ -69,8 +69,44 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.hx_propagate.restype = ctypes.c_int
+        lib.hx_propagate.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int8),
+            ctypes.c_double, ctypes.c_int,
+            ctypes.c_void_p,  # seed_cols (nullable)
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+        ]
         _lib = lib
         return lib
+
+
+def propagate_native(rp, ri, rx, row_lo, row_up, is_int, lo, up,
+                     feastol=1e-6, max_rounds=8, seed_cols=None):
+    """Worklist activity propagation (hx_propagate).  Tightens lo/up
+    copies in place; returns (feasible, lo, up)."""
+    lib = get_lib()
+    m = len(row_lo)
+    n = len(lo)
+    lo = np.ascontiguousarray(lo, dtype=np.float64).copy()
+    up = np.ascontiguousarray(up, dtype=np.float64).copy()
+    if seed_cols is None:
+        seed_ptr, n_seed = None, -1
+    else:
+        seed = np.ascontiguousarray(seed_cols, dtype=np.int32)
+        seed_ptr = seed.ctypes.data_as(ctypes.c_void_p)
+        n_seed = len(seed)
+    ok = lib.hx_propagate(
+        m, n, rp, ri, rx, row_lo, row_up, is_int, feastol, max_rounds,
+        seed_ptr, n_seed, lo, up)
+    return bool(ok), lo, up
 
 
 # result codes from hsimplex.cpp

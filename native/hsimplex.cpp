@@ -392,6 +392,163 @@ struct PricingResult {
 
 extern "C" {
 
+// Worklist-based activity-bound propagation over CSR rows (the native
+// counterpart of highs/mip/HighsDomain.cpp row propagation; the MIP
+// node loop calls this tens of thousands of times, so it lives next to
+// the native simplex rather than in numpy).
+//
+// Rp/Ri/Rx: CSR of A (m x n); row_lo/row_up row bounds; lo/up column
+// bounds tightened IN PLACE.  is_int marks integer columns (rounding).
+// seed_cols/n_seed: columns whose bounds changed since the last call —
+// only their rows enter the initial worklist (n_seed < 0: all rows).
+// Returns 1 feasible, 0 infeasible.
+int hx_propagate(int m, int n, const int64_t* Rp, const int32_t* Ri,
+                 const double* Rx, const double* row_lo,
+                 const double* row_up, const int8_t* is_int,
+                 double feastol, int max_rounds, const int32_t* seed_cols,
+                 int n_seed, double* lo, double* up) {
+  if (m == 0) {
+    for (int j = 0; j < n; ++j)
+      if (lo[j] > up[j] + feastol) return 0;
+    return 1;
+  }
+  // col -> rows adjacency (CSC pattern) built per call: O(nnz)
+  const int64_t nnz = Rp[m];
+  std::vector<int32_t> col_cnt(n + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) col_cnt[Ri[k] + 1]++;
+  for (int j = 0; j < n; ++j) col_cnt[j + 1] += col_cnt[j];
+  std::vector<int32_t> col_rows(nnz);
+  {
+    std::vector<int32_t> fill(col_cnt.begin(), col_cnt.end() - 1);
+    for (int i = 0; i < m; ++i)
+      for (int64_t k = Rp[i]; k < Rp[i + 1]; ++k)
+        col_rows[fill[Ri[k]]++] = i;
+  }
+  std::vector<uint8_t> in_queue(m, 0);
+  std::vector<int32_t> queue;
+  queue.reserve(m);
+  auto enqueue_row = [&](int i) {
+    if (!in_queue[i]) {
+      in_queue[i] = 1;
+      queue.push_back(i);
+    }
+  };
+  auto enqueue_col = [&](int j) {
+    for (int32_t k = col_cnt[j]; k < col_cnt[j + 1]; ++k)
+      enqueue_row(col_rows[k]);
+  };
+  if (n_seed < 0) {
+    for (int i = 0; i < m; ++i) enqueue_row(i);
+  } else {
+    for (int s = 0; s < n_seed; ++s) {
+      int j = seed_cols[s];
+      if (j >= 0 && j < n) enqueue_col(j);
+    }
+  }
+  // termination guard: each row processed at most max_rounds*4 times
+  const int64_t budget =
+      static_cast<int64_t>(m) * (max_rounds > 0 ? max_rounds : 8) * 4;
+  int64_t processed = 0;
+  size_t head = 0;
+  while (head < queue.size()) {
+    if (processed++ > budget) break;
+    const int i = queue[head++];
+    in_queue[i] = 0;
+    if (head > 4096 && head * 2 > queue.size()) {
+      queue.erase(queue.begin(), queue.begin() + head);
+      head = 0;
+    }
+    const double rl = row_lo[i], ru = row_up[i];
+    const bool has_rl = rl > -kInf, has_ru = ru < kInf;
+    if (!has_rl && !has_ru) continue;
+    // row activity bounds with infinite-contribution counts
+    double minact = 0.0, maxact = 0.0;
+    int n_min_inf = 0, n_max_inf = 0;
+    for (int64_t k = Rp[i]; k < Rp[i + 1]; ++k) {
+      const int j = Ri[k];
+      const double v = Rx[k];
+      const double lj = lo[j], uj = up[j];
+      if (v > 0) {
+        if (lj <= -kInf) n_min_inf++; else minact += v * lj;
+        if (uj >= kInf) n_max_inf++; else maxact += v * uj;
+      } else {
+        if (uj >= kInf) n_min_inf++; else minact += v * uj;
+        if (lj <= -kInf) n_max_inf++; else maxact += v * lj;
+      }
+    }
+    // row infeasible?
+    if (has_ru && n_min_inf == 0 &&
+        minact > ru + feastol * (1.0 + std::fabs(ru)))
+      return 0;
+    if (has_rl && n_max_inf == 0 &&
+        maxact < rl - feastol * (1.0 + std::fabs(rl)))
+      return 0;
+    // per-entry implied bounds
+    for (int64_t k = Rp[i]; k < Rp[i + 1]; ++k) {
+      const int j = Ri[k];
+      const double v = Rx[k];
+      const double lj = lo[j], uj = up[j];
+      // x_j's own contribution to minact / maxact
+      double cmin, cmax;
+      int jmin_inf, jmax_inf;
+      if (v > 0) {
+        jmin_inf = (lj <= -kInf);
+        jmax_inf = (uj >= kInf);
+        cmin = jmin_inf ? 0.0 : v * lj;
+        cmax = jmax_inf ? 0.0 : v * uj;
+      } else {
+        jmin_inf = (uj >= kInf);
+        jmax_inf = (lj <= -kInf);
+        cmin = jmin_inf ? 0.0 : v * uj;
+        cmax = jmax_inf ? 0.0 : v * lj;
+      }
+      const int other_min_inf = n_min_inf - jmin_inf;
+      const int other_max_inf = n_max_inf - jmax_inf;
+      const double minact_o = minact - cmin;
+      const double maxact_o = maxact - cmax;
+      double ub_new = kInf, lb_new = -kInf;
+      if (v > 0) {
+        if (other_min_inf == 0 && has_ru) ub_new = (ru - minact_o) / v;
+        if (other_max_inf == 0 && has_rl) lb_new = (rl - maxact_o) / v;
+      } else {
+        if (other_max_inf == 0 && has_rl) ub_new = (rl - maxact_o) / v;
+        if (other_min_inf == 0 && has_ru) lb_new = (ru - minact_o) / v;
+      }
+      bool changed = false;
+      if (ub_new < kInf) {
+        double cand = ub_new + feastol;
+        if (is_int[j]) {
+          cand = std::floor(ub_new + feastol);
+          if (cand < uj - 0.5) changed = true;
+        } else if (cand < uj - 1e-9 * (1.0 + (uj < kInf ?
+                                              std::fabs(uj) : 0.0))) {
+          changed = true;
+        }
+        if (changed) up[j] = cand;
+      }
+      bool changed_lo = false;
+      if (lb_new > -kInf) {
+        double cand = lb_new - feastol;
+        if (is_int[j]) {
+          cand = std::ceil(lb_new - feastol);
+          if (cand > lj + 0.5) changed_lo = true;
+        } else if (cand > lj + 1e-9 * (1.0 + (lj > -kInf ?
+                                              std::fabs(lj) : 0.0))) {
+          changed_lo = true;
+        }
+        if (changed_lo) lo[j] = cand;
+      }
+      if (changed || changed_lo) {
+        if (lo[j] > up[j] + feastol) return 0;
+        enqueue_col(j);
+      }
+    }
+  }
+  for (int j = 0; j < n; ++j)
+    if (lo[j] > up[j] + feastol) return 0;
+  return 1;
+}
+
 // status_out: 0 optimal, 1 infeasible, 2 unbounded, 3 iter limit,
 // 4 singular
 int hx_simplex_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,

@@ -106,11 +106,19 @@ def test_pdlp_objective_agreement(instances_dir, name):
 
 
 # MIP instance objective list (check/CMakeLists.txt:268-280); the fast
-# subset — bell5/sp150x300d/p0548 need minutes to prove optimality.
+# subset — sp150x300d/p0548 need minutes to prove optimality.
+# bell5 is the regression test for reduced-cost fixing with stale root
+# duals (heuristic completion-LP duals paired with the root bound once
+# pruned the true optimum).
 MIP_OBJECTIVES = {
     "small_mip": 3.2368421,
     "rgn": 82.19999924,
     "dcmulti": 188182.0,
+    "bell5": 8966406.49152,
+    "flugpl": 1201500.0,
+    "egout": 568.1007,
+    "gt2": 21166.0,
+    "lseu": 1120.0,
 }
 
 
@@ -122,4 +130,9 @@ def test_mip_objective_matrix(instances_dir, name):
     # within the default mip_rel_gap (1e-4), like the solver's own
     # optimality declaration
     assert h.getObjectiveValue() <= ref + 1e-4 * abs(ref) + 1e-6
-    assert h.getObjectiveValue() >= ref - 1e-6
+    # lower bound allows feasibility-tolerance slack: the incumbent is
+    # feasible to primal_feasibility_tolerance (1e-6), which can shift
+    # the objective below the printed optimum by ~1e-6*scale (the
+    # reference's own ctest only prefix-matches the printed value,
+    # e.g. "82.19999" for rgn, check/CMakeLists.txt:275)
+    assert h.getObjectiveValue() >= ref - 1e-6 * max(1.0, abs(ref)) - 1e-6
