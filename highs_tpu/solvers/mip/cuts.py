@@ -163,8 +163,9 @@ def _clean_cut(cols: np.ndarray, vals: np.ndarray, rhs: float,
         for i in np.nonzero(small)[0]:
             a = vals[i]
             j = cols[i]
-            # relax: a*x <= a*bound contribution moved to rhs
-            b = up[j] if a > 0 else lo[j]
+            # relax the <= cut: sum' <= rhs - a*x_j <= rhs - a*l_j for
+            # a > 0 (rhs - a*u_j for a < 0) — the worst-case bound side
+            b = lo[j] if a > 0 else up[j]
             if not np.isfinite(b):
                 return None
             rhs -= a * b
@@ -314,34 +315,124 @@ def separate_gomory(a_csc: sp.csc_matrix, lo: np.ndarray, up: np.ndarray,
 # c-MIR cuts on single rows
 # --------------------------------------------------------------------------
 
+def collect_variable_bounds(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                            row_upper: np.ndarray, is_int: np.ndarray,
+                            max_per_col: int = 4):
+    """Variable upper/lower bounds  x_j <= c0 + c1*y  /  x_j >= c0 + c1*y
+    (y integer) harvested from two-nonzero rows (reference:
+    HighsImplications::VarBound used by HighsTransformedLp).  Returns
+    (vubs, vlbs): dicts col -> list of (ycol, c1, c0)."""
+    vubs: dict = {}
+    vlbs: dict = {}
+    m = a_csr.shape[0]
+    indptr, indices, data = a_csr.indptr, a_csr.indices, a_csr.data
+    for i in range(m):
+        k0, k1 = indptr[i], indptr[i + 1]
+        if k1 - k0 != 2:
+            continue
+        c0_, c1_ = indices[k0], indices[k0 + 1]
+        v0, v1 = data[k0], data[k0 + 1]
+        # want one continuous x and one integer y
+        if is_int[c0_] == is_int[c1_]:
+            continue
+        if is_int[c0_]:
+            ycol, ay, xcol, ax = c0_, v0, c1_, v1
+        else:
+            ycol, ay, xcol, ax = c1_, v1, c0_, v0
+        if abs(ax) <= _EPS or abs(ay) <= _EPS:
+            continue
+        for b, sgn in ((row_upper[i], 1.0), (row_lower[i], -1.0)):
+            if not np.isfinite(b):
+                continue
+            # sgn*(ax*x + ay*y) <= sgn*b
+            axs, ays, bs = sgn * ax, sgn * ay, sgn * b
+            if axs > 0:
+                # x <= bs/axs - (ays/axs) y  : VUB
+                lst = vubs.setdefault(int(xcol), [])
+            else:
+                # x >= bs/axs - (ays/axs) y  : VLB
+                lst = vlbs.setdefault(int(xcol), [])
+            if len(lst) < max_per_col:
+                lst.append((int(ycol), -ays / axs, bs / axs))
+    return vubs, vlbs
+
+
 def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
                 x: np.ndarray, lo: np.ndarray, up: np.ndarray,
-                is_int: np.ndarray, feastol: float
+                is_int: np.ndarray, feastol: float,
+                vubs=None, vlbs=None
                 ) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
     """Best c-MIR cut for one  a'x <= b  row.  Returns
     (cols, vals, rhs, efficacy) or None.
 
-    Bound substitution picks, per variable, the finite bound closest to
-    x* (reference HighsTransformedLp); then MIR with delta from the
-    fractional-support candidate set."""
-    # complement to x_hat >= 0
-    use_lower = np.abs(x[cols] - _finite(lo[cols])) <= \
-        np.abs(_finite(up[cols], 1e30) - x[cols])
-    use_lower &= np.isfinite(lo[cols])
-    use_upper = ~use_lower & np.isfinite(up[cols])
+    Bound substitution (reference HighsTransformedLp): integer
+    variables complement to the finite simple bound closest to x*;
+    continuous variables choose among simple bounds and variable bounds
+    x <= c0 + c1*y / x >= c0 + c1*y (y integer) by smallest slack at
+    x*.  Variable-bound substitution moves continuous mass onto integer
+    y coefficients, which is what gives c-MIR flow-cover strength on
+    fixed-charge rows.  Then MIR with delta from the fractional-support
+    candidate set."""
+    ints_mask = is_int[cols]
+    # ---- continuous substitution: s = sigma*(x_j - b0 - b1*y) >= 0 ----
+    # accumulated integer x-space coefficients (original + vbound mass)
+    int_coef: dict = {}
+    for c, v in zip(cols[ints_mask], vals[ints_mask]):
+        int_coef[int(c)] = int_coef.get(int(c), 0.0) + float(v)
+    bh0 = float(rhs)
+    slack_defs = []   # (xcol, sigma, b0, b1, ycol, coef_on_s, s_star)
+    for c, v in zip(cols[~ints_mask], vals[~ints_mask]):
+        j = int(c)
+        xj = float(x[j])
+        cands = []
+        if np.isfinite(lo[j]):
+            cands.append((xj - float(lo[j]), 1.0, float(lo[j]), 0.0, -1))
+        if np.isfinite(up[j]):
+            cands.append((float(up[j]) - xj, -1.0, float(up[j]), 0.0,
+                          -1))
+        if vlbs is not None:
+            for (ycol, c1, c0) in vlbs.get(j, ()):
+                s = xj - c0 - c1 * float(x[ycol])
+                cands.append((s, 1.0, c0, c1, ycol))
+        if vubs is not None:
+            for (ycol, c1, c0) in vubs.get(j, ()):
+                s = c0 + c1 * float(x[ycol]) - xj
+                cands.append((s, -1.0, c0, c1, ycol))
+        cands = [cd for cd in cands if cd[0] >= -feastol]
+        if not cands:
+            return None
+        s_star, sigma, b0, b1, ycol = min(cands, key=lambda t: t[0])
+        # a_j x_j = a_j b0 + a_j b1 y + a_j sigma s
+        bh0 -= float(v) * b0
+        if ycol >= 0 and abs(b1) > _EPS:
+            int_coef[ycol] = int_coef.get(ycol, 0.0) + float(v) * b1
+        slack_defs.append((j, sigma, b0, b1, ycol, float(v) * sigma,
+                           max(s_star, 0.0)))
+
+    # ---- integer complementation to the nearest finite bound ----------
+    icols = np.fromiter(int_coef.keys(), dtype=np.int64,
+                        count=len(int_coef))
+    ivals = np.fromiter(int_coef.values(), dtype=np.float64,
+                        count=len(int_coef))
+    keep = np.abs(ivals) > _EPS
+    icols, ivals = icols[keep], ivals[keep]
+    use_lower = np.abs(x[icols] - _finite(lo[icols])) <= \
+        np.abs(_finite(up[icols], 1e30) - x[icols])
+    use_lower &= np.isfinite(lo[icols])
+    use_upper = ~use_lower & np.isfinite(up[icols])
     if not np.all(use_lower | use_upper):
         return None
-    # x = l + xh (use_lower) / x = u - xh (use_upper)
-    sub_b = np.where(use_lower, _finite(lo[cols]), _finite(up[cols]))
+    sub_b = np.where(use_lower, _finite(lo[icols]), _finite(up[icols]))
     sign = np.where(use_lower, 1.0, -1.0)
-    ah = vals * sign                 # coefficient on xh
-    bh = rhs - float(vals @ sub_b)
-    xh = sign * (x[cols] - sub_b)
-    ints = is_int[cols]
+    ah = ivals * sign                # coefficient on xh >= 0
+    bh = bh0 - float(ivals @ sub_b)
+    xh = sign * (x[icols] - sub_b)
+    acs = np.array([d[5] for d in slack_defs])   # coefs on slacks
+    s_vals = np.array([d[6] for d in slack_defs])
 
     best = None
     cand = [1.0]
-    frac_sup = np.abs(ah[ints & (xh > feastol)])
+    frac_sup = np.abs(ah[xh > feastol])
     cand.extend(np.unique(np.round(frac_sup[frac_sup > 1e-6], 12))[:12])
     for delta in cand:
         b_d = bh / delta
@@ -351,25 +442,45 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
         a_d = ah / delta
         gi = np.floor(a_d) + np.maximum(a_d - np.floor(a_d) - f, 0.0) / \
             (1.0 - f)
-        # continuous: positive coeffs relaxed away; negative scaled
-        gc = np.minimum(a_d, 0.0) / (1.0 - f)
-        g = np.where(ints, gi, gc)
+        # continuous slacks: positive coeffs relaxed away; negative
+        # scaled by 1/(1-f)
+        gc = np.minimum(acs / delta, 0.0) / (1.0 - f)
         grhs = math.floor(b_d)
-        act = float(g @ xh)
+        act = float(gi @ xh) + (float(gc @ s_vals) if len(gc) else 0.0)
         viol = act - grhs
-        nrm = float(np.linalg.norm(g))
+        nrm = math.sqrt(float(gi @ gi) +
+                        (float(gc @ gc) if len(gc) else 0.0))
         if nrm <= _EPS:
             continue
         eff = viol / nrm
         if eff > _MIN_EFFICACY and (best is None or eff > best[0]):
-            best = (eff, g.copy(), float(grhs))
+            best = (eff, gi.copy(), gc.copy(), float(grhs))
     if best is None:
         return None
-    eff, g, grhs = best
-    # un-substitute: g*xh <= grhs with xh = sign*(x - sub_b)
-    out_vals = g * sign
-    out_rhs = grhs + float(g @ (sign * sub_b))
-    return cols, out_vals, out_rhs, eff
+    eff, gi, gc, grhs = best
+    # ---- un-substitute ------------------------------------------------
+    out: dict = {}
+    out_rhs = grhs
+    # integer xh = sign*(x - sub_b)
+    for c, g, sg, sb in zip(icols, gi, sign, sub_b):
+        if abs(g) > _EPS:
+            out[int(c)] = out.get(int(c), 0.0) + g * sg
+            out_rhs += g * sg * sb
+    # continuous s = sigma*(x_j - b0 - b1*y):
+    #   g*s = g*sigma*x_j - g*sigma*b1*y - g*sigma*b0
+    for (j, sigma, b0, b1, ycol, _cs, _sv), g in zip(slack_defs, gc):
+        if abs(g) <= _EPS:
+            continue
+        out[j] = out.get(j, 0.0) + g * sigma
+        out_rhs += g * sigma * b0
+        if ycol >= 0 and abs(b1) > _EPS:
+            out[ycol] = out.get(ycol, 0.0) - g * sigma * b1
+    if not out:
+        return None
+    ocols = np.fromiter(out.keys(), dtype=np.int64, count=len(out))
+    ovals = np.fromiter(out.values(), dtype=np.float64, count=len(out))
+    order = np.argsort(ocols)
+    return ocols[order], ovals[order], float(out_rhs), eff
 
 
 def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
@@ -379,6 +490,8 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
     """c-MIR separation over single rows (both row senses)."""
     m, n = a_csr.shape
     cuts: List[Cut] = []
+    vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
+                                         is_int)
     # prefer rows that are tight at x*
     act = a_csr @ x
     tight_u = np.where(np.isfinite(row_upper),
@@ -392,7 +505,12 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
         r = a_csr[i]
         cols = r.indices.astype(np.int32)
         vals = r.data.astype(np.float64)
-        if cols.size < 2 or not np.any(is_int[cols]):
+        # rows qualify with direct integer support OR continuous
+        # variables whose variable bounds bring integers in at
+        # substitution time (fixed-charge flow rows are pure-continuous)
+        if cols.size < 2 or not (
+                np.any(is_int[cols]) or
+                any(int(c) in vubs or int(c) in vlbs for c in cols)):
             continue
         trials = []
         if np.isfinite(row_upper[i]):
@@ -401,7 +519,7 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
             trials.append((-vals, float(-row_lower[i])))
         for tvals, trhs in trials:
             got = _mir_on_leq(cols, tvals, trhs, x, lo, up, is_int,
-                              feastol)
+                              feastol, vubs=vubs, vlbs=vlbs)
             if got is None:
                 continue
             ccols, cvals, crhs, eff = got
@@ -492,15 +610,29 @@ class CliqueTable:
 def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                       row_upper: np.ndarray, lo: np.ndarray,
                       up: np.ndarray, x: np.ndarray, is_int: np.ndarray,
-                      feastol: float = 1e-6, max_aggregations: int = 4,
-                      max_starts: int = 50) -> List[Cut]:
+                      feastol: float = 1e-6, max_aggregations: int = 6,
+                      max_starts: int = 200) -> List[Cut]:
     m, n = a_csr.shape
     if m == 0:
         return []
     a_csc = a_csr.tocsc()
-    col_deg = np.diff(a_csc.indptr)
-    # continuous variables in exactly two rows: aggregation channels
+    # continuous variables in exactly two NON-variable-bound rows are
+    # aggregation channels; variable-bound rows (x <= u*y: two
+    # nonzeros, one integer + one continuous) are bound material for
+    # the c-MIR substitution, not path links — counting them hid every
+    # channel on fixed-charge networks, where each arc sits in two
+    # flow rows plus its VUB row
+    row_nnz = np.diff(a_csr.indptr)
+    int_nnz = np.asarray(
+        (a_csr.astype(bool) @ is_int.astype(np.float64))).ravel()
+    vb_row = (row_nnz == 2) & (int_nnz == 1)
+    link_row = ~vb_row
+    mask = sp.diags(link_row.astype(np.float64))
+    col_deg = np.asarray((mask @ a_csc).astype(bool).sum(axis=0)
+                         ).ravel()
     chan = (~is_int) & (col_deg == 2)
+    vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
+                                         is_int)
 
     def row_as_leq(i, prefer_sign):
         """Row i as  a'x <= b  (choose the side that exists; ranged rows
@@ -517,20 +649,32 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
         return None
 
     cuts: List[Cut] = []
-    # start from rows with both integer and continuous support
+    # start from rows with channel support; integer structure arrives
+    # either directly or through variable-bound substitution at cut
+    # time, so pure-continuous flow rows are valid starts too
     starts = []
     for i in range(m):
+        if not link_row[i]:
+            continue
         s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
         cols = a_csr.indices[s:e]
-        if len(cols) and is_int[cols].any() and chan[cols].any():
+        if len(cols) and chan[cols].any():
             starts.append(i)
         if len(starts) >= max_starts:
             break
 
+    # randomized tie-breaking over channel choices diversifies the
+    # aggregation paths (reference: HighsPathSeparator randomizes the
+    # in/out-edge selection), deterministic via a fixed seed
+    rng = np.random.default_rng(163)
+    bases = []
     for i0 in starts:
-        base = row_as_leq(i0, +1)
-        if base is None:
-            continue
+        for pref in (+1, -1):
+            base = row_as_leq(i0, pref)
+            if base is not None:
+                bases.append((i0, base))
+                break  # equality rows: le side only (ge is its mirror)
+    for i0, base in bases:
         agg = {int(c): float(v) for c, v in zip(base[0], base[1])}
         rhs = base[2]
         used_rows = {i0}
@@ -539,7 +683,7 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
             cols_a = np.fromiter(agg.keys(), dtype=np.int64)
             vals_a = np.fromiter(agg.values(), dtype=np.float64)
             got = _mir_on_leq(cols_a, vals_a, rhs, x, lo, up, is_int,
-                              feastol)
+                              feastol, vubs=vubs, vlbs=vlbs)
             if got is not None:
                 cc, vv, rr, eff = got
                 cleaned = _clean_cut(cc, vv, rr, lo, up)
@@ -547,24 +691,28 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                     c2, v2, r2 = cleaned
                     cuts.append(Cut(cols=c2, vals=v2, rhs=r2,
                                     efficacy=eff))
-            # pick the continuous channel variable farthest inside its
-            # bounds (most in need of elimination)
-            cand_j = -1
-            cand_score = feastol
+            # pick a continuous channel variable well inside its bounds
+            # (in need of elimination); among the top two by slack,
+            # choose randomly for path diversity
+            chan_cands = []
             for j, aj in agg.items():
                 if not chan[j] or abs(aj) <= _EPS:
                     continue
                 slack = min(x[j] - _finite(lo[j], -1e30),
                             _finite(up[j], 1e30) - x[j])
-                if slack > cand_score:
-                    cand_score = slack
-                    cand_j = j
-            if cand_j < 0:
+                if slack > feastol:
+                    chan_cands.append((slack, j))
+            if not chan_cands:
                 break
-            # partner row of the channel variable
+            chan_cands.sort(reverse=True)
+            pick = rng.integers(0, min(2, len(chan_cands)))
+            cand_j = chan_cands[pick][1]
+            # partner row of the channel variable (never a two-nonzero
+            # variable-bound row — those serve as substitution material)
             s, e = a_csc.indptr[cand_j], a_csc.indptr[cand_j + 1]
             rows_j = a_csc.indices[s:e]
-            partner = [r for r in rows_j if r not in used_rows]
+            partner = [r for r in rows_j
+                       if r not in used_rows and link_row[r]]
             if not partner:
                 break
             i2 = int(partner[0])
@@ -701,11 +849,21 @@ def separate_modk(a_csr: sp.csr_matrix, row_lower: np.ndarray,
             if not np.isfinite(b) or sgn * act[i] < b - 100 * feastol:
                 continue  # not tight in this sense
             ah = sgn * vals * sign[cols]
-            bh = sgn * b - float(sgn * vals @ sub_b[cols])
+            # b is already the <=-form rhs for this sense (the >= trial
+            # passes -row_lower), so it must NOT be multiplied by sgn
+            # again — doing so shifted >=-side rows by -2*row_lower and
+            # produced invalid congruence rows
+            bh = b - float(sgn * vals @ sub_b[cols])
             ints = is_int[cols]
             scale_vec = np.concatenate([ah[ints], [bh]])
             sc = integral_scale(scale_vec)
             if sc is None or sc > 64:
+                continue
+            # the congruence arithmetic needs an exactly integral rhs;
+            # continuous bound substitution can leave a fractional
+            # residue, and rounding it away TIGHTENS the row (invalid
+            # cuts observed on fixed-charge instances)
+            if abs(bh * sc - round(bh * sc)) > 1e-7 * (1 + abs(bh * sc)):
                 continue
             cand.append((cols, ah * sc, int(round(bh * sc))))
             break

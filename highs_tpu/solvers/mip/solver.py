@@ -181,8 +181,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # orbits / orbital fixing; here: verified generators -> first-row lex
     # symmetry-breaking rows + orbit-wide bound sharing) -----------------
     sym_orbit = None
+    _sub_level_early = int(getattr(options, "_sub_mip_level", 0))
     if options.mip_detect_symmetry and bool(is_int.any()) and \
-            use_simplex and lp.num_col <= 5000:
+            use_simplex and lp.num_col <= 5000 and \
+            _sub_level_early == 0:  # sub-MIPs: detection cost >> payoff
         from ...presolve.symmetry import (detect_symmetry, orbits,
                                           symmetry_breaking_rows)
         gens = detect_symmetry(
@@ -511,6 +513,56 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
+
+    # ---- coefficient strengthening (reference: HPresolve coefficient
+    # tightening) on the RELAXATION only: big-M rows like x - M y <= 0
+    # shrink to x - u y <= 0, massively tightening fixed-charge LP
+    # bounds.  Valid for integer points, so the original a_csr /
+    # lp.row_* stay untouched for incumbent checks, separators, and
+    # reported row values. --------------------------------------------
+    if is_int.any():
+        from ...models.lp import HighsSparseMatrix
+        from .propagate import strengthen_coefficients
+        st_a = a_csr
+        st_rl, st_ru = lp.row_lower, lp.row_upper
+        total_chg = 0
+        for _sround in range(3):
+            st_a, st_rl, st_ru, nchg = strengthen_coefficients(
+                st_a, st_rl, st_ru, root_lo_p, root_up_p, is_int,
+                feastol)
+            if not nchg:
+                break
+            total_chg += nchg
+            prop = Propagator(st_a, st_rl, st_ru, is_int, feastol)
+            ok, root_lo_p, root_up_p = prop.propagate(root_lo_p,
+                                                      root_up_p)
+            if not ok:
+                break
+        if total_chg:
+            if debug_sol is not None and debug_sol.active:
+                ax_dbg = st_a @ debug_sol.x
+                if np.any(ax_dbg > st_ru + feastol *
+                          (1 + np.abs(np.where(np.isfinite(st_ru),
+                                               st_ru, 0.0)))) or \
+                        np.any(ax_dbg < st_rl - feastol *
+                               (1 + np.abs(np.where(np.isfinite(st_rl),
+                                                    st_rl, 0.0)))):
+                    debug_sol._report("coefficient strengthening")
+            if not ok:
+                info.status = HighsModelStatus.kInfeasible
+                info.solve_time = time.perf_counter() - t0
+                return info.status, HighsSolution(), info
+            if use_simplex:
+                _Relax.a_csc = st_a.tocsc()
+            _Relax.row_lower = st_rl
+            _Relax.row_upper = st_ru
+            relax.a_matrix = HighsSparseMatrix.from_scipy(st_a)
+            relax.row_lower = st_rl
+            relax.row_upper = st_ru
+            if log is not None:
+                log(f"MIP coefficient strengthening: {total_chg} "
+                    f"coefficients tightened")
+
     feasible, root_bound, root_x, root_basis = solve_node_lp(
         root_lo_p, root_up_p)
     # snapshot the root duals NOW: solve_node_lp is also called by
@@ -587,13 +639,21 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         root_basis, root_x, is_int, feastol)
                 except Exception:
                     pass
-            found += separate_mir(a_csr, lp.row_lower, lp.row_upper,
+            # separate from the RELAXATION rows (strengthened
+            # coefficients + previously added cuts): successive rounds
+            # compound, and the c-MIR variable-bound substitution sees
+            # the tightened big-M values (reference: HighsTransformedLp
+            # works on the presolved + cut-augmented LP)
+            sep_csr = _Relax.a_csc.tocsr() if use_simplex else a_csr
+            sep_rl = _Relax.row_lower if use_simplex else lp.row_lower
+            sep_ru = _Relax.row_upper if use_simplex else lp.row_upper
+            found += separate_mir(sep_csr, sep_rl, sep_ru,
                                   root_lo_p, root_up_p, root_x, is_int,
                                   feastol)
             found += separate_path_mir(
-                a_csr, lp.row_lower, lp.row_upper, root_lo_p,
+                sep_csr, sep_rl, sep_ru, root_lo_p,
                 root_up_p, root_x, is_int, feastol)
-            found += separate_modk(a_csr, lp.row_lower, lp.row_upper,
+            found += separate_modk(sep_csr, sep_rl, sep_ru,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
             found += implications.separate(root_x, root_lo_p, root_up_p)
@@ -602,7 +662,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if not added:
                 break
             added.sort(key=lambda c: -c.efficacy)
-            added = added[:100]
+            added = added[:300]
             cut_a, cut_rhs = cutpool.matrix(added)
             if debug_sol is not None and debug_sol.active:
                 dense = cut_a.toarray()
@@ -932,6 +992,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # strong-branching LP budget (reliability branching; reference
     # bounds strong-branching effort inside HighsSearch::branch)
     strong_branch_budget = [200 if sub_level == 0 else 0]
+    # RINS cadence with multiplicative backoff on fruitless runs
+    rins_interval = [100]
+    rins_next_node = [100]
 
     heap: List[_Node] = []
     seq = 0
@@ -1141,11 +1204,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
         if sub_level == 0 and options.mip_heuristic_run_rins and \
                 incumbent_obj < math.inf and incumbent_x is not None and \
-                info.mip_node_count % 100 == 0:
+                info.mip_node_count >= rins_next_node[0]:
             lo2, up2, nfx = heur.submip_bounds_rins(
                 is_int, incumbent_x, x, node.lo, node.up, feastol)
-            if nfx and run_submip(lo2, up2, "RINS", node_budget=200):
+            improved = nfx and run_submip(lo2, up2, "RINS",
+                                          node_budget=200)
+            if improved:
                 apply_root_redcost_fixing()
+                rins_interval[0] = 100
+            else:
+                # back off multiplicatively: each sub-MIP pays a full
+                # root setup, so fruitless RINS must get rarer
+                # (reference analogue: mip_heuristic_effort budgeting)
+                rins_interval[0] = min(6400, rins_interval[0] * 2)
+            rins_next_node[0] = info.mip_node_count + rins_interval[0]
         if incumbent_obj == math.inf and nodes_since_fj >= 200 and \
                 options.mip_heuristic_run_feasibility_jump:
             nodes_since_fj = 0

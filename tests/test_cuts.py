@@ -243,3 +243,73 @@ def test_implications_probing_and_implied_bound_cut():
         if dense @ x > c.rhs + 1e-6:
             ok = True
     assert ok, "at least one cut must be violated at the LP point"
+
+
+def test_modk_ge_row_rhs_not_double_negated():
+    """Regression: the >=-side trial passes -row_lower as the <=-form
+    rhs already; multiplying by the sense again shifted candidate rows
+    by -2*row_lower and produced invalid congruence cuts (observed on
+    sp150x300d).  Every mod-k cut must hold at integer-feasible
+    points."""
+    import itertools
+    from highs_tpu.solvers.mip.cuts import separate_modk
+    # x1 - y = -50-ish structure with a >= row: x1 + 2*x2 >= 3
+    a = sp.csr_matrix(np.array([
+        [1.0, 2.0, 0.0],
+        [1.0, -1.0, 1.0]]))
+    row_lower = np.array([3.0, -np.inf])
+    row_upper = np.array([np.inf, 4.0])
+    lo = np.zeros(3)
+    up = np.array([5.0, 5.0, 5.0])
+    is_int = np.array([True, True, True])
+    x = np.array([1.5, 0.75, 2.0])   # fractional point, row 1 tight
+    cuts = separate_modk(a, row_lower, row_upper, lo, up, x, is_int)
+    for c in cuts:
+        dense = np.zeros(3)
+        dense[c.cols] = c.vals
+        for pt in itertools.product(range(6), repeat=3):
+            p = np.array(pt, dtype=float)
+            if p[0] + 2 * p[1] >= 3 - 1e-9 and \
+                    p[0] - p[1] + p[2] <= 4 + 1e-9:
+                assert dense @ p <= c.rhs + 1e-6, (c, pt)
+
+
+def test_cmir_vub_substitution_fixed_charge():
+    """c-MIR with variable-bound substitution (reference
+    HighsTransformedLp): on the single-node fixed-charge set
+      x1 + x2 <= b,  x_i <= u_i y_i,  y binary
+    the flow-cover cut  x1 + x2 + (u1-lambda)(1-y1) + (u2-lambda)(1-y2)
+    <= b  (lambda = u1+u2-b) is a c-MIR cut after substituting
+    x_i = u_i y_i - s_i.  Plain bound substitution cannot separate the
+    fractional point, VUB substitution must."""
+    import itertools
+    from highs_tpu.solvers.mip.cuts import separate_mir
+    # cols: x1, x2, y1, y2
+    u1, u2, b = 6.0, 5.0, 8.0
+    a = sp.csr_matrix(np.array([
+        [1.0, 1.0, 0.0, 0.0],
+        [1.0, 0.0, -u1, 0.0],
+        [0.0, 1.0, 0.0, -u2]]))
+    row_lower = np.full(3, -np.inf)
+    row_upper = np.array([b, 0.0, 0.0])
+    lo = np.zeros(4)
+    up = np.array([u1, u2, 1.0, 1.0])
+    is_int = np.array([False, False, True, True])
+    # fractional LP vertex: x1=6 (y1=1), x2=2, y2=2/5 (VUB tight)
+    x = np.array([6.0, 2.0, 1.0, 0.4])
+    cuts = separate_mir(a, row_lower, row_upper, lo, up, x, is_int)
+    assert cuts, "VUB substitution must separate the flow point"
+    # validity at every mixed-integer feasible point (x continuous grid)
+    best_viol = 0.0
+    for c in cuts:
+        dense = np.zeros(4)
+        dense[c.cols] = c.vals
+        nrm = np.linalg.norm(c.vals)
+        best_viol = max(best_viol, (dense @ x - c.rhs) / nrm)
+        for y1, y2 in itertools.product((0, 1), repeat=2):
+            for x1 in np.linspace(0, u1 * y1, 7):
+                for x2 in np.linspace(0, u2 * y2, 6):
+                    if x1 + x2 <= b + 1e-9:
+                        p = np.array([x1, x2, y1, y2])
+                        assert dense @ p <= c.rhs + 1e-6, (c, p)
+    assert best_viol > 1e-3, "cut must actually cut off x*"
