@@ -360,7 +360,7 @@ def collect_variable_bounds(a_csr: sp.csr_matrix, row_lower: np.ndarray,
 def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
                 x: np.ndarray, lo: np.ndarray, up: np.ndarray,
                 is_int: np.ndarray, feastol: float,
-                vubs=None, vlbs=None
+                vubs=None, vlbs=None, prefer_vbds: bool = False
                 ) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
     """Best c-MIR cut for one  a'x <= b  row.  Returns
     (cols, vals, rhs, efficacy) or None.
@@ -401,7 +401,18 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
         cands = [cd for cd in cands if cd[0] >= -feastol]
         if not cands:
             return None
-        s_star, sigma, b0, b1, ycol = min(cands, key=lambda t: t[0])
+        if prefer_vbds:
+            # aggregated (path) rows prefer variable bounds outright
+            # (reference HighsTransformedLp preferVbds): among vbound
+            # candidates within feastol of the best slack, take one
+            sbest = min(cd[0] for cd in cands)
+            vb = [cd for cd in cands
+                  if cd[4] >= 0 and cd[0] <= sbest + feastol]
+            s_star, sigma, b0, b1, ycol = (
+                min(vb, key=lambda t: t[0]) if vb
+                else min(cands, key=lambda t: t[0]))
+        else:
+            s_star, sigma, b0, b1, ycol = min(cands, key=lambda t: t[0])
         # a_j x_j = a_j b0 + a_j b1 y + a_j sigma s
         bh0 -= float(v) * b0
         if ycol >= 0 and abs(b1) > _EPS:
@@ -430,33 +441,79 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
     acs = np.array([d[5] for d in slack_defs])   # coefs on slacks
     s_vals = np.array([d[6] for d in slack_defs])
 
-    best = None
-    cand = [1.0]
-    frac_sup = np.abs(ah[xh > feastol])
-    cand.extend(np.unique(np.round(frac_sup[frac_sup > 1e-6], 12))[:12])
-    for delta in cand:
-        b_d = bh / delta
+    def _eval(delta, ah_e, bh_e, xh_e):
+        """MIR at divisor delta; returns (eff, gi, gc, grhs) or None."""
+        b_d = bh_e / delta
         f = b_d - math.floor(b_d)
-        if f < 0.01 or f > 0.99:
-            continue
-        a_d = ah / delta
+        if f < 0.005 or f > 0.995:
+            return None
+        if 1.0 / (1.0 - f) > 1e6:
+            return None
+        a_d = ah_e / delta
         gi = np.floor(a_d) + np.maximum(a_d - np.floor(a_d) - f, 0.0) / \
             (1.0 - f)
         # continuous slacks: positive coeffs relaxed away; negative
         # scaled by 1/(1-f)
         gc = np.minimum(acs / delta, 0.0) / (1.0 - f)
         grhs = math.floor(b_d)
-        act = float(gi @ xh) + (float(gc @ s_vals) if len(gc) else 0.0)
+        act = float(gi @ xh_e) + (float(gc @ s_vals) if len(gc) else 0.0)
         viol = act - grhs
         nrm = math.sqrt(float(gi @ gi) +
                         (float(gc @ gc) if len(gc) else 0.0))
         if nrm <= _EPS:
-            continue
-        eff = viol / nrm
-        if eff > _MIN_EFFICACY and (best is None or eff > best[0]):
-            best = (eff, gi.copy(), gc.copy(), float(grhs))
+            return None
+        return viol / nrm, gi, gc, float(grhs)
+
+    # delta candidates (reference cmirCutGenerationHeuristic): |a_j| of
+    # integers active at x*, 1.0, and max|a|+1
+    cand = [1.0]
+    sup = np.abs(ah[xh > feastol])
+    sup = np.unique(np.round(sup[sup > 1e-4], 12))[:16]
+    cand.extend(sup)
+    if len(sup):
+        cand.append(float(sup.max()) + 1.0)
+    best = None
+    best_delta = None
+    for delta in cand:
+        got = _eval(delta, ah, bh, xh)
+        if got is not None and got[0] > _MIN_EFFICACY and \
+                (best is None or got[0] > best[0]):
+            best = got
+            best_delta = delta
     if best is None:
         return None
+    # refine: delta*2, *4, *8 (reference tries bestdelta << k)
+    for k in (2, 4, 8):
+        got = _eval(best_delta * k, ah, bh, xh)
+        if got is not None and got[0] > best[0]:
+            best = got
+            best_delta = best_delta * k
+    # greedy complementation flipping of integers at the chosen delta
+    # (reference: flipComplementation loop) — flipping k substitutes
+    # the other finite bound, which changes bh and the sign of ah_k.
+    # Capped: each trial costs a full evaluation
+    n_flips = 0
+    for kk in range(len(icols)):
+        if n_flips >= 10:
+            break
+        ob = up[icols[kk]] if use_lower[kk] else lo[icols[kk]]
+        if not np.isfinite(ob) or xh[kk] <= feastol:
+            continue
+        n_flips += 1
+        sign_k = -sign[kk]
+        bh_f = bh - ivals[kk] * (ob - sub_b[kk])
+        ah_f = ah.copy()
+        ah_f[kk] = ivals[kk] * sign_k
+        xh_f = xh.copy()
+        xh_f[kk] = sign_k * (x[icols[kk]] - ob)
+        got = _eval(best_delta, ah_f, bh_f, xh_f)
+        if got is not None and got[0] > best[0]:
+            best = got
+            sign[kk] = sign_k
+            sub_b[kk] = ob
+            ah = ah_f
+            bh = bh_f
+            xh = xh_f
     eff, gi, gc, grhs = best
     # ---- un-substitute ------------------------------------------------
     out: dict = {}
@@ -610,144 +667,239 @@ class CliqueTable:
 def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                       row_upper: np.ndarray, lo: np.ndarray,
                       up: np.ndarray, x: np.ndarray, is_int: np.ndarray,
-                      feastol: float = 1e-6, max_aggregations: int = 6,
-                      max_starts: int = 200) -> List[Cut]:
+                      feastol: float = 1e-6, max_path: int = 6,
+                      max_starts: int = 400, seed: int = 163,
+                      time_budget: float = 2.0) -> List[Cut]:
+    """Slack-based path-aggregation c-MIR (reference
+    HighsPathSeparator + HighsLpAggregator).
+
+    Every row enters an aggregation as the equality
+    ``a_r'x - s_r = 0`` with the slack variable s_r in [rl_r, ru_r],
+    so ANY weights give a valid equality whose strength lives in the
+    bounds of x and s.  The c-MIR transform then complements slacks at
+    their row bounds like ordinary variables, and the resulting slack
+    coefficients fold back via s_r = a_r'x.  Paths extend by
+    eliminating the continuous variable farthest inside its bounds
+    with a randomly chosen partner row containing it with opposite
+    sign (randomization diversifies the aggregation paths).  Both the
+    aggregate and its negation are tried at every path length.
+    """
     m, n = a_csr.shape
     if m == 0:
         return []
-    a_csc = a_csr.tocsc()
-    # continuous variables in exactly two NON-variable-bound rows are
-    # aggregation channels; variable-bound rows (x <= u*y: two
-    # nonzeros, one integer + one continuous) are bound material for
-    # the c-MIR substitution, not path links — counting them hid every
-    # channel on fixed-charge networks, where each arc sits in two
-    # flow rows plus its VUB row
-    row_nnz = np.diff(a_csr.indptr)
-    int_nnz = np.asarray(
-        (a_csr.astype(bool) @ is_int.astype(np.float64))).ravel()
-    vb_row = (row_nnz == 2) & (int_nnz == 1)
-    link_row = ~vb_row
-    mask = sp.diags(link_row.astype(np.float64))
-    col_deg = np.asarray((mask @ a_csc).astype(bool).sum(axis=0)
-                         ).ravel()
-    chan = (~is_int) & (col_deg == 2)
+    act = np.asarray(a_csr @ x)
+    rng = np.random.default_rng(seed)
     vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
                                          is_int)
 
-    def row_as_leq(i, prefer_sign):
-        """Row i as  a'x <= b  (choose the side that exists; ranged rows
-        pick the side matching prefer_sign when possible)."""
+    # --- row classification (reference RowType) -----------------------
+    EQ, LEQ, GEQ, UNUSABLE = 0, 1, -1, -2
+    rowtype = np.full(m, UNUSABLE, dtype=np.int8)
+    has_l = np.isfinite(row_lower)
+    has_u = np.isfinite(row_upper)
+    eq = has_l & has_u & (row_lower == row_upper)
+    lslack = np.where(has_l, act - row_lower, np.inf)
+    uslack = np.where(has_u, row_upper - act, np.inf)
+    rowtype[eq] = EQ
+    tight_l = ~eq & (lslack <= feastol)
+    tight_u = ~eq & (uslack <= feastol)
+    rowtype[tight_u & ~tight_l] = LEQ
+    rowtype[tight_l & ~tight_u] = GEQ
+    rowtype[tight_l & tight_u] = LEQ
+
+    # --- continuous bound distances (incl. variable bounds) -----------
+    bd = np.zeros(n)
+    for j in range(n):
+        if is_int[j]:
+            continue
+        xj = float(x[j])
+        d = np.inf
+        if np.isfinite(lo[j]):
+            d = min(d, xj - float(lo[j]))
+        if np.isfinite(up[j]):
+            d = min(d, float(up[j]) - xj)
+        for (yc, c1, c0) in vlbs.get(j, ()):
+            d = min(d, xj - c0 - c1 * float(x[yc]))
+        for (yc, c1, c0) in vubs.get(j, ()):
+            d = min(d, c0 + c1 * float(x[yc]) - xj)
+        bd[j] = max(0.0, 0.0 if not np.isfinite(d) else d)
+
+    a_csc = a_csr.tocsc()
+
+    # --- single-continuous equality rows become substitutions ---------
+    col_sub = {}
+    for i in np.nonzero(eq)[0]:
         s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
-        cols = a_csr.indices[s:e]
-        vals = a_csr.data[s:e]
-        has_up = np.isfinite(row_upper[i])
-        has_lo = np.isfinite(row_lower[i])
-        if has_up and (prefer_sign > 0 or not has_lo):
-            return cols, vals.copy(), float(row_upper[i])
-        if has_lo:
-            return cols, -vals.copy(), float(-row_lower[i])
-        return None
+        cols_i = a_csr.indices[s:e]
+        cont = [int(c) for c in cols_i if not is_int[c] and bd[c] > 0]
+        if len(cont) != 1 or cont[0] in col_sub:
+            continue
+        j = cont[0]
+        vj = float(a_csr.data[s:e][cols_i == j][0])
+        if abs(vj) > _EPS:
+            col_sub[j] = (int(i), vj)
+            rowtype[i] = UNUSABLE
+
+    # --- in/out arc rows per continuous variable ----------------------
+    in_arcs = {}
+    out_arcs = {}
+    for j in range(n):
+        if is_int[j] or bd[j] <= 0 or j in col_sub:
+            continue
+        s, e = a_csc.indptr[j], a_csc.indptr[j + 1]
+        ins, outs = [], []
+        for r, v in zip(a_csc.indices[s:e], a_csc.data[s:e]):
+            rt = rowtype[r]
+            if rt == UNUSABLE:
+                continue
+            if rt == EQ:
+                ins.append((int(r), float(v)))
+                outs.append((int(r), float(v)))
+            elif rt == LEQ:
+                (ins if v < 0 else outs).append((int(r), float(v)))
+            else:  # GEQ
+                (ins if v > 0 else outs).append((int(r), float(v)))
+        if ins:
+            in_arcs[j] = ins
+        if outs:
+            out_arcs[j] = outs
+
+    # --- extended-variable c-MIR over (x, slacks) ---------------------
+    n_ext = n + m
+    lo_ext = np.concatenate([lo, np.asarray(row_lower, float)])
+    up_ext = np.concatenate([up, np.asarray(row_upper, float)])
+    x_ext = np.concatenate([x, np.clip(act,
+                                       _finite(row_lower, -np.inf),
+                                       _finite(row_upper, np.inf))])
+    is_int_ext = np.concatenate([is_int, np.zeros(m, dtype=bool)])
 
     cuts: List[Cut] = []
-    # start from rows with channel support; integer structure arrives
-    # either directly or through variable-bound substitution at cut
-    # time, so pure-continuous flow rows are valid starts too
-    starts = []
-    for i in range(m):
-        if not link_row[i]:
-            continue
-        s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
-        cols = a_csr.indices[s:e]
-        if len(cols) and chan[cols].any():
-            starts.append(i)
-        if len(starts) >= max_starts:
-            break
 
-    # randomized tie-breaking over channel choices diversifies the
-    # aggregation paths (reference: HighsPathSeparator randomizes the
-    # in/out-edge selection), deterministic via a fixed seed
-    rng = np.random.default_rng(163)
-    bases = []
-    for i0 in starts:
-        for pref in (+1, -1):
-            base = row_as_leq(i0, pref)
-            if base is not None:
-                bases.append((i0, base))
-                break  # equality rows: le side only (ge is its mirror)
-    for i0, base in bases:
-        agg = {int(c): float(v) for c, v in zip(base[0], base[1])}
-        rhs = base[2]
-        used_rows = {i0}
-        for _depth in range(max_aggregations):
-            # try a c-MIR cut on the current aggregate
-            cols_a = np.fromiter(agg.keys(), dtype=np.int64)
-            vals_a = np.fromiter(agg.values(), dtype=np.float64)
-            got = _mir_on_leq(cols_a, vals_a, rhs, x, lo, up, is_int,
-                              feastol, vubs=vubs, vlbs=vlbs)
-            if got is not None:
-                cc, vv, rr, eff = got
-                cleaned = _clean_cut(cc, vv, rr, lo, up)
-                if cleaned is not None:
-                    c2, v2, r2 = cleaned
-                    cuts.append(Cut(cols=c2, vals=v2, rhs=r2,
-                                    efficacy=eff))
-            # pick a continuous channel variable well inside its bounds
-            # (in need of elimination); among the top two by slack,
-            # choose randomly for path diversity
-            chan_cands = []
-            for j, aj in agg.items():
-                if not chan[j] or abs(aj) <= _EPS:
+    def try_cut(agg):
+        """c-MIR on the aggregate equality (and its negation)."""
+        coefs = {}
+        for r, w in agg.items():
+            s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
+            for c, v in zip(a_csr.indices[s:e], a_csr.data[s:e]):
+                coefs[int(c)] = coefs.get(int(c), 0.0) + w * float(v)
+            coefs[n + r] = coefs.get(n + r, 0.0) - w
+        cols_a = np.fromiter(coefs.keys(), dtype=np.int64,
+                             count=len(coefs))
+        vals_a = np.fromiter(coefs.values(), dtype=np.float64,
+                             count=len(coefs))
+        keep = np.abs(vals_a) > _EPS
+        cols_a, vals_a = cols_a[keep], vals_a[keep]
+        if cols_a.size == 0:
+            return False
+        got_any = False
+        for sgn in (1.0, -1.0):
+            got = _mir_on_leq(cols_a, sgn * vals_a, 0.0, x_ext, lo_ext,
+                              up_ext, is_int_ext, feastol, vubs=vubs,
+                              vlbs=vlbs, prefer_vbds=True)
+            if got is None:
+                continue
+            cc, vv, rr, eff = got
+            # fold slack coefficients back: g*s_r = g*(a_r'x)
+            fold = {}
+            rhs_f = rr
+            for c, v in zip(cc, vv):
+                if c < n:
+                    fold[int(c)] = fold.get(int(c), 0.0) + float(v)
+                else:
+                    r = int(c) - n
+                    s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
+                    for c2, v2 in zip(a_csr.indices[s:e],
+                                      a_csr.data[s:e]):
+                        fold[int(c2)] = fold.get(int(c2), 0.0) + \
+                            float(v) * float(v2)
+            fc = np.fromiter(fold.keys(), dtype=np.int64,
+                             count=len(fold))
+            fv = np.fromiter(fold.values(), dtype=np.float64,
+                             count=len(fold))
+            keep2 = np.abs(fv) > _EPS
+            fc, fv = fc[keep2], fv[keep2]
+            if fc.size == 0:
+                continue
+            cleaned = _clean_cut(fc.astype(np.int32), fv, rhs_f, lo, up)
+            if cleaned is None:
+                continue
+            c2_, v2_, r2_ = cleaned
+            viol = float(x[c2_] @ v2_) - r2_
+            nrm = float(np.linalg.norm(v2_))
+            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+                cuts.append(Cut(cols=c2_, vals=v2_, rhs=r2_,
+                                efficacy=viol / nrm))
+                got_any = True
+        return got_any
+
+    usable = np.nonzero(rowtype != UNUSABLE)[0]
+    if len(usable) > max_starts:
+        usable = rng.choice(usable, size=max_starts, replace=False)
+    max_w = 1.0 / feastol
+    import time as _time
+    t_end = _time.perf_counter() + time_budget
+    for i0 in usable:
+        if _time.perf_counter() > t_end:
+            break
+        for scale0 in (1.0, -1.0):
+            agg = {int(i0): scale0}
+            path = {int(i0)}
+            for _step in range(max_path):
+                # current x-space coefficients of the aggregate
+                coefs = {}
+                for r, w in agg.items():
+                    s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
+                    for c, v in zip(a_csr.indices[s:e],
+                                    a_csr.data[s:e]):
+                        coefs[int(c)] = coefs.get(int(c), 0.0) + \
+                            w * float(v)
+                # substitute single-continuous equality rows first
+                did_sub = False
+                for j, cj in list(coefs.items()):
+                    if j in col_sub and abs(cj) > _EPS:
+                        r_s, v_s = col_sub[j]
+                        if r_s not in path:
+                            w = -cj / v_s
+                            if _EPS < abs(w) <= max_w:
+                                agg[r_s] = agg.get(r_s, 0.0) + w
+                                path.add(r_s)
+                                did_sub = True
+                if did_sub:
                     continue
-                slack = min(x[j] - _finite(lo[j], -1e30),
-                            _finite(up[j], 1e30) - x[j])
-                if slack > feastol:
-                    chan_cands.append((slack, j))
-            if not chan_cands:
-                break
-            chan_cands.sort(reverse=True)
-            pick = rng.integers(0, min(2, len(chan_cands)))
-            cand_j = chan_cands[pick][1]
-            # partner row of the channel variable (never a two-nonzero
-            # variable-bound row — those serve as substitution material)
-            s, e = a_csc.indptr[cand_j], a_csc.indptr[cand_j + 1]
-            rows_j = a_csc.indices[s:e]
-            partner = [r for r in rows_j
-                       if r not in used_rows and link_row[r]]
-            if not partner:
-                break
-            i2 = int(partner[0])
-            # sign so that the channel coefficient cancels
-            aj_agg = agg[cand_j]
-            s2, e2 = a_csr.indptr[i2], a_csr.indptr[i2 + 1]
-            cols2 = a_csr.indices[s2:e2]
-            vals2 = a_csr.data[s2:e2]
-            aj_row = float(vals2[cols2 == cand_j][0])
-            # need lambda * aj_row = -aj_agg with lambda > 0 for <= rows
-            lam = -aj_agg / aj_row
-            pref = 1 if lam > 0 else -1
-            leq2 = row_as_leq(i2, pref)
-            if leq2 is None:
-                break
-            cols2, vals2, rhs2 = leq2
-            aj_row2 = float(vals2[cols2 == cand_j][0])
-            lam = -aj_agg / aj_row2
-            if lam <= 0:
-                break  # would flip the inequality
-            for c, v in zip(cols2, vals2):
-                agg[int(c)] = agg.get(int(c), 0.0) + lam * float(v)
-            rhs += lam * rhs2
-            agg = {c: v for c, v in agg.items() if abs(v) > _EPS}
-            used_rows.add(i2)
+                # single rows are separate_mir's job — only aggregates
+                # of >= 2 rows are worth the transform cost here
+                success = try_cut(agg) if len(path) > 1 else False
+                # choose elimination target: continuous col farthest
+                # inside its bounds
+                best_j, best_bd = -1, feastol
+                for j, cj in coefs.items():
+                    if j >= n or is_int[j] or abs(cj) <= _EPS:
+                        continue
+                    if bd[j] > best_bd and (j in in_arcs or
+                                            j in out_arcs):
+                        best_j, best_bd = j, bd[j]
+                if success or best_j < 0:
+                    break
+                cj = coefs[best_j]
+                # partner from the opposite-sign arc list so the
+                # channel coefficient cancels with positive weight
+                arcs = in_arcs.get(best_j, []) if cj < 0 else \
+                    out_arcs.get(best_j, [])
+                arcs = [a for a in arcs if a[0] not in path and
+                        _EPS < abs(cj / a[1]) <= max_w]
+                if not arcs:
+                    arcs = out_arcs.get(best_j, []) if cj < 0 else \
+                        in_arcs.get(best_j, [])
+                    arcs = [a for a in arcs if a[0] not in path and
+                            _EPS < abs(cj / a[1]) <= max_w]
+                if not arcs:
+                    break
+                r2, v2 = arcs[rng.integers(0, len(arcs))]
+                agg[r2] = agg.get(r2, 0.0) - cj / v2
+                path.add(r2)
     return cuts
 
 
-# --------------------------------------------------------------------------
-# Maximally violated mod-k cuts (reference HighsModkSeparator +
-# HighsGFkSolve: congruence system over GF(k) from tight integral rows,
-# then the MIR procedure with divisor k; violation (k-1)/k by
-# construction).  TPU-build idiom: vectorized GF(p) Gaussian
-# elimination on the host.
-# --------------------------------------------------------------------------
 
 def _gfk_solve(M: np.ndarray, t: np.ndarray, k: int,
                max_solutions: int = 8) -> List[np.ndarray]:

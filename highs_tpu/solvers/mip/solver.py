@@ -623,7 +623,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
         stall = 0
-        for _round in range(10):
+        path_sep_budget = [min(12.0, 0.1 * options.time_limit)]
+        for _round in range(30):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
             found = []
@@ -650,9 +651,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_mir(sep_csr, sep_rl, sep_ru,
                                   root_lo_p, root_up_p, root_x, is_int,
                                   feastol)
-            found += separate_path_mir(
-                sep_csr, sep_rl, sep_ru, root_lo_p,
-                root_up_p, root_x, is_int, feastol)
+            # path aggregation under a CUMULATIVE root budget — it is
+            # the most expensive separator, and cheap instances must
+            # not spend their whole solve in it
+            if path_sep_budget[0] > 0.02:
+                _tps = time.perf_counter()
+                found += separate_path_mir(
+                    sep_csr, sep_rl, sep_ru, root_lo_p,
+                    root_up_p, root_x, is_int, feastol,
+                    time_budget=path_sep_budget[0])
+                path_sep_budget[0] -= time.perf_counter() - _tps
             found += separate_modk(sep_csr, sep_rl, sep_ru,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
@@ -708,7 +716,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     f"bound {sense * root_bound + lp.offset:.10g}")
             improve = abs(root_bound - prev_bound) / max(
                 1.0, abs(prev_bound))
-            stall = stall + 1 if improve < 1e-6 else 0
+            # tail off when rounds stop paying: two consecutive rounds
+            # below 0.01% relative improvement (reference: root
+            # separation tailing-off)
+            stall = stall + 1 if improve < 1e-4 else 0
             if stall >= 2:
                 break
         if _Relax.num_cut_rows and root_x is not None:
