@@ -298,6 +298,20 @@ class Highs(HighsModelApi, HighsAnalysisApi):
             self._info.valid = True
             return HighsStatus.kOk
 
+        # NaN objective coefficients (reference behavior on nan0.mps:
+        # the model solves and reports a NaN objective — any solution's
+        # objective is NaN, so the cost can be zeroed for the solve)
+        if np.isnan(lp.col_cost).any():
+            saved_cost = lp.col_cost
+            lp.col_cost = np.where(np.isnan(saved_cost), 0.0,
+                                   saved_cost)
+            try:
+                status = self._optimize_model()
+            finally:
+                lp.col_cost = saved_cost
+            self._info.objective_function_value = math.nan
+            return status
+
         if self._model.is_qp() and self._model.is_mip():
             self._log("MIQP is not supported")
             self._model_status = HighsModelStatus.kNotset
@@ -351,7 +365,17 @@ class Highs(HighsModelApi, HighsAnalysisApi):
     def _call_solve_mip(self) -> HighsStatus:
         from .solvers.mip.solver import solve_mip
         from .presolve.presolve import postsolve_lp, presolve_lp
-        lp = self._model.lp
+        lp_orig = self._model.lp
+        lp = lp_orig
+        # bounded semi variables reformulate to binary + variable-bound
+        # rows (reference HPresolve; see presolve/semi.py) so the
+        # standard MIP machinery applies
+        semi_expand = None
+        if lp.has_semi_variables():
+            from .presolve.semi import reformulate_semi_variables
+            semi_expand = reformulate_semi_variables(lp)
+            if semi_expand is not None:
+                lp = semi_expand.lp
         presolve_result = None
         # presolve has no SOS awareness: reductions could silently drop
         # or remap set members, so SOS models solve un-presolved
@@ -388,9 +412,16 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         if presolve_result is not None and presolve_result.reduced and \
                 solution.value_valid:
             solution, _ = postsolve_lp(lp, presolve_result, solution)
+        if semi_expand is not None and solution.value_valid:
+            # strip the auxiliary binaries / variable-bound rows
+            solution.col_value = solution.col_value[
+                :semi_expand.n_orig_col]
+            if len(solution.row_value):
+                solution.row_value = solution.row_value[
+                    :semi_expand.n_orig_row]
         self._model_status = status
         self._solution = solution
-        self._fill_info_lp(lp, mip_info)
+        self._fill_info_lp(lp_orig, mip_info)
         return HighsStatus.kOk
 
     # ------------------------------------------------------------------

@@ -271,7 +271,10 @@ def read_lp(path: str) -> HighsModel:
     # ---- objective section -----------------------------------------------
     kw = p.at_section_keyword()
     if kw not in ("obj_min", "obj_max"):
-        raise LpParseError("LP file must start with Minimize/Maximize")
+        # reference behavior (vendored filereaderlp on 1448.lp /
+        # garbage.lp): content with no recognizable LP structure loads
+        # as an EMPTY model rather than a read error
+        return HighsModel(lp=HighsLp())
     sense = (ObjSense.kMinimize if kw == "obj_min" else ObjSense.kMaximize)
     p.consume_section_keyword(kw)
 

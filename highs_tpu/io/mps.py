@@ -65,7 +65,7 @@ def _tokens(line: str) -> List[str]:
     return out
 
 
-def _parse_value(tok: str) -> float:
+def _parse_value(tok: str, allow_nan: bool = False) -> float:
     try:
         v = float(tok)
     except ValueError:
@@ -74,7 +74,8 @@ def _parse_value(tok: str) -> float:
             v = float(tok.replace("D", "E").replace("d", "e"))
         except ValueError:
             raise MpsParseError(f"cannot parse value {tok!r}")
-    if math.isnan(v):
+    if math.isnan(v) and not allow_nan:
+        # reference: NaN in RHS/RANGES/BOUNDS fails the load (nan2.mps)
         raise MpsParseError(f"NaN value {tok!r}")
     return v
 
@@ -103,10 +104,10 @@ def read_mps(path: str) -> HighsModel:
     has_upper: List[bool] = []
 
     entries: List[Tuple[int, int, float]] = []  # (col, row, value)
+    nan_rows: set = set()  # rows neutralized by a NaN coefficient
     obj_offset = 0.0
 
     q_entries: List[Tuple[int, int, float]] = []
-    q_format = HessianFormat.kTriangular
 
     sos: List[Tuple[str, int, List[int], List[float]]] = []
 
@@ -179,8 +180,6 @@ def read_mps(path: str) -> HighsModel:
             if key in _SECTION_KEYS:
                 section = key
                 section_arg = toks[1] if len(toks) > 1 else None
-                if key in ("QMATRIX", "QCMATRIX"):
-                    q_format = HessianFormat.kSquare
                 integral_cols = False
                 continue
             raise MpsParseError(f"unknown MPS section {key!r}")
@@ -256,12 +255,19 @@ def read_mps(path: str) -> HighsModel:
                     raise MpsParseError(f"odd COLUMNS entries in {raw!r}")
             for j in range(0, len(pairs), 2):
                 rname, vtok = pairs[j], pairs[j + 1]
-                value = _parse_value(vtok)
+                # COLUMNS tolerates NaN (reference nan0/nan1.mps): a
+                # NaN objective coefficient is kept (the objective
+                # evaluates to NaN); a NaN constraint coefficient
+                # neutralizes its row (NaN poisons every activity
+                # comparison in the reference, so the row never binds)
+                value = _parse_value(vtok, allow_nan=True)
                 ridx = rowname2idx.get(rname)
                 if ridx is None:
                     continue  # undefined row: ignored with warning upstream
                 if ridx == -1:
                     col_cost[colidx] += value
+                elif ridx >= 0 and math.isnan(value):
+                    nan_rows.add(ridx)
                 elif ridx >= 0 and value != 0.0:
                     entries.append((colidx, ridx, value))
             continue
@@ -408,7 +414,13 @@ def read_mps(path: str) -> HighsModel:
                                     f"{raw!r}")
             value = _parse_value(toks[2])
             if value != 0.0:
+                # unify as FULL-matrix records (reference
+                # HMpsFF::parseQuadMatrix): triangular sections mirror
+                # their off-diagonals, so mixed QUADOBJ+QMATRIX files
+                # accumulate into one Hessian
                 q_entries.append((c1, c2, value))
+                if section == "QUADOBJ" and c1 != c2:
+                    q_entries.append((c2, c1, value))
             continue
 
         if section in ("QSECTION", "QCMATRIX", "CSECTION"):
@@ -421,6 +433,8 @@ def read_mps(path: str) -> HighsModel:
                 value = _parse_value(toks[2])
                 if c1 >= 0 and c2 >= 0 and value != 0.0:
                     q_entries.append((c1, c2, value))
+                    if c1 != c2:  # triangular section: mirror
+                        q_entries.append((c2, c1, value))
                 continue
             raise MpsParseError(
                 f"section {section} (row quadratic / cone) not supported")
@@ -455,6 +469,11 @@ def read_mps(path: str) -> HighsModel:
 
     num_col = len(col_names)
     num_row = len(row_names)
+
+    # rows poisoned by a NaN coefficient never bind (see COLUMNS above)
+    for ridx in nan_rows:
+        row_lower[ridx] = -kHighsInf
+        row_upper[ridx] = kHighsInf
 
     if entries:
         cols, rows, vals = zip(*entries)
@@ -495,15 +514,14 @@ def read_mps(path: str) -> HighsModel:
     hessian = HighsHessian()
     if q_entries:
         # build lower-triangular CSC of Q (objective term 1/2 x'Qx)
+        # q_entries hold FULL-matrix records (triangular sections were
+        # mirrored at parse time): fold to the lower triangle, halving
+        # off-diagonals since both (i,j) and (j,i) are present
         tri: Dict[Tuple[int, int], float] = {}
         for c1, c2, v in q_entries:
             i, j = (c1, c2) if c1 >= c2 else (c2, c1)
             key = (i, j)
-            if q_format == HessianFormat.kSquare:
-                # QMATRIX lists both triangles: sum off-diagonals then halve
-                tri[key] = tri.get(key, 0.0) + (v if i == j else 0.5 * v)
-            else:
-                tri[key] = tri.get(key, 0.0) + v
+            tri[key] = tri.get(key, 0.0) + (v if i == j else 0.5 * v)
         rows_q = [k[0] for k in tri]
         cols_q = [k[1] for k in tri]
         vals_q = [tri[k] for k in tri]

@@ -38,6 +38,28 @@ from ..options import HighsOptions
 from .presolve import PresolveResult
 
 
+def _snap_fix_value(xj: float, lo_j: float, up_j: float,
+                    tol: float) -> float:
+    """Snap a fixing value to a nearby exact rational.
+
+    When a column's bounds close to within tolerance, any point of the
+    interval is an equally valid fixing — but a fuzzy midpoint
+    (4.499999937 from propagation feastol slack) poisons every row rhs
+    it is substituted into, and those errors compound into false
+    infeasibilities downstream (reference instance issue-2290.mps).
+    Prefer the exact integer or small rational within reach."""
+    width = max(tol, (up_j - lo_j) if np.isfinite(up_j - lo_j) else tol)
+    r = round(xj)
+    if abs(r - xj) <= width and lo_j - tol <= r <= up_j + tol:
+        return float(r)
+    from ..utils.integers import nearest_rational
+    p, q = nearest_rational(xj, 1024)
+    cand = p / q
+    if abs(cand - xj) <= width and lo_j - tol <= cand <= up_j + tol:
+        return float(cand)
+    return float(xj)
+
+
 def _rule_on(options: HighsOptions, rule: PresolveRuleType) -> bool:
     return not (options.presolve_rule_off >> int(rule)) & 1
 
@@ -55,6 +77,8 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
     is_int = (integ == int(HighsVarType.kInteger)) | (
         integ == int(HighsVarType.kSemiInteger))
     has_semi = lp.has_semi_variables()
+    semi_mask = (integ == int(HighsVarType.kSemiContinuous)) | (
+        integ == int(HighsVarType.kSemiInteger))
 
     a = lp.a_matrix.to_scipy().tolil().tocsc()
     a_csr = a.tocsr()
@@ -172,7 +196,8 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     | (integ == int(HighsVarType.kSemiInteger))
                 fixed &= ~semi_mask
             for j in np.nonzero(fixed)[0]:
-                xj = 0.5 * (cl[j] + cu[j])
+                xj = _snap_fix_value(0.5 * (cl[j] + cu[j]),
+                                     cl[j], cu[j], tol)
                 rows, vals = col_rows(j)
                 stack.append(("fixed_col", int(j), float(xj),
                               float(cost[j]),
@@ -220,8 +245,18 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # --- redundant rows (activity-implied) ----------------------------
         if _rule_on(options, PresolveRuleType.kRedundantRow):
-            lo_c = np.where(col_active & np.isfinite(cl), cl, 0.0)
-            up_c = np.where(col_active & np.isfinite(cu), cu, 0.0)
+            # semi variables have domain {0} u [l, u]: their effective
+            # activity bounds are [min(0, l), max(0, u)] — using the
+            # raw bounds wrongly declared semi models infeasible
+            # (reference instance 3015.mps)
+            eff_cl, eff_cu = cl, cu
+            if has_semi:
+                eff_cl = np.where(semi_mask, np.minimum(cl, 0.0), cl)
+                eff_cu = np.where(semi_mask, np.maximum(cu, 0.0), cu)
+            lo_c = np.where(col_active & np.isfinite(eff_cl), eff_cl,
+                            0.0)
+            up_c = np.where(col_active & np.isfinite(eff_cu), eff_cu,
+                            0.0)
             act = a.copy().tocsr()
             ap = act.copy()
             ap.data = np.maximum(ap.data, 0.0)
@@ -233,8 +268,10 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             pat_p.data = (pat_p.data > 0).astype(np.float64)
             pat_n = act.copy()
             pat_n.data = (pat_n.data < 0).astype(np.float64)
-            inf_lo = (~np.isfinite(cl) & col_active).astype(np.float64)
-            inf_up = (~np.isfinite(cu) & col_active).astype(np.float64)
+            inf_lo = (~np.isfinite(eff_cl) & col_active).astype(
+                np.float64)
+            inf_up = (~np.isfinite(eff_cu) & col_active).astype(
+                np.float64)
             n_min_inf = pat_p @ inf_lo + pat_n @ inf_up
             n_max_inf = pat_p @ inf_up + pat_n @ inf_lo
             min_ok = np.where(n_min_inf > 0, -np.inf, minact)
@@ -507,28 +544,51 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             a_csr = (sp.diags(row_active.astype(float)) @ a @
                      sp.diags(col_active.astype(float))).tocsr()
             a_csr.eliminate_zeros()
-            lo_c = np.where(col_active & np.isfinite(cl), cl, 0.0)
-            up_c = np.where(col_active & np.isfinite(cu), cu, 0.0)
+            # semi variables: effective activity bounds include 0, and
+            # rows touching semi variables are excluded from forcing
+            # (fixing a semi var "at its bound" has different
+            # semantics)
+            eff_cl, eff_cu = cl, cu
+            if has_semi:
+                eff_cl = np.where(semi_mask, np.minimum(cl, 0.0), cl)
+                eff_cu = np.where(semi_mask, np.maximum(cu, 0.0), cu)
+            lo_c = np.where(col_active & np.isfinite(eff_cl), eff_cl,
+                            0.0)
+            up_c = np.where(col_active & np.isfinite(eff_cu), eff_cu,
+                            0.0)
             ap = a_csr.copy(); ap.data = np.maximum(ap.data, 0.0)
             an = a_csr.copy(); an.data = np.minimum(an.data, 0.0)
             minact = ap @ lo_c + an @ up_c
             maxact = ap @ up_c + an @ lo_c
             pat_p = a_csr.copy(); pat_p.data = (pat_p.data > 0) * 1.0
             pat_n = a_csr.copy(); pat_n.data = (pat_n.data < 0) * 1.0
-            inf_lo = (~np.isfinite(cl) & col_active).astype(float)
-            inf_up = (~np.isfinite(cu) & col_active).astype(float)
+            inf_lo = (~np.isfinite(eff_cl) & col_active).astype(float)
+            inf_up = (~np.isfinite(eff_cu) & col_active).astype(float)
+            if has_semi:
+                touches_semi = (np.asarray(
+                    (a_csr.astype(bool) @ semi_mask.astype(float))
+                ).ravel() > 0)
+            else:
+                touches_semi = np.zeros(m, dtype=bool)
             n_min_inf = pat_p @ inf_lo + pat_n @ inf_up
             n_max_inf = pat_p @ inf_up + pat_n @ inf_lo
             # forcing at upper: min activity == ru -> every var sits at
             # its activity-minimizing bound; mirrored for rl
+            # forcing must be detected near-exactly: propagated bounds
+            # carry +-feastol slack (probing union bounds especially),
+            # and a feastol-wide trigger here turns almost-forcing rows
+            # into invalid fixings (reference instance issue-2290.mps)
+            ftol = 1e-9
             with np.errstate(invalid="ignore"):
-                force_up = row_active & (n_min_inf == 0) & \
+                force_up = row_active & ~touches_semi & \
+                    (n_min_inf == 0) & \
                     np.isfinite(ru) & \
-                    (minact >= ru - tol * (1 + np.abs(
+                    (minact >= ru - ftol * (1 + np.abs(
                         np.where(np.isfinite(ru), ru, 0.0))))
-                force_lo = row_active & (n_max_inf == 0) & \
+                force_lo = row_active & ~touches_semi & \
+                    (n_max_inf == 0) & \
                     np.isfinite(rl) & \
-                    (maxact <= rl + tol * (1 + np.abs(
+                    (maxact <= rl + ftol * (1 + np.abs(
                         np.where(np.isfinite(rl), rl, 0.0))))
             forced_cols: set = set()
             for i in np.nonzero(force_up | force_lo)[0]:
@@ -696,13 +756,26 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                         changed = True
                         n_fixed += 1
                     else:
-                        # union bound strengthening over both branches
+                        # union bound strengthening over both branches.
+                        # Continuous bounds are relaxed by feastol: the
+                        # propagated values carry feastol fuzz, and
+                        # applying them exactly lets the fixed-col rule
+                        # close intervals onto fuzzy midpoints whose
+                        # substitution errors compound into false
+                        # infeasibilities (issue-2290.mps / 2122.lp)
                         new_l = np.minimum(l0, l1)
                         new_u = np.maximum(u0, u1)
-                        tighter = (new_l > cl + tol) | (new_u < cu - tol)
+                        with np.errstate(invalid="ignore"):
+                            rel_l = np.where(
+                                is_int, new_l,
+                                new_l - 2 * tol * (1 + np.abs(new_l)))
+                            rel_u = np.where(
+                                is_int, new_u,
+                                new_u + 2 * tol * (1 + np.abs(new_u)))
+                        tighter = (rel_l > cl + tol) | (rel_u < cu - tol)
                         if np.any(tighter):
-                            cl = np.maximum(cl, new_l)
-                            cu = np.minimum(cu, new_u)
+                            cl = np.maximum(cl, rel_l)
+                            cu = np.minimum(cu, rel_u)
                             changed = True
                 if infeasible:
                     break

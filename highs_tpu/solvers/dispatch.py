@@ -188,10 +188,16 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
     ipm_ok = (lp.num_row <= 8192 and
               lp.num_row * (lp.num_col + lp.num_row) <= (1 << 26))
 
-    if solver == "choose" and lp.num_row <= 1500:
-        # small problems: the native simplex gives an exact vertex
-        # solution with a basis fastest (the reference's default LP
-        # solver is also simplex)
+    if solver == "choose" and (
+            lp.num_row <= 1500 or
+            (lp.num_row <= 20000 and
+             lp.a_matrix.to_scipy().nnz <= 120_000)):
+        # small or very sparse problems: the native simplex gives an
+        # exact vertex solution with a basis fastest (the reference's
+        # default LP solver is also simplex); sparsity is what the
+        # sparse-LU node engine cares about, not the row count
+        # (cplex1.mps: 3005 rows, 8944 nonzeros, infeasible in 1s via
+        # simplex vs minutes of dense-IPM compile)
         from .simplex.wrapper import solve_lp_simplex
         status, solution, info = solve_lp_simplex(lp, options, log=log,
                                                   basis=basis)

@@ -850,8 +850,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # (reference: centralRounding via the IPX analytic centre,
         # HighsMipSolverData.cpp evaluateRootNode) — the centre sits far
         # from degenerate vertices, so its rounding often repairs well
-        if incumbent_obj == math.inf and lp.num_col <= 2000 and \
-                lp.num_row <= 2000:
+        if incumbent_obj == math.inf and \
+                lp.num_row * max(1, lp.num_col) <= 1_000_000:
+            # above this size the analytic-centre IPM lands on the
+            # accelerator, whose one-off compile latency dwarfs any
+            # heuristic value (gesa2: minutes of compile for a 10s
+            # heuristic budget)
             try:
                 c_opts = options.copy()
                 c_opts.run_centring = True

@@ -14,6 +14,24 @@ from ...options import HighsOptions
 
 
 def solve_qp(model: HighsModel, options: HighsOptions, log=None):
+    # small QPs run on the CPU backend: below MXU-payoff size the
+    # accelerator contributes only compile latency (a 3-variable QP
+    # paid ~200s of device compile before this gate)
+    lp = model.lp
+    if lp.num_row * max(1, lp.num_col) <= 1_000_000 and \
+            lp.num_col <= 2000:
+        import jax
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                return _solve_qp_impl(model, options, log=log)
+    return _solve_qp_impl(model, options, log=log)
+
+
+def _solve_qp_impl(model: HighsModel, options: HighsOptions, log=None):
     # "qpasm" selects the active-set method (reference: QUASS,
     # qpsolver/a_quass.cpp; solver option values HighsOptions.h:274-280)
     if options.solver == "qpasm":

@@ -19,9 +19,11 @@ def test_single_line_keywords(instances_dir):
     assert lp.col_upper[0] == 0.0
 
 
-def test_garbage_rejected(instances_dir):
-    with pytest.raises(Exception):
-        read_lp(instance_path("garbage.lp"))
+def test_garbage_loads_as_empty(instances_dir):
+    # reference (vendored filereaderlp): unstructured content yields an
+    # empty model, not a read error
+    model = read_lp(instance_path("garbage.lp"))
+    assert model.lp.num_col == 0 and model.lp.num_row == 0
 
 
 def test_quadratic_objective(instances_dir):

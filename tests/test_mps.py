@@ -208,13 +208,36 @@ def test_mps_inline_comments(instances_dir):
     assert abs(h.getObjectiveValue() - (-4.0)) < 1e-9
 
 
-@pytest.mark.parametrize("name", ["nan0.mps", "nan1.mps", "nan2.mps",
-                                  "garbage.mps", "garbage.lp",
+@pytest.mark.parametrize("name", ["nan2.mps", "garbage.mps",
                                   "qcqp.lp"])
 def test_bad_files_are_read_errors(instances_dir, name):
-    """Reference behavior: NaN values, garbage and quadratic
+    """Reference behavior: NaN in RHS, garbage MPS and quadratic
     constraints are read errors (TestFilereader.cpp, TestLPFileFormat)."""
     from highs_tpu import Highs
     h = Highs()
     h.setOptionValue("output_flag", False)
     assert h.readModel(instance_path(name)) != 0
+
+
+@pytest.mark.parametrize("name,expect", [
+    ("nan0.mps", "nan-objective"),   # NaN cost: loads, objective NaN
+    ("nan1.mps", -1000.0),           # NaN matrix coeff neutralizes row
+    ("garbage.lp", "empty"),         # unstructured .lp -> empty model
+])
+def test_nan_and_garbage_reference_behavior(instances_dir, name, expect):
+    """Reference observable behavior for NaN/garbage inputs (the
+    reference's getValue never flags NaN; atof('nan') flows through)."""
+    import math
+    from highs_tpu import Highs, HighsModelStatus
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    assert h.readModel(instance_path(name)) == 0
+    h.run()
+    if expect == "nan-objective":
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        assert math.isnan(h.getObjectiveValue())
+    elif expect == "empty":
+        assert h.getModelStatus() == HighsModelStatus.kModelEmpty
+    else:
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        assert abs(h.getObjectiveValue() - expect) < 1e-6 * abs(expect)
