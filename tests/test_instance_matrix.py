@@ -136,3 +136,63 @@ def test_mip_objective_matrix(instances_dir, name):
     # reference's own ctest only prefix-matches the printed value,
     # e.g. "82.19999" for rgn, check/CMakeLists.txt:275)
     assert h.getObjectiveValue() >= ref - 1e-6 * max(1.0, abs(ref)) - 1e-6
+
+
+# regression instances from the reference-comparison sweep: false
+# infeasibles, semi reformulation, LP dispatch (reference objectives
+# from the reference binary)
+SWEEP_REGRESSIONS = {
+    "issue-2290.mps": ("kOptimal", -1.6666666666),
+    "3015.mps": ("kOptimal", -1407973.68089),   # 78 semi-continuous
+    "cplex1.mps": ("kInfeasible", None),
+    "greenbea.mps": ("kOptimal", -7.2555248130e7),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SWEEP_REGRESSIONS))
+def test_sweep_regressions(instances_dir, name):
+    st_ref, obj_ref = SWEEP_REGRESSIONS[name]
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 120.0)
+    assert h.readModel(instance_path(name)) == 0
+    h.run()
+    assert h.getModelStatus().name == st_ref
+    if obj_ref is not None:
+        assert abs(h.getObjectiveValue() - obj_ref) <= \
+            1e-4 * max(1.0, abs(obj_ref))
+
+
+# QP objective parity (reference binary ground truth); exercises
+# QUADOBJ/QMATRIX accumulation and the small-QP CPU routing
+QP_OBJECTIVES = {
+    "qjh.mps": -5.25,
+    "qjh_qmatrix.mps": -5.25,
+    "qjh_quadobj_qmatrix.mps": -2.75,
+    "qjh_uncon.mps": -5.5,
+    "qptestnw.lp": -6.45,
+    "primal1.mps": -0.03501296573,
+    "atwood0.mps": 0.04163470765,
+    "2821-duplicate.mps": -6.0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(QP_OBJECTIVES))
+def test_qp_objective_matrix(instances_dir, name):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 120.0)
+    assert h.readModel(instance_path(name)) == 0
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    ref = QP_OBJECTIVES[name]
+    assert abs(h.getObjectiveValue() - ref) <= 1e-4 * max(1.0, abs(ref))
+
+
+def test_qp_infeasible(instances_dir):
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 60.0)
+    assert h.readModel(instance_path("qpinfeasible.lp")) == 0
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kInfeasible
