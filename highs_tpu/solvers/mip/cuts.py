@@ -440,6 +440,144 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
     xh = sign * (x[icols] - sub_b)
     acs = np.array([d[5] for d in slack_defs])   # coefs on slacks
     s_vals = np.array([d[6] for d in slack_defs])
+    widths = _finite(up[icols], 1e30) - _finite(lo[icols], -1e30)
+
+    def _lifted_cover():
+        """Lifted cover cut in the transformed space (reference
+        HighsCutGeneration::determineCover +
+        separateLiftedKnapsackCover / separateLiftedMixedBinaryCover).
+        This is the flow-cover cut family that closes fixed-charge
+        gaps where c-MIR plateaus.  Returns (eff, gi, gc, grhs) in the
+        same format as _eval, or None.  General-integer lifting is not
+        implemented: only rows whose integers are all binary-width
+        qualify."""
+        if len(icols) == 0:
+            return None
+        if np.any(widths > 1.5) or np.any(~np.isfinite(widths)):
+            return None  # general/unbounded ints: c-MIR handles those
+        # all integer coefficients must be positive for the cover
+        # lifting functions (reference: flipComplementation of every
+        # negative integer before tryGenerateCut)
+        ah = _ah_base.copy()
+        xh = _xh_base.copy()
+        bh = _bh_base
+        sign2 = sign.copy()
+        sub_b2 = sub_b.copy()
+        for k in np.nonzero(ah < 0)[0]:
+            ob = up[icols[k]] if use_lower[k] else lo[icols[k]]
+            if not np.isfinite(ob):
+                return None
+            bh = bh - ivals[k] * (ob - sub_b2[k])
+            sign2[k] = -sign2[k]
+            sub_b2[k] = ob
+            ah[k] = ivals[k] * sign2[k]
+            xh[k] = sign2[k] * (x[icols[k]] - ob)
+        if bh <= 10 * feastol:
+            return None
+        # --- cover selection (determineCover, lpSol path) -------------
+        cand_c = [k for k in range(len(icols)) if xh[k] > feastol]
+        if not cand_c:
+            return None
+        at_upper = [k for k in cand_c if xh[k] >= widths[k] - feastol]
+        rest = [k for k in cand_c if xh[k] < widths[k] - feastol]
+        rest.sort(key=lambda k: (-(xh[k] * ah[k]), -ah[k], k))
+        coverweight = float(sum(ah[k] * widths[k] for k in at_upper))
+        cover = list(at_upper)
+        minlam = max(10 * feastol, feastol * abs(bh))
+        ri = 0
+        while coverweight - bh <= minlam and ri < len(rest):
+            cover.append(rest[ri])
+            coverweight += ah[rest[ri]] * widths[rest[ri]]
+            ri += 1
+        lam = coverweight - bh
+        if not cover or lam <= minlam:
+            return None
+        cov_set = np.zeros(len(icols), dtype=bool)
+        cov_set[cover] = True
+        cvals = sorted((float(ah[k]) for k in cover), reverse=True)
+        gi = np.zeros(len(icols))
+        if len(slack_defs) == 0:
+            # --- pure-integer knapsack lifting ------------------------
+            csz = len(cvals)
+            abar = cvals[0]
+            sigma = lam
+            for i in range(1, csz):
+                kdelta = i * (abar - cvals[i])
+                if kdelta < sigma:
+                    abar = cvals[i]
+                    sigma -= kdelta
+                else:
+                    abar -= sigma / i
+                    sigma = 0.0
+                    break
+            if sigma > 0:
+                abar = bh / csz
+            S = np.cumsum(np.minimum(abar, cvals))
+            cplus = sum(1 for v in cvals if v > abar + feastol)
+            halfint = [False]
+
+            def g_lift(z):
+                hfrac = z / abar if abar > _EPS else 0.0
+                coef = 0.0
+                h = math.floor(hfrac + 0.5)
+                if h != 0 and abs(hfrac - h) * max(1.0, abar) <= 1e-9 \
+                        and h <= cplus - 1:
+                    halfint[0] = True
+                    coef = 0.5
+                h = max(h - 1, 0)
+                while h < csz and z > S[h] + feastol:
+                    h += 1
+                return coef + h
+
+            grhs = float(csz - 1)
+            for k in range(len(icols)):
+                if abs(ah[k]) <= _EPS:
+                    gi[k] = 0.0
+                elif cov_set[k] and ah[k] <= abar + feastol:
+                    gi[k] = 1.0
+                else:
+                    gi[k] = g_lift(float(ah[k]))
+            if halfint[0]:
+                grhs *= 2
+                gi *= 2
+            gc = np.zeros(0)
+        else:
+            # --- mixed-binary cover lifting ---------------------------
+            S = []
+            ssum = 0.0
+            for v in cvals:
+                if v - lam <= 1e-12:
+                    break
+                ssum += v
+                S.append(ssum)
+            p = len(S)
+            if p == 0:
+                return None
+
+            def phi(a):
+                for i in range(p):
+                    if a <= S[i] - lam:
+                        return i * lam
+                    if a <= S[i]:
+                        return (i + 1) * lam + (a - S[i])
+                return p * lam + (a - S[p - 1])
+
+            grhs = -lam
+            for k in range(len(icols)):
+                if cov_set[k]:
+                    gi[k] = min(float(ah[k]), lam)
+                    grhs += gi[k]
+                else:
+                    gi[k] = phi(float(ah[k]))
+            # continuous slacks: negative kept, positive relaxed away
+            gc = np.minimum(acs, 0.0)
+        act = float(gi @ xh) + (float(gc @ s_vals) if len(gc) else 0.0)
+        viol = act - grhs
+        nrm = math.sqrt(float(gi @ gi) +
+                        (float(gc @ gc) if len(gc) else 0.0))
+        if nrm <= _EPS:
+            return None
+        return (viol / nrm, gi, gc, float(grhs)), sign2, sub_b2
 
     def _eval(delta, ah_e, bh_e, xh_e):
         """MIR at divisor delta; returns (eff, gi, gc, grhs) or None."""
@@ -472,6 +610,15 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
     cand.extend(sup)
     if len(sup):
         cand.append(float(sup.max()) + 1.0)
+    # lifted cover cut candidate (computed with its own positive-
+    # coefficient complementation; _ah_base etc. are the frozen inputs)
+    _ah_base, _xh_base, _bh_base = ah, xh, bh
+    _cover = _lifted_cover()
+    if _cover is not None:
+        cover_got, cover_sign, cover_sub_b = _cover
+    else:
+        cover_got, cover_sign, cover_sub_b = None, None, None
+
     best = None
     best_delta = None
     for delta in cand:
@@ -480,40 +627,49 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
                 (best is None or got[0] > best[0]):
             best = got
             best_delta = delta
-    if best is None:
+    if best is None and (cover_got is None or
+                         cover_got[0] <= _MIN_EFFICACY):
         return None
-    # refine: delta*2, *4, *8 (reference tries bestdelta << k)
-    for k in (2, 4, 8):
-        got = _eval(best_delta * k, ah, bh, xh)
-        if got is not None and got[0] > best[0]:
-            best = got
-            best_delta = best_delta * k
-    # greedy complementation flipping of integers at the chosen delta
-    # (reference: flipComplementation loop) — flipping k substitutes
-    # the other finite bound, which changes bh and the sign of ah_k.
-    # Capped: each trial costs a full evaluation
-    n_flips = 0
-    for kk in range(len(icols)):
-        if n_flips >= 10:
-            break
-        ob = up[icols[kk]] if use_lower[kk] else lo[icols[kk]]
-        if not np.isfinite(ob) or xh[kk] <= feastol:
-            continue
-        n_flips += 1
-        sign_k = -sign[kk]
-        bh_f = bh - ivals[kk] * (ob - sub_b[kk])
-        ah_f = ah.copy()
-        ah_f[kk] = ivals[kk] * sign_k
-        xh_f = xh.copy()
-        xh_f[kk] = sign_k * (x[icols[kk]] - ob)
-        got = _eval(best_delta, ah_f, bh_f, xh_f)
-        if got is not None and got[0] > best[0]:
-            best = got
-            sign[kk] = sign_k
-            sub_b[kk] = ob
-            ah = ah_f
-            bh = bh_f
-            xh = xh_f
+    if best is not None:
+        # refine: delta*2, *4, *8 (reference tries bestdelta << k)
+        for k in (2, 4, 8):
+            got = _eval(best_delta * k, ah, bh, xh)
+            if got is not None and got[0] > best[0]:
+                best = got
+                best_delta = best_delta * k
+        # greedy complementation flipping of integers at the chosen
+        # delta (reference: flipComplementation loop) — flipping k
+        # substitutes the other finite bound, which changes bh and the
+        # sign of ah_k.  Capped: each trial costs a full evaluation
+        n_flips = 0
+        for kk in range(len(icols)):
+            if n_flips >= 10:
+                break
+            ob = up[icols[kk]] if use_lower[kk] else lo[icols[kk]]
+            if not np.isfinite(ob) or xh[kk] <= feastol:
+                continue
+            n_flips += 1
+            sign_k = -sign[kk]
+            bh_f = bh - ivals[kk] * (ob - sub_b[kk])
+            ah_f = ah.copy()
+            ah_f[kk] = ivals[kk] * sign_k
+            xh_f = xh.copy()
+            xh_f[kk] = sign_k * (x[icols[kk]] - ob)
+            got = _eval(best_delta, ah_f, bh_f, xh_f)
+            if got is not None and got[0] > best[0]:
+                best = got
+                sign[kk] = sign_k
+                sub_b[kk] = ob
+                ah = ah_f
+                bh = bh_f
+                xh = xh_f
+    # pick the better of lifted cover and c-MIR (reference
+    # tryGenerateCut keeps the lifted cut unless c-MIR beats it)
+    if cover_got is not None and (best is None or
+                                  cover_got[0] > best[0]):
+        best = cover_got
+        sign = cover_sign
+        sub_b = cover_sub_b
     eff, gi, gc, grhs = best
     # ---- un-substitute ------------------------------------------------
     out: dict = {}
@@ -1086,3 +1242,34 @@ def separate_modk(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                 if len(cuts) >= max_cuts:
                     break
     return cuts
+
+
+def select_diverse_cuts(cuts: List[Cut], max_cuts: int = 300,
+                        max_parallelism: float = 0.9) -> List[Cut]:
+    """Efficacy-ordered greedy selection rejecting near-parallel cuts
+    (reference HighsCutPool::separate cut selection): a diverse set of
+    moderately strong cuts moves the LP bound further than many
+    near-duplicates of the single strongest one."""
+    cuts = sorted(cuts, key=lambda c: -c.efficacy)
+    picked: List[Cut] = []
+    norms: List[np.ndarray] = []
+    for c in cuts:
+        if len(picked) >= max_cuts:
+            break
+        nrm = float(np.linalg.norm(c.vals))
+        if nrm <= _EPS:
+            continue
+        cn = c.vals / nrm
+        ok = True
+        for p, pn in zip(picked, norms):
+            common, ci, pi = np.intersect1d(c.cols, p.cols,
+                                            return_indices=True)
+            if common.size == 0:
+                continue
+            if abs(float(cn[ci] @ pn[pi])) > max_parallelism:
+                ok = False
+                break
+        if ok:
+            picked.append(c)
+            norms.append(cn)
+    return picked

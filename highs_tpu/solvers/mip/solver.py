@@ -669,8 +669,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             added = [c for c in found if cutpool.add(c)]
             if not added:
                 break
-            added.sort(key=lambda c: -c.efficacy)
-            added = added[:300]
+            from .cuts import select_diverse_cuts
+            added = select_diverse_cuts(added, max_cuts=300)
             cut_a, cut_rhs = cutpool.matrix(added)
             if debug_sol is not None and debug_sol.active:
                 dense = cut_a.toarray()
