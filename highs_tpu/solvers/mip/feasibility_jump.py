@@ -45,6 +45,36 @@ def feasibility_jump(a: sp.spmatrix, row_lower: np.ndarray,
         x = np.clip(np.asarray(x0, dtype=np.float64).copy(), lo, up)
     x = np.where(is_int, np.clip(np.round(x), lo, up), x)
 
+    # native local-search engine (reference analogue: the vendored
+    # feasibilityjump.hh is C++); the numpy loop below is the fallback
+    try:
+        from ..simplex import native as _nat
+        lib = _nat.get_lib()
+        x_io = np.ascontiguousarray(x, dtype=np.float64).copy()
+        ok = lib.hx_feasibility_jump(
+            m, n,
+            np.ascontiguousarray(a_csc.indptr, dtype=np.int64),
+            np.ascontiguousarray(a_csc.indices, dtype=np.int32),
+            np.ascontiguousarray(a_csc.data, dtype=np.float64),
+            np.ascontiguousarray(a_csr.indptr, dtype=np.int64),
+            np.ascontiguousarray(a_csr.indices, dtype=np.int32),
+            np.ascontiguousarray(a_csr.data, dtype=np.float64),
+            np.ascontiguousarray(
+                np.where(np.isfinite(row_lower), row_lower, -1e30),
+                dtype=np.float64),
+            np.ascontiguousarray(
+                np.where(np.isfinite(row_upper), row_upper, 1e30),
+                dtype=np.float64),
+            np.ascontiguousarray(lo, dtype=np.float64),
+            np.ascontiguousarray(up, dtype=np.float64),
+            np.ascontiguousarray(cost, dtype=np.float64),
+            np.ascontiguousarray(is_int, dtype=np.int8),
+            float(feastol), int(max_moves), float(time_budget),
+            np.uint64(seed * 7919 + 1), x_io)
+        return x_io if ok else None
+    except (OSError, AttributeError):
+        pass
+
     act = a_csr @ x
     w = np.ones(m)
     # objective tie-break weight, relative to typical cost magnitude

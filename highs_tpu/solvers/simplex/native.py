@@ -69,6 +69,25 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.hx_feasibility_jump.restype = ctypes.c_int
+        lib.hx_feasibility_jump.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int8),
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_uint64,
+            np.ctypeslib.ndpointer(np.float64),
+        ]
         lib.hx_propagate.restype = ctypes.c_int
         lib.hx_propagate.argtypes = [
             ctypes.c_int, ctypes.c_int,

@@ -392,6 +392,161 @@ struct PricingResult {
 
 extern "C" {
 
+// Feasibility Jump primal heuristic (native counterpart of the
+// reference's vendored highs/mip/feasibilityjump.hh; the Python
+// version spent seconds per call in its per-move breakpoint scans).
+// Weighted-violation local search: each move sets one variable of a
+// violated row to the value minimizing the weighted violation along
+// its coordinate; stuck => bump the weights of violated rows.
+//
+// Cp/Ci/Cx: CSC of A; Rp/Ri/Rx: CSR.  lo/up are finite-clipped column
+// bounds; rl/ru row bounds (+-inf allowed).  x holds the start point
+// and receives the solution.  Returns 1 when row-feasible (integers
+// integral), else 0.
+int hx_feasibility_jump(
+    int m, int n, const int64_t* Cp, const int32_t* Ci, const double* Cx,
+    const int64_t* Rp, const int32_t* Ri, const double* Rx,
+    const double* rl, const double* ru, const double* lo,
+    const double* up, const double* cost, const int8_t* is_int,
+    double feastol, int max_moves, double time_budget_s, uint64_t seed,
+    double* x) {
+  const auto t_end = std::chrono::steady_clock::now() +
+                     std::chrono::duration_cast<
+                         std::chrono::steady_clock::duration>(
+                         std::chrono::duration<double>(time_budget_s));
+  // xorshift64* PRNG (deterministic given seed)
+  uint64_t rstate = seed * 2685821657736338717ULL + 1;
+  auto rnd01 = [&]() {
+    rstate ^= rstate >> 12;
+    rstate ^= rstate << 25;
+    rstate ^= rstate >> 27;
+    return double((rstate * 2685821657736338717ULL) >> 11) *
+           (1.0 / 9007199254740992.0);
+  };
+  std::vector<double> act(m, 0.0), w(m, 1.0), viol(m, 0.0);
+  for (int j = 0; j < n; ++j) {
+    if (is_int[j]) x[j] = std::max(lo[j], std::min(up[j],
+                                                   std::round(x[j])));
+    else x[j] = std::max(lo[j], std::min(up[j], x[j]));
+    for (int64_t k = Cp[j]; k < Cp[j + 1]; ++k)
+      act[Ci[k]] += Cx[k] * x[j];
+  }
+  auto row_viol = [&](int i, double a) {
+    double v = 0.0;
+    if (rl[i] > -kInf && a < rl[i]) v += rl[i] - a;
+    if (ru[i] < kInf && a > ru[i]) v += a - ru[i];
+    return v;
+  };
+  for (int i = 0; i < m; ++i) viol[i] = row_viol(i, act[i]);
+  double cscale = 0.0;
+  for (int j = 0; j < n; ++j) cscale = std::max(cscale,
+                                                std::fabs(cost[j]));
+  const double obj_w = 1e-4 / (1.0 + cscale);
+  std::vector<double> cands;
+  std::vector<int32_t> perm;
+  for (int move = 0; move < max_moves; ++move) {
+    if ((move & 255) == 0 &&
+        std::chrono::steady_clock::now() > t_end)
+      return 0;
+    // pick a violated row: max w*viol*(0.5+rand)
+    int ibest = -1;
+    double sbest = 0.0;
+    bool any = false;
+    for (int i = 0; i < m; ++i) {
+      if (viol[i] > feastol) {
+        any = true;
+        double s = w[i] * viol[i] * (0.5 + rnd01());
+        if (s > sbest) { sbest = s; ibest = i; }
+      }
+    }
+    if (!any) {
+      for (int j = 0; j < n; ++j)
+        if (is_int[j]) x[j] = std::round(x[j]);
+      return 1;
+    }
+    const int i = ibest;
+    // variables of row i in random order
+    perm.clear();
+    for (int64_t k = Rp[i]; k < Rp[i + 1]; ++k) perm.push_back(Ri[k]);
+    for (size_t a_ = perm.size(); a_ > 1; --a_) {
+      size_t b_ = size_t(rnd01() * a_);
+      if (b_ >= a_) b_ = a_ - 1;
+      std::swap(perm[a_ - 1], perm[b_]);
+    }
+    bool improved = false;
+    for (int32_t j : perm) {
+      // candidate breakpoints along coordinate j
+      cands.clear();
+      cands.push_back(x[j]);
+      cands.push_back(lo[j]);
+      cands.push_back(up[j]);
+      for (int64_t k = Cp[j]; k < Cp[j + 1]; ++k) {
+        const int r = Ci[k];
+        const double v = Cx[k];
+        if (v == 0.0) continue;
+        const double base = act[r] - v * x[j];
+        if (rl[r] > -kInf) {
+          double t = (rl[r] - base) / v;
+          if (std::isfinite(t)) cands.push_back(t);
+        }
+        if (ru[r] < kInf) {
+          double t = (ru[r] - base) / v;
+          if (std::isfinite(t)) cands.push_back(t);
+        }
+      }
+      // clip; integers round both ways
+      size_t ncand = cands.size();
+      if (is_int[j]) {
+        for (size_t k = 0; k < ncand; ++k) {
+          double c = std::max(lo[j], std::min(up[j], cands[k]));
+          cands[k] = std::floor(c);
+          cands.push_back(std::ceil(c));
+        }
+      }
+      double best_v = x[j];
+      double best_score = 1e300;
+      for (double c : cands) {
+        c = std::max(lo[j], std::min(up[j], c));
+        if (is_int[j]) c = std::round(c);
+        // score: weighted violation of affected rows + objective tie
+        double score = obj_w * cost[j] * c;
+        for (int64_t k = Cp[j]; k < Cp[j + 1]; ++k) {
+          const int r = Ci[k];
+          const double na = act[r] + Cx[k] * (c - x[j]);
+          score += w[r] * row_viol(r, na);
+        }
+        if (score < best_score - 1e-12) {
+          best_score = score;
+          best_v = c;
+        }
+      }
+      if (std::fabs(best_v - x[j]) < 1e-12) continue;
+      // accept only if the weighted violation strictly improves
+      double old_s = 0.0, new_s = 0.0;
+      for (int64_t k = Cp[j]; k < Cp[j + 1]; ++k) {
+        const int r = Ci[k];
+        old_s += w[r] * viol[r];
+        new_s += w[r] * row_viol(r, act[r] + Cx[k] * (best_v - x[j]));
+      }
+      if (new_s < old_s - 1e-12) {
+        for (int64_t k = Cp[j]; k < Cp[j + 1]; ++k) {
+          const int r = Ci[k];
+          act[r] += Cx[k] * (best_v - x[j]);
+          viol[r] = row_viol(r, act[r]);
+        }
+        x[j] = best_v;
+        improved = true;
+        break;
+      }
+    }
+    if (!improved) {
+      for (int i2 = 0; i2 < m; ++i2)
+        if (viol[i2] > feastol) w[i2] += 1.0;
+    }
+  }
+  return 0;
+}
+
 // Worklist-based activity-bound propagation over CSR rows (the native
 // counterpart of highs/mip/HighsDomain.cpp row propagation; the MIP
 // node loop calls this tens of thousands of times, so it lives next to
