@@ -619,24 +619,56 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
     else:
         cover_got, cover_sign, cover_sub_b = None, None, None
 
+    def _eval_batch(deltas, ah_e, bh_e, xh_e):
+        """Vectorized MIR over all divisor candidates at once (the
+        per-delta Python loop dominated separation time).  Returns
+        (eff, gi, gc, grhs, delta) of the best valid delta or None."""
+        D = np.asarray(deltas, dtype=np.float64)[:, None]
+        b_d = bh_e / D[:, 0]
+        fl_b = np.floor(b_d)
+        f = b_d - fl_b
+        ok = (f >= 0.005) & (f <= 0.995)
+        if not ok.any():
+            return None
+        oneminus = np.where(ok, 1.0 - f, 1.0)
+        a_d = ah_e[None, :] / D
+        fl = np.floor(a_d)
+        gi_m = fl + np.maximum(a_d - fl - f[:, None], 0.0) / \
+            oneminus[:, None]
+        act = gi_m @ xh_e
+        sq = np.einsum('ij,ij->i', gi_m, gi_m)
+        if len(acs):
+            gc_m = np.minimum(acs[None, :] / D, 0.0) / oneminus[:, None]
+            act = act + gc_m @ s_vals
+            sq = sq + np.einsum('ij,ij->i', gc_m, gc_m)
+        viol = act - fl_b
+        nrm = np.sqrt(sq)
+        eff_all = np.where(ok & (nrm > _EPS), viol / np.maximum(nrm,
+                                                                _EPS),
+                           -np.inf)
+        k = int(np.argmax(eff_all))
+        if not np.isfinite(eff_all[k]) or eff_all[k] <= _MIN_EFFICACY:
+            return None
+        gc_k = (gc_m[k] if len(acs) else np.zeros(0))
+        return (float(eff_all[k]), gi_m[k], gc_k, float(fl_b[k]),
+                float(D[k, 0]))
+
+    got = _eval_batch(cand, ah, bh, xh)
     best = None
     best_delta = None
-    for delta in cand:
-        got = _eval(delta, ah, bh, xh)
-        if got is not None and got[0] > _MIN_EFFICACY and \
-                (best is None or got[0] > best[0]):
-            best = got
-            best_delta = delta
+    if got is not None:
+        best = got[:4]
+        best_delta = got[4]
     if best is None and (cover_got is None or
                          cover_got[0] <= _MIN_EFFICACY):
         return None
     if best is not None:
         # refine: delta*2, *4, *8 (reference tries bestdelta << k)
-        for k in (2, 4, 8):
-            got = _eval(best_delta * k, ah, bh, xh)
-            if got is not None and got[0] > best[0]:
-                best = got
-                best_delta = best_delta * k
+        got = _eval_batch([best_delta * 2, best_delta * 4,
+                           best_delta * 8], ah, bh, xh)
+        if got is not None and got[0] > best[0]:
+            best = got[:4]
+            best_delta = got[4]
         # greedy complementation flipping of integers at the chosen
         # delta (reference: flipComplementation loop) — flipping k
         # substitutes the other finite bound, which changes bh and the
