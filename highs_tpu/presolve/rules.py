@@ -293,8 +293,12 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 changed = True
 
         # --- doubleton equations ------------------------------------------
-        if _rule_on(options, PresolveRuleType.kDoubletonEquation) and \
-                not is_mip:
+        # MIP-safe when the ELIMINATED variable is continuous: the
+        # substitution y = (d - ax x)/ay is linear and keeps x's
+        # integrality (reference HPresolve::doubletonEq handles the
+        # integer cases by always substituting a continuous column
+        # when one is present)
+        if _rule_on(options, PresolveRuleType.kDoubletonEquation):
             a_csr = (sp.diags(row_active.astype(float)) @ a @
                      sp.diags(col_active.astype(float))).tocsr()
             a_csr.eliminate_zeros()
@@ -321,6 +325,15 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 if abs(ay_) < abs(ax_):
                     jx, jy = jy, jx
                     ax_, ay_ = ay_, ax_
+                if is_mip:
+                    # eliminate a continuous column only
+                    y_int = bool(is_int[jy])
+                    x_int = bool(is_int[jx])
+                    if y_int and not x_int:
+                        jx, jy = jy, jx
+                        ax_, ay_ = ay_, ax_
+                    elif y_int and x_int:
+                        continue
                 if abs(ay_) < 1e-10:
                     continue
                 d = rl[i]

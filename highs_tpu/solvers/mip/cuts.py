@@ -852,6 +852,172 @@ class CliqueTable:
 # run c-MIR on the aggregate via HighsCutGeneration)
 # --------------------------------------------------------------------------
 
+class AggregationCmir:
+    """c-MIR over row aggregations in the extended (x, slack) space.
+
+    Every row enters an aggregation as the equality ``a_r'x - s_r = 0``
+    with the slack variable s_r in [rl_r, ru_r], so ANY weights give a
+    valid equality whose strength lives in the bounds of x and s.  The
+    c-MIR transform complements slacks at their row bounds like
+    ordinary variables, and the resulting slack coefficients fold back
+    via s_r = a_r'x.  Shared by the path separator (random-walk
+    aggregations, reference HighsPathSeparator) and the tableau
+    separator (B^-1-row aggregations, reference
+    HighsTableauSeparator + HighsLpAggregator + HighsCutGeneration).
+    """
+
+    def __init__(self, a_csr, row_lower, row_upper, lo, up, x, is_int,
+                 feastol, vubs=None, vlbs=None):
+        m, n = a_csr.shape
+        self.a_csr = a_csr
+        self.n = n
+        self.lo, self.up, self.x = lo, up, x
+        self.is_int = is_int
+        self.feastol = feastol
+        if vubs is None:
+            vubs, vlbs = collect_variable_bounds(
+                a_csr, row_lower, row_upper, is_int)
+        self.vubs, self.vlbs = vubs, vlbs
+        act = np.asarray(a_csr @ x)
+        self.lo_ext = np.concatenate([lo, np.asarray(row_lower, float)])
+        self.up_ext = np.concatenate([up, np.asarray(row_upper, float)])
+        self.x_ext = np.concatenate(
+            [x, np.clip(act, _finite(row_lower, -np.inf),
+                        _finite(row_upper, np.inf))])
+        self.is_int_ext = np.concatenate(
+            [is_int, np.zeros(m, dtype=bool)])
+
+    def try_cut(self, agg, out_cuts: List[Cut],
+                signs=(1.0, -1.0)) -> bool:
+        """c-MIR on the aggregate equality (and its negation).
+        ``agg`` maps row index -> weight.  Appends to out_cuts."""
+        a_csr, n = self.a_csr, self.n
+        coefs = {}
+        for r, w in agg.items():
+            s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
+            for c, v in zip(a_csr.indices[s:e], a_csr.data[s:e]):
+                coefs[int(c)] = coefs.get(int(c), 0.0) + w * float(v)
+            coefs[n + r] = coefs.get(n + r, 0.0) - w
+        cols_a = np.fromiter(coefs.keys(), dtype=np.int64,
+                             count=len(coefs))
+        vals_a = np.fromiter(coefs.values(), dtype=np.float64,
+                             count=len(coefs))
+        keep = np.abs(vals_a) > _EPS
+        return self.try_cut_ext(cols_a[keep], vals_a[keep], out_cuts,
+                                signs)
+
+    def try_cut_ext(self, cols_a, vals_a, out_cuts: List[Cut],
+                    signs=(1.0, -1.0)) -> bool:
+        """c-MIR on a pre-built extended-space equality
+        sum vals_a * z_{cols_a} = 0 (z = (x, row slacks))."""
+        a_csr, n, x = self.a_csr, self.n, self.x
+        if cols_a.size == 0:
+            return False
+        got_any = False
+        for sgn in signs:
+            got = _mir_on_leq(cols_a, sgn * vals_a, 0.0, self.x_ext,
+                              self.lo_ext, self.up_ext,
+                              self.is_int_ext, self.feastol,
+                              vubs=self.vubs, vlbs=self.vlbs,
+                              prefer_vbds=True)
+            if got is None:
+                continue
+            cc, vv, rr, eff = got
+            # fold slack coefficients back: g*s_r = g*(a_r'x)
+            rhs_f = rr
+            xmask = cc < n
+            dense = np.zeros(n)
+            np.add.at(dense, cc[xmask], vv[xmask])
+            smask = ~xmask
+            if smask.any():
+                svec = np.zeros(a_csr.shape[0])
+                svec[cc[smask] - n] = vv[smask]
+                dense += a_csr.T @ svec
+            fc = np.nonzero(np.abs(dense) > _EPS)[0]
+            fv = dense[fc]
+            if fc.size == 0:
+                continue
+            cleaned = _clean_cut(fc.astype(np.int32), fv, rhs_f,
+                                 self.lo, self.up)
+            if cleaned is None:
+                continue
+            c2_, v2_, r2_ = cleaned
+            viol = float(x[c2_] @ v2_) - r2_
+            nrm = float(np.linalg.norm(v2_))
+            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+                out_cuts.append(Cut(cols=c2_, vals=v2_, rhs=r2_,
+                                    efficacy=viol / nrm))
+                got_any = True
+        return got_any
+
+
+def separate_tableau_mir(a_csc: sp.csc_matrix, lo: np.ndarray,
+                         up: np.ndarray, row_lower: np.ndarray,
+                         row_upper: np.ndarray, basis: np.ndarray,
+                         x: np.ndarray, is_int: np.ndarray,
+                         feastol: float = 1e-6,
+                         max_tries: int = 200) -> List[Cut]:
+    """c-MIR cuts from B^-1-row aggregations of the original rows
+    (reference HighsTableauSeparator.cpp:separateLpSolution: for each
+    fractional basic integer, aggregate the LP rows with weights
+    e_p'B^-1 via HighsLpAggregator, then run the full c-MIR pipeline
+    on the aggregate and its negation).  On network-structured LPs the
+    B^-1 rows are cut-set aggregations, which is where the fixed-charge
+    bound strength comes from — plain GMI on the same rows is much
+    weaker.
+    """
+    m, n = a_csc.shape
+    if m == 0:
+        return []
+    kLower, kBasic, kUpper, kZero = 0, 1, 2, 3
+    basic = np.nonzero(basis == kBasic)[0]
+    if basic.size != m:
+        return []
+    w_full = sp.hstack([a_csc, -sp.identity(m, format="csc")]).tocsc()
+    B = w_full[:, basic]
+    try:
+        lu = sp.linalg.splu(B.tocsc())
+    except RuntimeError:
+        return []
+    v_all = np.concatenate([x, np.asarray(a_csc @ x)])
+    frac_v = np.abs(v_all[basic] - np.round(v_all[basic]))
+    # score: fractionality * (1 - frac), most fractional first
+    score = frac_v * (1.0 - frac_v)
+    cand_positions = [
+        p for p in np.argsort(-score)
+        if basic[p] < n and is_int[basic[p]] and
+        frac_v[p] > 10 * feastol and frac_v[p] < 1.0 - 10 * feastol]
+    cand_positions = cand_positions[:max_tries]
+    if not cand_positions:
+        return []
+    a_csr = a_csc.tocsr()
+    helper = AggregationCmir(a_csr, row_lower, row_upper, lo, up, x,
+                             is_int, feastol)
+    cuts: List[Cut] = []
+    max_w = 1.0 / max(feastol, 1e-9)
+    # batched B^-T solves: one call for all candidate unit vectors
+    E = np.zeros((m, len(cand_positions)))
+    E[cand_positions, np.arange(len(cand_positions))] = 1.0
+    R = lu.solve(E, trans="T")                # columns = e_p' B^{-1}
+    # x-space aggregate coefficients for every candidate in one spGEMM
+    XC = (a_csr.T @ R)                        # n x k
+    for k in range(len(cand_positions)):
+        rbt = R[:, k]
+        nzr = np.nonzero(np.abs(rbt) > 1e-11)[0]
+        if nzr.size <= 1 or nzr.size > 1000:
+            continue
+        wmax = float(np.abs(rbt[nzr]).max())
+        wmin = float(np.abs(rbt[nzr]).min())
+        if wmax / max(wmin, 1e-300) > 1e6 or wmax > max_w:
+            continue
+        xc = XC[:, k]
+        nzx = np.nonzero(np.abs(xc) > _EPS)[0]
+        cols_a = np.concatenate([nzx, n + nzr])
+        vals_a = np.concatenate([xc[nzx], -rbt[nzr]])
+        helper.try_cut_ext(cols_a, vals_a, cuts)
+    return cuts
+
+
 def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                       row_upper: np.ndarray, lo: np.ndarray,
                       up: np.ndarray, x: np.ndarray, is_int: np.ndarray,
@@ -952,73 +1118,13 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
         if outs:
             out_arcs[j] = outs
 
-    # --- extended-variable c-MIR over (x, slacks) ---------------------
-    n_ext = n + m
-    lo_ext = np.concatenate([lo, np.asarray(row_lower, float)])
-    up_ext = np.concatenate([up, np.asarray(row_upper, float)])
-    x_ext = np.concatenate([x, np.clip(act,
-                                       _finite(row_lower, -np.inf),
-                                       _finite(row_upper, np.inf))])
-    is_int_ext = np.concatenate([is_int, np.zeros(m, dtype=bool)])
-
+    # --- extended-variable c-MIR over (x, slacks): shared helper ------
     cuts: List[Cut] = []
+    helper = AggregationCmir(a_csr, row_lower, row_upper, lo, up, x,
+                             is_int, feastol, vubs=vubs, vlbs=vlbs)
 
     def try_cut(agg):
-        """c-MIR on the aggregate equality (and its negation)."""
-        coefs = {}
-        for r, w in agg.items():
-            s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
-            for c, v in zip(a_csr.indices[s:e], a_csr.data[s:e]):
-                coefs[int(c)] = coefs.get(int(c), 0.0) + w * float(v)
-            coefs[n + r] = coefs.get(n + r, 0.0) - w
-        cols_a = np.fromiter(coefs.keys(), dtype=np.int64,
-                             count=len(coefs))
-        vals_a = np.fromiter(coefs.values(), dtype=np.float64,
-                             count=len(coefs))
-        keep = np.abs(vals_a) > _EPS
-        cols_a, vals_a = cols_a[keep], vals_a[keep]
-        if cols_a.size == 0:
-            return False
-        got_any = False
-        for sgn in (1.0, -1.0):
-            got = _mir_on_leq(cols_a, sgn * vals_a, 0.0, x_ext, lo_ext,
-                              up_ext, is_int_ext, feastol, vubs=vubs,
-                              vlbs=vlbs, prefer_vbds=True)
-            if got is None:
-                continue
-            cc, vv, rr, eff = got
-            # fold slack coefficients back: g*s_r = g*(a_r'x)
-            fold = {}
-            rhs_f = rr
-            for c, v in zip(cc, vv):
-                if c < n:
-                    fold[int(c)] = fold.get(int(c), 0.0) + float(v)
-                else:
-                    r = int(c) - n
-                    s, e = a_csr.indptr[r], a_csr.indptr[r + 1]
-                    for c2, v2 in zip(a_csr.indices[s:e],
-                                      a_csr.data[s:e]):
-                        fold[int(c2)] = fold.get(int(c2), 0.0) + \
-                            float(v) * float(v2)
-            fc = np.fromiter(fold.keys(), dtype=np.int64,
-                             count=len(fold))
-            fv = np.fromiter(fold.values(), dtype=np.float64,
-                             count=len(fold))
-            keep2 = np.abs(fv) > _EPS
-            fc, fv = fc[keep2], fv[keep2]
-            if fc.size == 0:
-                continue
-            cleaned = _clean_cut(fc.astype(np.int32), fv, rhs_f, lo, up)
-            if cleaned is None:
-                continue
-            c2_, v2_, r2_ = cleaned
-            viol = float(x[c2_] @ v2_) - r2_
-            nrm = float(np.linalg.norm(v2_))
-            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
-                cuts.append(Cut(cols=c2_, vals=v2_, rhs=r2_,
-                                efficacy=viol / nrm))
-                got_any = True
-        return got_any
+        return helper.try_cut(agg, cuts)
 
     usable = np.nonzero(rowtype != UNUSABLE)[0]
     if len(usable) > max_starts:
@@ -1087,6 +1193,270 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                 path.add(r2)
     return cuts
 
+
+
+def _detect_network(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                    row_upper: np.ndarray, is_int: np.ndarray):
+    """Detect an embedded (reflected) network on the equality rows.
+
+    A continuous column with coefficient magnitude 1 in exactly two
+    equality rows is an arc candidate.  Rows are oriented by a parity
+    union-find so that every arc gets coefficient +1 in its head row
+    and -1 in its tail row after multiplying row i by w_i in {+-1}
+    (rows in conflicting components are dropped).  Returns
+    (arcs, w) where arcs = [(col, tail_row, head_row)] and
+    w = {row: +-1}.
+    """
+    m, n = a_csr.shape
+    eq = np.isfinite(row_lower) & np.isfinite(row_upper) & \
+        (row_lower == row_upper)
+    if not eq.any():
+        return [], {}
+    a_csc = a_csr.tocsc()
+    parent: dict = {}
+    par: dict = {}
+
+    def find(i):
+        if parent.get(i, i) == i:
+            return i, par.get(i, 0)
+        r, p = find(parent[i])
+        parent[i] = r
+        par[i] = par.get(i, 0) ^ p
+        return r, par[i]
+
+    def union(i, k, rel):
+        ri, pi = find(i)
+        rk, pk = find(k)
+        if ri == rk:
+            return (pi ^ pk) == rel
+        parent[ri] = rk
+        par[ri] = pi ^ pk ^ rel
+        return True
+
+    raw = []
+    for j in range(n):
+        if is_int[j]:
+            continue
+        s, e = a_csc.indptr[j], a_csc.indptr[j + 1]
+        rows = a_csc.indices[s:e]
+        vals = a_csc.data[s:e]
+        eqr = [(int(r), float(v)) for r, v in zip(rows, vals) if eq[r]]
+        if len(eqr) != 2:
+            continue
+        (r1, v1), (r2, v2) = eqr
+        if abs(abs(v1) - 1.0) > 1e-12 or abs(abs(v2) - 1.0) > 1e-12:
+            continue
+        # cancellation needs w1*v1 = -w2*v2
+        rel = 0 if v1 * v2 < 0 else 1
+        if union(r1, r2, rel):
+            raw.append((j, r1, v1, r2, v2))
+    w: dict = {}
+    arcs = []
+    for j, r1, v1, r2, v2 in raw:
+        _, p1 = find(r1)
+        _, p2 = find(r2)
+        w[r1] = 1.0 if p1 == 0 else -1.0
+        w[r2] = 1.0 if p2 == 0 else -1.0
+        if w[r1] * v1 > 0:
+            arcs.append((j, r2, r1))   # +1 in r1: r1 is the head
+        else:
+            arcs.append((j, r1, r2))
+    return arcs, w
+
+
+def separate_network_cutset(a_csr: sp.csr_matrix, row_lower: np.ndarray,
+                            row_upper: np.ndarray, lo: np.ndarray,
+                            up: np.ndarray, x: np.ndarray,
+                            is_int: np.ndarray, feastol: float = 1e-6,
+                            max_sinks: int = 256) -> List[Cut]:
+    """Exact cut-set separation on an embedded network (then c-MIR).
+
+    For fixed-charge network instances the strong cuts are cut-set
+    inequalities: for a node set S with net demand d(S) > 0, the
+    aggregation of S's flow-conservation rows gives
+    ``sum_{a in delta^-(S)} x_a - sum_{a in delta^+(S)} x_a = d(S)``,
+    and variable-bound substitution x_a <= M_a y_a followed by MIR
+    yields ``sum_{a in delta^-(S)} y_a >= ceil(d(S)/max M_a)``.  The
+    reference reaches these through randomized path aggregation
+    (highs/mip/HighsPathSeparator.cpp); here the violated set S is
+    found EXACTLY by a max-flow/min-cut in y* space: attach a super
+    source to every supply node with infinite capacity, give each vub
+    arc capacity y*_a, and min-cut to each demand sink.  A cut below 1
+    certifies a violated cut-set inequality.  Both the source-minimal
+    and sink-minimal cut of each max flow are separated, and each
+    found S additionally yields per-arc tightened variable bounds.
+
+    The aggregate is handed to the shared c-MIR machinery
+    (_mir_on_leq), so validity and strength handling are identical to
+    every other separator.
+    """
+    try:
+        from scipy.sparse.csgraph import maximum_flow
+    except Exception:                                # pragma: no cover
+        return []
+    m, n = a_csr.shape
+    if m == 0 or m > 100000 or n > 500000:
+        return []
+    arcs, w = _detect_network(a_csr, row_lower, row_upper, is_int)
+    if len(arcs) < 4:
+        return []
+    vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
+                                         is_int)
+    rows_used = sorted(w)
+    idx = {r: i for i, r in enumerate(rows_used)}
+    N = len(rows_used)
+    d = np.array([w[r] * row_lower[r] for r in rows_used])
+    SCALE = 1 << 20
+    INF = SCALE * 1024
+    src = N
+    cap_rows, cap_cols, cap_vals = [], [], []
+    any_vub = False
+    for (j, rt, rh) in arcs:
+        t_i, h_i = idx[rt], idx[rh]
+        capv = 1.0
+        vl = vubs.get(j, ())
+        if vl:
+            ycol = vl[0][0]
+            if up[ycol] <= 1.0 + feastol and lo[ycol] >= -feastol:
+                capv = float(np.clip(x[ycol], 0.0, 1.0))
+                any_vub = True
+        cap_rows.append(t_i)
+        cap_cols.append(h_i)
+        cap_vals.append(max(1, int(capv * SCALE)))
+    if not any_vub:
+        return []
+    for i in range(N):
+        if d[i] < -feastol:
+            cap_rows.append(src)
+            cap_cols.append(i)
+            cap_vals.append(INF)
+    g = sp.csr_matrix(
+        (np.asarray(cap_vals, dtype=np.int64),
+         (cap_rows, cap_cols)), shape=(N + 1, N + 1))
+    g.sum_duplicates()
+    g = g.tocsr()
+
+    cuts: List[Cut] = []
+    seen: set = set()
+
+    def emit(S_idx):
+        key = tuple(sorted(S_idx))
+        if key in seen or not S_idx:
+            return
+        seen.add(key)
+        agg: dict = {}
+        rhs_agg = 0.0
+        for i in S_idx:
+            r = rows_used[i]
+            s_, e_ = a_csr.indptr[r], a_csr.indptr[r + 1]
+            for cc, vv in zip(a_csr.indices[s_:e_],
+                              a_csr.data[s_:e_]):
+                agg[int(cc)] = agg.get(int(cc), 0.0) + w[r] * float(vv)
+            rhs_agg += w[r] * float(row_lower[r])
+        cols_a = np.fromiter(agg.keys(), dtype=np.int64,
+                             count=len(agg))
+        vals_a = np.fromiter(agg.values(), dtype=np.float64,
+                             count=len(agg))
+        keep = np.abs(vals_a) > _EPS
+        cols_a, vals_a = cols_a[keep], vals_a[keep]
+        if cols_a.size == 0:
+            return
+        # ---- per-arc tightened variable bounds -----------------------
+        # When the aggregate is a pure flow balance (+-1 continuous,
+        # x >= 0):  inflow - outflow = d(S), so for an inflow arc a
+        # with vub x_a <= M y_a and d(S) < M the cut
+        #   x_a - d(S) y_a - sum(outflow x) <= 0
+        # is valid (y_a = 0 forces x_a = 0; y_a = 1 bounds x_a by
+        # d(S) + outflow because the other inflows are nonnegative).
+        # This replaces the big-M by the cut-set demand — the c-MIR
+        # flow-cover strength on fixed-charge networks.
+        d_S = rhs_agg
+        pure = d_S > feastol and \
+            np.all(np.abs(np.abs(vals_a) - 1.0) < 1e-12) and \
+            not is_int[cols_a].any() and np.all(lo[cols_a] >= -feastol)
+        if pure:
+            out_cols = cols_a[vals_a < 0]
+            in_cols = cols_a[vals_a > 0]
+            x_out = float(x[out_cols].sum()) if out_cols.size else 0.0
+            for j in in_cols:
+                for (ycol, c1, c0) in vubs.get(int(j), ()):
+                    if abs(c0) > feastol or c1 <= d_S or \
+                            up[ycol] > 1.0 + feastol or \
+                            lo[ycol] < -feastol:
+                        continue
+                    viol2 = float(x[j]) - d_S * float(x[ycol]) - x_out
+                    nrm2 = math.sqrt(1.0 + d_S * d_S + out_cols.size)
+                    if viol2 / nrm2 <= _MIN_EFFICACY:
+                        continue
+                    cc2 = np.concatenate(
+                        [[int(j), int(ycol)], out_cols]).astype(np.int32)
+                    vv2 = np.concatenate(
+                        [[1.0, -d_S], -np.ones(out_cols.size)])
+                    cuts.append(Cut(cols=cc2, vals=vv2, rhs=0.0,
+                                    efficacy=viol2 / nrm2))
+                    break
+        # inflow form of the aggregated equality:
+        #   -(inflow) + (outflow) <= -d(S)
+        got = _mir_on_leq(cols_a, -vals_a, -rhs_agg, x, lo, up,
+                          is_int, feastol, vubs=vubs, vlbs=vlbs,
+                          prefer_vbds=True)
+        if got is None:
+            return
+        cc, vv, rr, _eff = got
+        cleaned = _clean_cut(cc.astype(np.int32), vv, rr, lo, up)
+        if cleaned is None:
+            return
+        c2_, v2_, r2_ = cleaned
+        viol = float(x[c2_] @ v2_) - r2_
+        nrm = float(np.linalg.norm(v2_))
+        if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+            cuts.append(Cut(cols=c2_, vals=v2_, rhs=r2_,
+                            efficacy=viol / nrm))
+
+    sinks = np.nonzero(d > feastol)[0]
+    if len(sinks) > max_sinks:
+        sinks = sinks[np.argsort(-d[sinks])][:max_sinks]
+    for v in sinks:
+        try:
+            mf = maximum_flow(g, src, int(v))
+        except Exception:                            # pragma: no cover
+            continue
+        if mf.flow_value >= SCALE:
+            continue
+        # scipy's flow matrix is antisymmetric (flow[v,u] = -flow[u,v]),
+        # so g - flow has positive entries exactly on the residual
+        # edges, including backward residuals of saturated arcs
+        res = (g - mf.flow).tocsr()
+        resT = res.T.tocsr()
+        # source-minimal cut: S = nodes NOT reachable from src in the
+        # residual graph
+        reach = np.zeros(N + 1, dtype=bool)
+        reach[src] = True
+        stack = [src]
+        while stack:
+            u = stack.pop()
+            s_, e_ = res.indptr[u], res.indptr[u + 1]
+            for (vv_, cc_) in zip(res.indices[s_:e_],
+                                  res.data[s_:e_]):
+                if cc_ > 0 and not reach[vv_]:
+                    reach[vv_] = True
+                    stack.append(int(vv_))
+        emit([i for i in range(N) if not reach[i]])
+        # sink-minimal cut: S = nodes that can reach the sink in the
+        # residual graph (BFS from the sink over incoming residuals)
+        can = np.zeros(N + 1, dtype=bool)
+        can[v] = True
+        stack = [int(v)]
+        while stack:
+            u = stack.pop()
+            s_, e_ = resT.indptr[u], resT.indptr[u + 1]
+            for (vv_, cc_) in zip(resT.indices[s_:e_],
+                                  resT.data[s_:e_]):
+                if cc_ > 0 and not can[vv_]:
+                    can[vv_] = True
+                    stack.append(int(vv_))
+        emit([i for i in range(N) if can[i] and i != src])
+    return cuts
 
 
 def _gfk_solve(M: np.ndarray, t: np.ndarray, k: int,

@@ -85,6 +85,70 @@ class Implications:
             self.store[j] = (lo0, up0, lo1, up1)
         return lo, up
 
+    def cover_edges(self, lo: np.ndarray, up: np.ndarray,
+                    is_binary: np.ndarray) -> List[Tuple[int, int]]:
+        """Cover pairs  y_i + y_j >= 1  discovered by probing:
+        fixing y_i = 0 propagated y_j's lower bound to 1 (reference:
+        these are complemented-literal cliques in HighsCliqueTable,
+        the raw material of ObjectivePropagation's clique partition,
+        HighsDomain.h:239)."""
+        edges: List[Tuple[int, int]] = []
+        for i, (lo0, _up0, _lo1, _up1) in self.store.items():
+            if not is_binary[i]:
+                continue
+            forced = (lo0 >= 1.0 - self.feastol) & is_binary & \
+                (up >= 1.0 - self.feastol) & (lo <= self.feastol)
+            forced[i] = False
+            for j in np.nonzero(forced)[0]:
+                edges.append((int(i), int(j)))
+        return edges
+
+    def cover_clique_rows(self, lo: np.ndarray, up: np.ndarray,
+                          is_binary: np.ndarray, cost: np.ndarray
+                          ) -> List[Cut]:
+        """Valid rows  sum_{j in C} y_j >= |C|-1  for cliques C in the
+        cover graph (pairwise  y_i + y_j >= 1): at most one member of
+        C can be zero.  This is the row form of the reference's
+        objective clique partition (HighsObjectiveFunction
+        setupCliquePartition + ObjectivePropagation): adding the rows
+        lets the LP bound and domain propagation absorb the
+        combinatorial objective bound  sum(c) - max(c)  per clique and
+        lift the incumbent cutoff into variable fixings.
+
+        Greedy partition biased to high-cost columns first (the bound
+        contribution of a clique is its total cost minus its largest
+        member)."""
+        edges = self.cover_edges(lo, up, is_binary)
+        if not edges:
+            return []
+        adj: dict = {}
+        for i, j in edges:
+            adj.setdefault(i, set()).add(j)
+            adj.setdefault(j, set()).add(i)
+        order = sorted(adj, key=lambda jj: -abs(float(cost[jj])))
+        used: set = set()
+        rows: List[Cut] = []
+        for start in order:
+            if start in used:
+                continue
+            clique = [start]
+            cand = adj[start] - used
+            while cand:
+                # highest-cost candidate adjacent to ALL members
+                nxt = max(cand, key=lambda jj: abs(float(cost[jj])))
+                clique.append(nxt)
+                cand = (cand & adj[nxt]) - {nxt}
+            if len(clique) < 2:
+                continue
+            used.update(clique)
+            cols = np.array(sorted(clique), dtype=np.int32)
+            # sum y >= |C|-1   ->   -sum y <= -(|C|-1)
+            rows.append(Cut(cols=cols,
+                            vals=-np.ones(len(cols)),
+                            rhs=-(len(cols) - 1.0),
+                            efficacy=0.0))
+        return rows
+
     def separate(self, x: np.ndarray, lo: np.ndarray, up: np.ndarray,
                  tol: float = 1e-5, max_cuts: int = 50) -> List[Cut]:
         """Implied-bound cuts violated at x.

@@ -254,10 +254,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.iterations += iters
         if result != RESULT_OPTIMAL:
             return False  # inconclusive: keep the node
-        scale = 1.0 + float(np.abs(np.where(
-            np.isfinite(_Relax.row_upper), _Relax.row_upper, 0.0)).max(),
-        )
-        return float(cost @ x) > 1e-7 * scale
+        # total elastic violation beyond a few feastol certifies
+        # infeasibility; scaling by max|ru| rejected genuinely
+        # infeasible verdicts on instances with large rhs values and
+        # sent every such node through the slow device fallbacks
+        return float(cost @ x) > 10.0 * feastol
 
     last_duals = {"z": None}
 
@@ -306,7 +307,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 return True, -math.inf, None, None
             # numerical failure: fall through to IPM below
 
+        # device-solver fallback runs on the CURRENT relaxation rows
+        # (original + strengthened + cut rows) — solving the cut-free
+        # `relax` here silently collapses node bounds to the bare LP
         node_lp = relax
+        if use_simplex and _Relax.num_cut_rows:
+            from ...models.lp import HighsSparseMatrix
+            node_lp = relax.copy()
+            node_lp.a_matrix = HighsSparseMatrix.from_scipy(
+                _Relax.a_csc)
+            node_lp.row_lower = np.asarray(_Relax.row_lower, float)
+            node_lp.row_upper = np.asarray(_Relax.row_upper, float)
+            node_lp.num_row = _Relax.a_csc.shape[0]
+            if getattr(node_lp, "row_names", None):
+                node_lp.row_names = None
         node_lp.col_lower = lo
         node_lp.col_upper = up
         st, sol, lp_info = solve_lp_ipm_native(node_lp, node_options)
@@ -326,20 +340,22 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 1e-7 * (1.0 + float(np.abs(lp.row_upper[
                     np.isfinite(lp.row_upper)]).sum())):
             return False, math.inf, None, None
-        # numerically hard but feasible: retry with the PDHG solver,
-        # bounded by the remaining MIP budget (a node fallback must
-        # never eat the whole solve)
-        pd_options = _copy.copy(options)
-        pd_options._solve_deadline = min(
-            getattr(options, "_solve_deadline", math.inf),
-            t0 + options.time_limit)
-        from ..pdlp.wrapper import solve_lp_pdlp
-        st3, sol3, inf3 = solve_lp_pdlp(node_lp, pd_options)
-        if st3 == HighsModelStatus.kOptimal:
-            return True, sense * (inf3.primal_obj - lp.offset), \
-                sol3.col_value, None
-        if st3 == HighsModelStatus.kInfeasible:
-            return False, math.inf, None, None
+        # numerically hard but feasible: at the ROOT only, retry with
+        # the PDHG solver (at interior nodes a half-second device
+        # fallback per node dwarfs the node itself — keep the node
+        # with a trivial bound instead)
+        if info.mip_node_count <= 1:
+            pd_options = _copy.copy(options)
+            pd_options._solve_deadline = min(
+                getattr(options, "_solve_deadline", math.inf),
+                t0 + options.time_limit)
+            from ..pdlp.wrapper import solve_lp_pdlp
+            st3, sol3, inf3 = solve_lp_pdlp(node_lp, pd_options)
+            if st3 == HighsModelStatus.kOptimal:
+                return True, sense * (inf3.primal_obj - lp.offset), \
+                    sol3.col_value, None
+            if st3 == HighsModelStatus.kInfeasible:
+                return False, math.inf, None, None
         return True, -math.inf, None, None  # keep node, trivial bound
 
     def violation(x):
@@ -575,6 +591,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
+    # incumbent carried through a restart (projected through presolve;
+    # fully revalidated here)
+    _warm_inc = getattr(options, "_warm_incumbent", None)
+    if _warm_inc is not None and len(_warm_inc) == lp.num_col:
+        try_incumbent(np.asarray(_warm_inc, dtype=np.float64),
+                      "carried through restart")
     if root_x is not None:
         try_incumbent(root_x, "root relaxation")
         cand = round_and_repair(root_x, root_lo_p, root_up_p)
@@ -601,9 +623,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         frac = np.abs(root_x - np.round(root_x))
         probe_order = np.argsort(-np.where(binary, frac, -1.0))
         probe_cand = [int(j) for j in probe_order if binary[j]]
+        # probe every binary when the model is small enough: besides
+        # fixings/vbounds, pairwise probing builds the COVER GRAPH
+        # (y_i + y_j >= 1 pairs) that feeds the objective clique
+        # partition below (reference ObjectivePropagation)
+        n_binary = int(binary.sum())
+        probe_budget = min(64, max(8, lp.num_col // 4))
+        if n_binary <= 512 and lp.num_row <= 20000:
+            probe_budget = n_binary
         new_lo, new_up = implications.probe(
             probe_cand, root_lo_p, root_up_p,
-            max_probes=min(64, max(8, lp.num_col // 4)))
+            max_probes=probe_budget)
         if implications.infeasible:
             if debug_sol is not None and debug_sol.active:
                 debug_sol._report("root probing infeasibility")
@@ -622,8 +652,50 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
+        # objective clique-partition rows (reference
+        # ObjectivePropagation / setupCliquePartition):  for cliques C
+        # in the probing cover graph, sum_{C} y >= |C|-1 is valid; as
+        # LP rows they carry the combinatorial objective bound and let
+        # propagation lift the incumbent cutoff into fixings
+        clique_rows = implications.cover_clique_rows(
+            root_lo_p, root_up_p, binary, sense * lp.col_cost)
+        keep_cr = []
+        for cr in clique_rows:
+            if debug_sol is not None and debug_sol.active:
+                dense_cr = np.zeros(lp.num_col)
+                dense_cr[cr.cols] = cr.vals
+                if not debug_sol.check_cut(dense_cr, cr.rhs,
+                                           "cover clique row"):
+                    continue
+            keep_cr.append(cr)
+        if keep_cr and use_simplex:
+            import scipy.sparse as _sp
+            rows_cr = _sp.csr_matrix(
+                (np.concatenate([c.vals for c in keep_cr]),
+                 (np.repeat(np.arange(len(keep_cr)),
+                            [len(c.cols) for c in keep_cr]),
+                  np.concatenate([c.cols for c in keep_cr]))),
+                shape=(len(keep_cr), lp.num_col))
+            _Relax.a_csc = _sp.vstack([_Relax.a_csc, rows_cr]).tocsc()
+            _Relax.row_lower = np.concatenate(
+                [_Relax.row_lower, np.full(len(keep_cr), -kHighsInf)])
+            _Relax.row_upper = np.concatenate(
+                [_Relax.row_upper,
+                 np.array([c.rhs for c in keep_cr])])
+            _Relax.num_cut_rows += len(keep_cr)
+            if log is not None:
+                log(f"MIP objective clique partition: "
+                    f"{len(keep_cr)} cover-clique rows")
+            feasible, root_bound, root_x, root_basis = solve_node_lp(
+                root_lo_p, root_up_p)
+            root_z = last_duals["z"]
+            if not feasible or root_x is None:
+                info.status = HighsModelStatus.kInfeasible
+                info.solve_time = time.perf_counter() - t0
+                return info.status, HighsSolution(), info
         stall = 0
         path_sep_budget = [min(12.0, 0.1 * options.time_limit)]
+        cutset_active = [True]
         for _round in range(30):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
@@ -635,6 +707,18 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if root_basis is not None and _round < 3:
                 try:
                     found += separate_gomory(
+                        _Relax.a_csc, root_lo_p, root_up_p,
+                        _Relax.row_lower, _Relax.row_upper,
+                        root_basis, root_x, is_int, feastol)
+                except Exception:
+                    pass
+            # tableau-aggregation c-MIR every round (reference
+            # HighsTableauSeparator: B^-1-row aggregates through the
+            # full c-MIR pipeline — much stronger than plain GMI)
+            if root_basis is not None:
+                from .cuts import separate_tableau_mir
+                try:
+                    found += separate_tableau_mir(
                         _Relax.a_csc, root_lo_p, root_up_p,
                         _Relax.row_lower, _Relax.row_upper,
                         root_basis, root_x, is_int, feastol)
@@ -664,6 +748,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_modk(sep_csr, sep_rl, sep_ru,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
+            # exact min-cut cut-set separation on embedded networks
+            # (fixed-charge flow structure; reference reaches these
+            # via HighsPathSeparator aggregation)
+            if cutset_active[0]:
+                from .cuts import separate_network_cutset
+                cs = separate_network_cutset(
+                    a_csr, lp.row_lower, lp.row_upper, root_lo_p,
+                    root_up_p, root_x, is_int, feastol)
+                if not cs and _round == 0:
+                    cutset_active[0] = False  # no network: skip rounds
+                found += cs
             found += implications.separate(root_x, root_lo_p, root_up_p)
             found += clique_table.separate(root_x)
             added = [c for c in found if cutpool.add(c)]
@@ -710,6 +805,19 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     root_lo_p, root_up_p)
                 root_z = last_duals["z"]
                 break
+            if root_bound < prev_bound - 1e-6 * (1 + abs(prev_bound)):
+                # adding valid rows can only raise the LP bound: a drop
+                # means the re-solve failed numerically.  Keep the
+                # proven bound; drop the matching duals (they belong to
+                # the weaker solve and must not drive rc fixing).
+                if log is not None:
+                    log(f"MIP root cuts round {_round + 1}: re-solve "
+                        f"regressed ({sense * root_bound + lp.offset:.6g}"
+                        f" < {sense * prev_bound + lp.offset:.6g}), "
+                        f"stopping separation")
+                root_bound = prev_bound
+                root_z = None
+                break
             if log is not None:
                 log(f"MIP root cuts round {_round + 1}: "
                     f"+{len(added)} cuts ({_Relax.num_cut_rows} total), "
@@ -753,6 +861,82 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             prop = Propagator(full_csr, _Relax.row_lower,
                               _Relax.row_upper, is_int, feastol)
             prop.gen = 1  # invalidates incremental seeding of old nodes
+            # re-propagate the ROOT box through the cut rows: covering
+            # cuts with singleton support fix integers outright, which
+            # both tightens every node and feeds the restart trigger
+            # (reference: domain propagation runs inside every
+            # separation round, HighsSeparation::separationRound)
+            okr, rlo2, rup2 = prop.propagate(root_lo_p, root_up_p)
+            if okr:
+                if debug_sol is not None and debug_sol.active:
+                    debug_sol.check_bounds(rlo2, rup2,
+                                           "root cut propagation",
+                                           feastol)
+                root_lo_p, root_up_p = rlo2, rup2
+            # RE-probe with the cut rows in the propagator: covering
+            # cuts turn probing fixings y_i=0 => y_j=1 into many more
+            # cover pairs, enriching the objective clique partition
+            # (reference: root probing runs against the cut-augmented
+            # domain, HighsImplications + CliqueTable)
+            if n_binary and n_binary <= 512 and use_simplex:
+                imp2 = Implications(prop, feastol)
+                nl2, nu2 = imp2.probe(
+                    [j for j in probe_cand
+                     if root_up_p[j] - root_lo_p[j] > 0.5],
+                    root_lo_p, root_up_p, max_probes=n_binary)
+                if imp2.infeasible:
+                    if debug_sol is not None and debug_sol.active:
+                        debug_sol._report("post-cut probing "
+                                          "infeasibility")
+                    info.status = HighsModelStatus.kInfeasible
+                    info.solve_time = time.perf_counter() - t0
+                    return info.status, HighsSolution(), info
+                if debug_sol is not None and debug_sol.active:
+                    debug_sol.check_bounds(nl2, nu2,
+                                           "post-cut probing", feastol)
+                root_lo_p, root_up_p = nl2, nu2
+                cr2 = imp2.cover_clique_rows(
+                    root_lo_p, root_up_p, binary, sense * lp.col_cost)
+                keep2 = []
+                for cr in cr2:
+                    if debug_sol is not None and debug_sol.active:
+                        dcr = np.zeros(lp.num_col)
+                        dcr[cr.cols] = cr.vals
+                        if not debug_sol.check_cut(
+                                dcr, cr.rhs, "post-cut cover clique"):
+                            continue
+                    keep2.append(cr)
+                if keep2:
+                    import scipy.sparse as _sp
+                    rows_cr = _sp.csr_matrix(
+                        (np.concatenate([c.vals for c in keep2]),
+                         (np.repeat(np.arange(len(keep2)),
+                                    [len(c.cols) for c in keep2]),
+                          np.concatenate([c.cols for c in keep2]))),
+                        shape=(len(keep2), lp.num_col))
+                    _Relax.a_csc = _sp.vstack(
+                        [_Relax.a_csc, rows_cr]).tocsc()
+                    _Relax.row_lower = np.concatenate(
+                        [_Relax.row_lower,
+                         np.full(len(keep2), -kHighsInf)])
+                    _Relax.row_upper = np.concatenate(
+                        [_Relax.row_upper,
+                         np.array([c.rhs for c in keep2])])
+                    _Relax.num_cut_rows += len(keep2)
+                    if log is not None:
+                        log(f"MIP post-cut clique partition: "
+                            f"{len(keep2)} cover-clique rows")
+                    full_csr = _Relax.a_csc.tocsr()
+                    prop = Propagator(full_csr, _Relax.row_lower,
+                                      _Relax.row_upper, is_int,
+                                      feastol)
+                    prop.gen = 2
+                    feasible, root_bound, root_x, root_basis = \
+                        solve_node_lp(root_lo_p, root_up_p)
+                    root_z = last_duals["z"]
+                    if log is not None and math.isfinite(root_bound):
+                        log(f"MIP root bound after clique rows: "
+                            f"{sense * root_bound + lp.offset:.10g}")
         # another rounding attempt from the cut-tightened relaxation
         if root_x is not None:
             cand = round_and_repair(root_x, root_lo_p, root_up_p)
@@ -962,46 +1146,201 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return _batch_state["ev"]
 
     # ---- restart on heavy root fixing (reference: restart-on-inactive-
-    # columns, HighsMipSolverData.cpp:2127-2143, mip_allow_restart):
-    # when the root bound work fixed a large share of the integer
-    # variables, re-solving the tightened model lets presolve shrink it
-    # and every structure (cuts, propagation, symmetry) rebuild smaller
+    # columns, HighsMipSolverData.cpp:2127-2143 `percentageInactiveIntegers
+    # >= 10`, mip_allow_restart): when root-bound work (probing, cut-driven
+    # propagation, reduced-cost fixing vs the incumbent) fixed enough of
+    # the integer variables, re-solving the tightened model lets presolve
+    # shrink it and every structure (cuts, propagation, symmetry) rebuild
+    # smaller.  The reference restarts repeatedly; cap at 3.
+    abs_gap = options.mip_abs_gap
+    rel_gap = options.mip_rel_gap
+    apply_root_redcost_fixing()
+    _restart_count = int(getattr(options, "_mip_restart_count", 0))
     if options.mip_allow_restart and sub_level == 0 and \
-            not getattr(options, "_mip_restarted", False) and \
-            bool(is_int.any()):
+            _restart_count < 3 and bool(is_int.any()):
         n_int = int(is_int.sum())
         n_fixed_root = int(np.sum(is_int & (root_lo_p >= root_up_p)))
         newly_fixed = n_fixed_root - int(np.sum(
             is_int & (lp.col_lower >= lp.col_upper)))
-        if n_int > 0 and newly_fixed > 0.2 * n_int:
+        # reference trigger (HighsMipSolverData.cpp:2496-2499): the
+        # FIRST restart fires on ANY root fixing; later ones need 2.5%.
+        # Additionally fire the first restart when an incumbent with a
+        # substantial gap exists: re-presolving under the objective-
+        # cutoff row (added below) is what shrinks the model — the
+        # reference gets the same effect because its restart presolve
+        # runs against upper_limit.
+        _root_gap = math.inf
+        if incumbent_obj < math.inf and math.isfinite(root_bound):
+            _root_gap = abs(incumbent_obj - root_bound) / max(
+                1.0, abs(incumbent_obj))
+        if _restart_count == 0:
+            _want_restart = newly_fixed > 0 or \
+                (incumbent_obj < math.inf and _root_gap > 0.02)
+        else:
+            _want_restart = newly_fixed > 0.025 * n_int
+        if n_int > 0 and _want_restart:
             if log is not None:
                 log(f"MIP restart: {newly_fixed}/{n_int} integer "
                     f"variables fixed at the root")
             restart_lp = lp.copy()
             restart_lp.col_lower = root_lo_p.copy()
             restart_lp.col_upper = root_up_p.copy()
+            # objective-cutoff row: the restarted presolve exploits the
+            # incumbent the way the reference's restart presolve uses
+            # upper_limit (dual fixing / dominated columns against the
+            # cutoff).  With an integral objective the cutoff steps a
+            # full gcd below the incumbent.
+            _cutoff_added = False
+            if incumbent_x is not None and math.isfinite(incumbent_obj):
+                nz_cost = np.abs(lp.col_cost) > 1e-12
+                int_obj_scale = 0.0
+                if not np.any(nz_cost & ~is_int):
+                    from ...utils.integers import integral_scale
+                    sc = integral_scale(
+                        lp.col_cost[nz_cost], feastol, 1e-12)
+                    if sc and sc > 0 and sc <= 1e6:
+                        int_obj_scale = 1.0 / sc
+                if int_obj_scale > 0:
+                    cutoff_mval = incumbent_obj - int_obj_scale + \
+                        1e-6 * int_obj_scale
+                else:
+                    # tight margin: the restart exists for presolve
+                    # strength, not for hunting tolerance-level
+                    # "improvements" just below the incumbent
+                    cutoff_mval = incumbent_obj - max(
+                        abs_gap, 1e-9 * (1.0 + abs(incumbent_obj)))
+                import scipy.sparse as _sp
+                from ...models.lp import HighsSparseMatrix
+                obj_row = _sp.csr_matrix(
+                    (sense * lp.col_cost[nz_cost],
+                     (np.zeros(int(nz_cost.sum()), dtype=np.int64),
+                      np.nonzero(nz_cost)[0])),
+                    shape=(1, lp.num_col))
+                restart_lp.a_matrix = HighsSparseMatrix.from_scipy(
+                    _sp.vstack([lp.a_matrix.to_scipy().tocsr(),
+                                obj_row]).tocsr())
+                restart_lp.row_lower = np.concatenate(
+                    [restart_lp.row_lower, [-kHighsInf]])
+                restart_lp.row_upper = np.concatenate(
+                    [restart_lp.row_upper, [cutoff_mval]])
+                restart_lp.num_row += 1
+                if getattr(restart_lp, "row_names", None):
+                    restart_lp.row_names = list(restart_lp.row_names) + \
+                        ["__restart_cutoff__"]
+                _cutoff_added = True
             r_opts = options.copy()
-            r_opts._mip_restarted = True
+            r_opts._mip_restart_count = _restart_count + 1
             r_opts.time_limit = max(
                 1.0, options.time_limit - (time.perf_counter() - t0))
-            st_r, sol_r, info_r = solve_mip(restart_lp, r_opts, log=log,
-                                            callbacks=callbacks)
-            info_r.solve_time += time.perf_counter() - t0 - \
-                info_r.solve_time
-            # fold in the incumbent found before restarting, if better
-            # (the restart box preserves all feasible solutions, so this
-            # only matters when the restart hit a limit early)
-            if incumbent_x is not None and (
-                    not sol_r.value_valid or
-                    sense * (info_r.primal_obj - lp.offset) >
-                    incumbent_obj + 1e-12):
-                sol_r = HighsSolution(
-                    value_valid=True, dual_valid=False,
-                    col_value=incumbent_x,
-                    row_value=(a_csr @ incumbent_x if lp.num_row
-                               else np.zeros(0)))
-                info_r.primal_obj = sense * incumbent_obj + lp.offset
-            return st_r, sol_r, info_r
+            # re-presolve the fixed-up model (the point of restarting:
+            # reference performRestart runs full presolve, shrinking
+            # the model so cuts and propagation bite much harder)
+            from ...presolve.presolve import postsolve_lp as _post_lp
+            from ...presolve.presolve import presolve_lp as _pre_lp
+            pres_r = None
+            inner_lp = restart_lp
+            if options.presolve != "off" and \
+                    not getattr(restart_lp, "sos", None):
+                try:
+                    pres_r = _pre_lp(restart_lp, options)
+                except Exception:
+                    pres_r = None
+                if pres_r is not None and pres_r.status in (
+                        HighsModelStatus.kInfeasible,
+                        HighsModelStatus.kUnbounded,
+                        HighsModelStatus.kUnboundedOrInfeasible):
+                    # the tightened box lost every improving solution:
+                    # the incumbent (if any) is optimal
+                    if incumbent_x is not None:
+                        info.status = HighsModelStatus.kOptimal
+                        info.primal_obj = sense * incumbent_obj + \
+                            lp.offset
+                        info.mip_dual_bound = info.primal_obj
+                        info.mip_gap = 0.0
+                        info.solve_time = time.perf_counter() - t0
+                        sol_i = HighsSolution(
+                            value_valid=True, dual_valid=False,
+                            col_value=incumbent_x,
+                            row_value=(a_csr @ incumbent_x
+                                       if lp.num_row else np.zeros(0)))
+                        return info.status, sol_i, info
+                    info.status = pres_r.status
+                    info.solve_time = time.perf_counter() - t0
+                    return info.status, HighsSolution(), info
+                if pres_r is not None and pres_r.reduced:
+                    inner_lp = pres_r.reduced_lp
+                    if log is not None:
+                        log(f"MIP restart presolve: "
+                            f"{inner_lp.num_row} rows, "
+                            f"{inner_lp.num_col} cols")
+                else:
+                    pres_r = None
+                # a restart only pays when presolve meaningfully
+                # shrank the model (reference: restarts are driven by
+                # inactive-column percentage); otherwise re-deriving
+                # the root cuts wastes the budget — keep the current
+                # tree instead
+                if newly_fixed == 0 and (
+                        pres_r is None or
+                        inner_lp.num_col > 0.85 * lp.num_col):
+                    if log is not None:
+                        log("MIP restart skipped: presolve did not "
+                            "shrink the model")
+                    pres_r = None
+                    _want_restart = False
+            if _want_restart:
+                # carry the incumbent through the restart (projected
+                # into the re-presolved space; try_incumbent
+                # revalidates it).  With a cutoff row the incumbent is
+                # deliberately excluded from the restarted model — it
+                # is folded back in below.
+                if incumbent_x is not None and not _cutoff_added:
+                    warm_x = incumbent_x
+                    if pres_r is not None:
+                        warm_x = incumbent_x[pres_r.keep_cols]
+                    r_opts._warm_incumbent = np.asarray(
+                        warm_x, dtype=np.float64)
+                st_r, sol_r, info_r = solve_mip(
+                    inner_lp, r_opts, log=log, callbacks=callbacks)
+                if pres_r is not None and sol_r.value_valid:
+                    sol_r, _ = _post_lp(restart_lp, pres_r, sol_r)
+                if _cutoff_added and sol_r.value_valid and \
+                        len(sol_r.row_value) == lp.num_row + 1:
+                    sol_r.row_value = sol_r.row_value[:-1]
+                info_r.solve_time += time.perf_counter() - t0 - \
+                    info_r.solve_time
+                # the pre-restart root bound stays valid: never report
+                # a weaker (or missing) dual bound after the restart
+                if math.isfinite(root_bound):
+                    pre_user = sense * root_bound + lp.offset
+                    cur = getattr(info_r, "mip_dual_bound", -math.inf)
+                    if not math.isfinite(cur) or \
+                            sense * (cur - lp.offset) < root_bound:
+                        info_r.mip_dual_bound = pre_user
+                # fold in the incumbent found before restarting: with
+                # a cutoff row, an infeasible / objective-bound
+                # restarted solve PROVES the incumbent optimal;
+                # otherwise it only matters when the restart hit a
+                # limit early
+                if incumbent_x is not None and (
+                        not sol_r.value_valid or
+                        sense * (info_r.primal_obj - lp.offset) >
+                        incumbent_obj + 1e-12):
+                    sol_r = HighsSolution(
+                        value_valid=True, dual_valid=False,
+                        col_value=incumbent_x,
+                        row_value=(a_csr @ incumbent_x if lp.num_row
+                                   else np.zeros(0)))
+                    info_r.primal_obj = sense * incumbent_obj + \
+                        lp.offset
+                    if _cutoff_added and st_r in (
+                            HighsModelStatus.kInfeasible,
+                            HighsModelStatus.kObjectiveBound):
+                        st_r = HighsModelStatus.kOptimal
+                        info_r.status = st_r
+                        info_r.mip_dual_bound = info_r.primal_obj
+                        info_r.mip_gap = 0.0
+                return st_r, sol_r, info_r
 
     pscost = _Pseudocost(lp.num_col, options.mip_pscost_minreliable)
     # strong-branching LP budget (reliability branching; reference
@@ -1029,6 +1368,45 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
     def cutoff_value():
         return min(incumbent_obj, user_cutoff)
+
+    # objective integrality: every objective value is a multiple of
+    # 1/_obj_scale when all costed columns are integer with integral
+    # scaled costs (reference HighsObjectiveFunction::isIntegral)
+    _obj_scale = None
+    _nzc = np.abs(lp.col_cost) > 1e-12
+    if not np.any(_nzc & ~is_int):
+        if _nzc.any():
+            from ...utils.integers import integral_scale
+            _sc = integral_scale(lp.col_cost[_nzc], feastol, 1e-12)
+            if _sc and 0 < _sc <= 1e6:
+                _obj_scale = float(_sc)
+        else:
+            _obj_scale = 1.0
+
+    def prune_limit():
+        """Node-pruning bound (reference computeNewUpperLimit,
+        HighsMipSolverData.cpp:628): with an integral objective the
+        next-better solution is a full 1/scale below the incumbent, so
+        any node bound above floor(scale*ub - 0.5)/scale can be cut
+        off — this closes integral-objective gaps that the LP bound
+        alone leaves open."""
+        ub = cutoff_value()
+        if not math.isfinite(ub):
+            return math.inf
+        if _obj_scale:
+            nl = math.floor(_obj_scale * ub - 0.5) / _obj_scale
+            if rel_gap:
+                nl = min(nl, ub - math.ceil(
+                    rel_gap * abs(ub + lp.offset) * _obj_scale
+                    - 1e-9) / _obj_scale)
+            if abs_gap:
+                nl = min(nl, ub - math.ceil(
+                    abs_gap * _obj_scale - 1e-9) / _obj_scale)
+            nl += feastol
+        else:
+            nl = ub - max(feastol, rel_gap * abs(ub + lp.offset),
+                          abs_gap)
+        return nl
 
     def current_gap(dual_bound):
         if incumbent_obj == math.inf:
@@ -1075,7 +1453,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if sense * incumbent_obj + lp.offset <= objective_target:
                 status = HighsModelStatus.kObjectiveTarget
                 break
-        if node.bound >= cutoff_value() - abs_gap:
+        if node.bound > prune_limit():
             continue  # dominated node
 
         # intersect with globally tightened bounds (reduced-cost fixing)
@@ -1106,7 +1484,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 round_nodes = [node]
                 while heap and len(round_nodes) < batch_k:
                     nd2 = heapq.heappop(heap)
-                    if nd2.bound >= cutoff_value() - abs_gap:
+                    if nd2.bound > prune_limit():
                         continue
                     round_nodes.append(nd2)
                 if len(round_nodes) > 1:
@@ -1141,7 +1519,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     f"node infeasibility at depth {node.depth}")
             add_conflict(node.lo, node.up)
             continue
-        if obj_bound >= cutoff_value() - abs_gap:
+        if obj_bound > prune_limit():
             # debug check: a node containing the debug solution must
             # have an LP bound <= its objective (it is LP-feasible)
             if debug_sol is not None and debug_sol.active and \
