@@ -253,12 +253,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             time_limit=min(remaining_el, 1e18))
         info.iterations += iters
         if result != RESULT_OPTIMAL:
-            return False  # inconclusive: keep the node
+            return None  # inconclusive: keep the node
         # total elastic violation beyond a few feastol certifies
         # infeasibility; scaling by max|ru| rejected genuinely
         # infeasible verdicts on instances with large rhs values and
         # sent every such node through the slow device fallbacks
-        return float(cost @ x) > 10.0 * feastol
+        if float(cost @ x) > 10.0 * feastol:
+            return True
+        # feasible within tolerance: hand back the elastic point so
+        # the caller can keep the node without a device fallback
+        return x[:lp.num_col]
 
     last_duals = {"z": None}
 
@@ -299,10 +303,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 last_duals["z"] = z
                 return True, float(sense * lp.col_cost @ x), x, basis_out
             if result == RESULT_INFEASIBLE:
-                if confirm_infeasible(lo, up):
+                conf = confirm_infeasible(lo, up)
+                if conf is True:
                     return False, math.inf, None, None
-                # unconfirmed: numerical false-infeasible — fall
-                # through to the device solvers for a usable iterate
+                if conf is not None:
+                    # borderline: the elastic LP certified tolerance-
+                    # level feasibility and produced a point — keep
+                    # the node with a trivial bound, no device
+                    # fallback needed
+                    return True, -math.inf, np.asarray(conf), None
+                # inconclusive: numerical trouble — fall through to
+                # the device solvers for a usable iterate
             elif result == RESULT_UNBOUNDED:
                 return True, -math.inf, None, None
             # numerical failure: fall through to IPM below
@@ -320,7 +331,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             node_lp.row_upper = np.asarray(_Relax.row_upper, float)
             node_lp.num_row = _Relax.a_csc.shape[0]
             if getattr(node_lp, "row_names", None):
-                node_lp.row_names = None
+                node_lp.row_names = []
         node_lp.col_lower = lo
         node_lp.col_upper = up
         st, sol, lp_info = solve_lp_ipm_native(node_lp, node_options)
@@ -629,7 +640,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # partition below (reference ObjectivePropagation)
         n_binary = int(binary.sum())
         probe_budget = min(64, max(8, lp.num_col // 4))
-        if n_binary <= 512 and lp.num_row <= 20000:
+        if n_binary <= 512 and lp.num_row <= 20000 and \
+                int(getattr(options, "_sub_mip_level", 0)) == 0:
             probe_budget = n_binary
         new_lo, new_up = implications.probe(
             probe_cand, root_lo_p, root_up_p,
@@ -696,7 +708,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         stall = 0
         path_sep_budget = [min(12.0, 0.1 * options.time_limit)]
         cutset_active = [True]
-        for _round in range(30):
+        _sep_sub = int(getattr(options, "_sub_mip_level", 0))
+        # sub-MIPs are heuristics: cheap separation only (reference
+        # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
+        _max_rounds = 30 if _sep_sub == 0 else 8
+        for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
             found = []
@@ -714,8 +730,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     pass
             # tableau-aggregation c-MIR every round (reference
             # HighsTableauSeparator: B^-1-row aggregates through the
-            # full c-MIR pipeline — much stronger than plain GMI)
-            if root_basis is not None:
+            # full c-MIR pipeline — much stronger than plain GMI);
+            # top-level solve only — in sub-MIPs the per-round Python
+            # cost outweighs the heuristic payoff
+            if root_basis is not None and _sep_sub == 0:
                 from .cuts import separate_tableau_mir
                 try:
                     found += separate_tableau_mir(
@@ -751,7 +769,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # exact min-cut cut-set separation on embedded networks
             # (fixed-charge flow structure; reference reaches these
             # via HighsPathSeparator aggregation)
-            if cutset_active[0]:
+            if cutset_active[0] and _sep_sub == 0:
                 from .cuts import separate_network_cutset
                 cs = separate_network_cutset(
                     a_csr, lp.row_lower, lp.row_upper, root_lo_p,
@@ -878,7 +896,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # cover pairs, enriching the objective clique partition
             # (reference: root probing runs against the cut-augmented
             # domain, HighsImplications + CliqueTable)
-            if n_binary and n_binary <= 512 and use_simplex:
+            if n_binary and n_binary <= 512 and use_simplex and \
+                    int(getattr(options, "_sub_mip_level", 0)) == 0:
                 imp2 = Implications(prop, feastol)
                 nl2, nu2 = imp2.probe(
                     [j for j in probe_cand
@@ -1185,6 +1204,26 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             restart_lp = lp.copy()
             restart_lp.col_lower = root_lo_p.copy()
             restart_lp.col_upper = root_up_p.copy()
+            # carry the ACTIVE cut rows into the restarted model: they
+            # are globally valid (derived from original rows +
+            # integrality + global bounds) and re-deriving them costs
+            # the restarted solve its whole budget (reference: the
+            # global cut pool survives performRestart)
+            if use_simplex and _Relax.num_cut_rows:
+                import scipy.sparse as _sp
+                from ...models.lp import HighsSparseMatrix
+                ncut = min(int(_Relax.num_cut_rows), 500)
+                cut_block = _Relax.a_csc.tocsr()[-ncut:]
+                restart_lp.a_matrix = HighsSparseMatrix.from_scipy(
+                    _sp.vstack([lp.a_matrix.to_scipy().tocsr(),
+                                cut_block]).tocsr())
+                restart_lp.row_lower = np.concatenate(
+                    [restart_lp.row_lower, _Relax.row_lower[-ncut:]])
+                restart_lp.row_upper = np.concatenate(
+                    [restart_lp.row_upper, _Relax.row_upper[-ncut:]])
+                restart_lp.num_row += ncut
+                if getattr(restart_lp, "row_names", None):
+                    restart_lp.row_names = []
             # objective-cutoff row: the restarted presolve exploits the
             # incumbent the way the reference's restart presolve uses
             # upper_limit (dual fixing / dominated columns against the
@@ -1217,7 +1256,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                       np.nonzero(nz_cost)[0])),
                     shape=(1, lp.num_col))
                 restart_lp.a_matrix = HighsSparseMatrix.from_scipy(
-                    _sp.vstack([lp.a_matrix.to_scipy().tocsr(),
+                    _sp.vstack([restart_lp.a_matrix.to_scipy().tocsr(),
                                 obj_row]).tocsr())
                 restart_lp.row_lower = np.concatenate(
                     [restart_lp.row_lower, [-kHighsInf]])
@@ -1304,9 +1343,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     inner_lp, r_opts, log=log, callbacks=callbacks)
                 if pres_r is not None and sol_r.value_valid:
                     sol_r, _ = _post_lp(restart_lp, pres_r, sol_r)
-                if _cutoff_added and sol_r.value_valid and \
-                        len(sol_r.row_value) == lp.num_row + 1:
-                    sol_r.row_value = sol_r.row_value[:-1]
+                if sol_r.value_valid and \
+                        len(sol_r.row_value) > lp.num_row:
+                    # strip carried cut rows and the cutoff row
+                    sol_r.row_value = sol_r.row_value[:lp.num_row]
                 info_r.solve_time += time.perf_counter() - t0 - \
                     info_r.solve_time
                 # the pre-restart root bound stays valid: never report
@@ -1503,6 +1543,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         feasible, obj_bound, x, node_basis = solve_node_lp(
             node.lo, node.up, warm_basis=node.basis,
             cached=node.cached)
+        if feasible and obj_bound == -math.inf and \
+                math.isfinite(node.bound):
+            # numerical fallback kept the node with a trivial bound:
+            # the parent's bound is still valid for the subtree
+            obj_bound = node.bound
         info.mip_node_count += 1
         nodes_since_fj += 1
         if node.branch_j >= 0 and feasible and \
