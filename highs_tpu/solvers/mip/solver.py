@@ -176,6 +176,30 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         row_lower = lp.row_lower
         row_upper = lp.row_upper
         num_cut_rows = 0
+        _scale_key = None
+        _scales = None
+        _scaled_a = None
+
+    def relax_scales():
+        """Ruiz factors for the CURRENT relaxation matrix, cached per
+        matrix version (computing them per node solve dominated node
+        time on well-scaled instances)."""
+        a = _Relax.a_csc
+        if a is None:
+            return None
+        key = (id(a), a.shape, a.nnz)
+        if _Relax._scale_key != key:
+            from ..simplex.native import _ruiz_scales
+            _Relax._scale_key = key
+            _Relax._scales = _ruiz_scales(a)
+            if _Relax._scales is not None:
+                import scipy.sparse as _sp
+                r_, c_ = _Relax._scales
+                _Relax._scaled_a = (_sp.diags(r_) @ a @
+                                    _sp.diags(c_)).tocsc()
+            else:
+                _Relax._scaled_a = None
+        return _Relax._scales
 
     # ---- symmetry handling (reference HighsSymmetry.cpp: generators ->
     # orbits / orbital fixing; here: verified generators -> first-row lex
@@ -250,19 +274,28 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         result, x, y, z, b, iters = simplex_solve(
             a_el, cost, lo_el, up_el, _Relax.row_lower,
             _Relax.row_upper, tol_p=1e-9, tol_d=1e-9, max_iter=100000,
-            time_limit=min(remaining_el, 1e18))
+            time_limit=min(remaining_el, 1e18), equilibrate=True)
         info.iterations += iters
         if result != RESULT_OPTIMAL:
             return None  # inconclusive: keep the node
-        # total elastic violation beyond a few feastol certifies
-        # infeasibility; scaling by max|ru| rejected genuinely
-        # infeasible verdicts on instances with large rhs values and
-        # sent every such node through the slow device fallbacks
-        if float(cost @ x) > 10.0 * feastol:
-            return True
-        # feasible within tolerance: hand back the elastic point so
-        # the caller can keep the node without a device fallback
-        return x[:lp.num_col]
+        # exact per-row check of the elastic point: a row counts as
+        # violated only beyond feastol relative to its own activity
+        # magnitude (absolute thresholds misfire both ways: tiny
+        # masses on small-rhs instances, solver noise on rows with
+        # 1e4-magnitude coefficients)
+        x_str = np.clip(x[:lp.num_col], lo, up)
+        act = a @ x_str
+        act_scale = 1.0 + np.abs(act)
+        v_lo = np.where(np.isfinite(_Relax.row_lower),
+                        _Relax.row_lower - act, 0.0)
+        v_up = np.where(np.isfinite(_Relax.row_upper),
+                        act - _Relax.row_upper, 0.0)
+        viol = np.maximum(np.maximum(v_lo, v_up), 0.0)
+        if np.all(viol <= feastol * act_scale):
+            # feasible within tolerance: hand back the point so the
+            # caller can keep the node without a device fallback
+            return x_str
+        return True
 
     last_duals = {"z": None}
 
@@ -288,7 +321,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 _Relax.a_csc, sense * lp.col_cost, lo, up,
                 _Relax.row_lower, _Relax.row_upper, basis_in=warm_basis,
                 tol_p=1e-9, tol_d=1e-9, max_iter=100000,
-                time_limit=min(remaining, 1e18))
+                time_limit=min(remaining, 1e18),
+                scales=relax_scales(),
+                scaled_matrix=_Relax._scaled_a)
             info.iterations += iters
             if result not in (RESULT_OPTIMAL, RESULT_UNBOUNDED) and \
                     warm_basis is not None:
@@ -297,7 +332,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 result, x, y, z, basis_out, iters = simplex_solve(
                     _Relax.a_csc, sense * lp.col_cost, lo, up,
                     _Relax.row_lower, _Relax.row_upper, basis_in=None,
-                    tol_p=1e-9, tol_d=1e-9, max_iter=100000)
+                    tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+                    scales=relax_scales(),
+                    scaled_matrix=_Relax._scaled_a)
                 info.iterations += iters
             if result == RESULT_OPTIMAL:
                 last_duals["z"] = z
@@ -458,15 +495,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         x = np.asarray(x, dtype=np.float64)
         if violation(x) > feastol:
             return False
-        # check row feasibility
+        # check row feasibility ABSOLUTELY (reference: MIP row
+        # violations compare against mip_feasibility_tolerance without
+        # rhs scaling — relative slack on large-rhs rows admits points
+        # whose objective differs from any true solution by units)
         if lp.num_row:
             ax = a_csr @ x
-            if (np.any(ax < lp.row_lower - feastol *
-                       (1 + np.abs(np.where(np.isfinite(lp.row_lower),
-                                            lp.row_lower, 0.0)))) or
-                    np.any(ax > lp.row_upper + feastol *
-                           (1 + np.abs(np.where(np.isfinite(lp.row_upper),
-                                                lp.row_upper, 0.0))))):
+            if (np.any(ax < lp.row_lower - feastol) or
+                    np.any(ax > lp.row_upper + feastol)):
                 return False
         if np.any(x < lp.col_lower - feastol) or \
                 np.any(x > lp.col_upper + feastol):
@@ -537,7 +573,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         elif debug_sol.in_box(root_lo, root_up):
             debug_sol._report("root infeasibility")
     if not ok:
-        info.status = HighsModelStatus.kInfeasible
+        import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 548", flush=True); info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
 
@@ -576,7 +612,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                                     st_rl, 0.0)))):
                     debug_sol._report("coefficient strengthening")
             if not ok:
-                info.status = HighsModelStatus.kInfeasible
+                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 587", flush=True); info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
             if use_simplex:
@@ -599,7 +635,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     root_z = last_duals["z"]
     info.mip_node_count = 1
     if not feasible:
-        info.status = HighsModelStatus.kInfeasible
+        import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 610", flush=True); info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
     # incumbent carried through a restart (projected through presolve;
@@ -646,12 +682,21 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         new_lo, new_up = implications.probe(
             probe_cand, root_lo_p, root_up_p,
             max_probes=probe_budget)
-        if implications.infeasible:
+        if implications.infeasible and \
+                confirm_infeasible(root_lo_p, root_up_p) is True:
+            # probing infeasibility is propagation-tolerance based:
+            # confirm with the elastic LP before deciding the MIP
+            # status (ill-scaled rows false-positive otherwise)
             if debug_sol is not None and debug_sol.active:
                 debug_sol._report("root probing infeasibility")
-            info.status = HighsModelStatus.kInfeasible
+            import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 664", flush=True); info.status = HighsModelStatus.kInfeasible
             info.solve_time = time.perf_counter() - t0
             return info.status, HighsSolution(), info
+        if implications.infeasible:
+            # unconfirmed probing infeasibility: tolerance artifact —
+            # discard every probing result
+            implications = Implications(prop, feastol)
+            new_lo, new_up = root_lo_p, root_up_p
         if debug_sol is not None and debug_sol.active:
             debug_sol.check_bounds(new_lo, new_up, "root probing",
                                    feastol)
@@ -661,7 +706,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             feasible, root_bound, root_x, root_basis = solve_node_lp(
                 root_lo_p, root_up_p)
             if not feasible or root_x is None:
-                info.status = HighsModelStatus.kInfeasible
+                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 681", flush=True); info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
         # objective clique-partition rows (reference
@@ -702,7 +747,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 root_lo_p, root_up_p)
             root_z = last_duals["z"]
             if not feasible or root_x is None:
-                info.status = HighsModelStatus.kInfeasible
+                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 722", flush=True); info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
         stall = 0
@@ -903,13 +948,19 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     [j for j in probe_cand
                      if root_up_p[j] - root_lo_p[j] > 0.5],
                     root_lo_p, root_up_p, max_probes=n_binary)
-                if imp2.infeasible:
+                if imp2.infeasible and \
+                        confirm_infeasible(root_lo_p,
+                                           root_up_p) is True:
                     if debug_sol is not None and debug_sol.active:
                         debug_sol._report("post-cut probing "
                                           "infeasibility")
-                    info.status = HighsModelStatus.kInfeasible
+                    import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 929", flush=True); info.status = HighsModelStatus.kInfeasible
                     info.solve_time = time.perf_counter() - t0
                     return info.status, HighsSolution(), info
+                if imp2.infeasible:
+                    # unconfirmed: discard post-cut probing entirely
+                    imp2 = Implications(prop, feastol)
+                    nl2, nu2 = root_lo_p, root_up_p
                 if debug_sol is not None and debug_sol.active:
                     debug_sol.check_bounds(nl2, nu2,
                                            "post-cut probing", feastol)
@@ -976,12 +1027,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             time_budget=budget)
         if xfj is None:
             return False
-        if try_incumbent(xfj, "feasibility jump"):
-            pass
-        # polish: fix integers, optimal continuous completion
+        # polish: fix integers, optimal continuous completion.  The
+        # raw FJ point satisfies rows only to feastol — on ill-scaled
+        # instances such edge points can undercut the true optimum
+        # (reference-parity: incumbents come from LP-tight vertices)
         cand = round_and_repair(xfj, lo, up)
         if cand is not None:
             return try_incumbent(cand, "feasibility jump + LP") or True
+        # completion LP failed: accept the raw point only if it is
+        # strictly feasible
+        ax = a_csr @ xfj if lp.num_row else np.zeros(0)
+        if lp.num_row == 0 or (
+                np.all(ax >= lp.row_lower - 1e-9) and
+                np.all(ax <= lp.row_upper + 1e-9)):
+            try_incumbent(xfj, "feasibility jump")
         return True
 
     sub_level = int(getattr(options, "_sub_mip_level", 0))
@@ -1319,7 +1378,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 # inactive-column percentage); otherwise re-deriving
                 # the root cuts wastes the budget — keep the current
                 # tree instead
-                if newly_fixed == 0 and (
+                if newly_fixed < max(1.0, 0.02 * n_int) and (
                         pres_r is None or
                         inner_lp.num_col > 0.85 * lp.num_col):
                     if log is not None:

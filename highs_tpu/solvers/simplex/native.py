@@ -136,14 +136,83 @@ RESULT_ITER_LIMIT = 3
 RESULT_SINGULAR = 4
 
 
+def _ruiz_scales(a_csc, rounds: int = 6):
+    """Ruiz equilibration factors (r, c) so that R A C has entries
+    near unit magnitude (reference: simplex scaling, HEkk/HMatrix
+    scaling pass).  Returns None when the matrix is already
+    well-scaled."""
+    import scipy.sparse as _sp
+    m, n = a_csc.shape
+    if a_csc.nnz == 0:
+        return None
+    amax = float(np.abs(a_csc.data).max())
+    amin = float(np.abs(a_csc.data[a_csc.data != 0]).min()) \
+        if a_csc.nnz else 1.0
+    if amax <= 64.0 and amin >= 1.0 / 64.0:
+        return None
+    r = np.ones(m)
+    c = np.ones(n)
+    work = a_csc.copy().tocsr()
+    for _ in range(rounds):
+        rmax = np.zeros(m)
+        np.maximum.at(rmax, np.repeat(np.arange(m),
+                                      np.diff(work.indptr)),
+                      np.abs(work.data))
+        rmax[rmax == 0] = 1.0
+        rs = 1.0 / np.sqrt(rmax)
+        work = _sp.diags(rs) @ work
+        r *= rs
+        wc = work.tocsc()
+        cmax = np.zeros(n)
+        np.maximum.at(cmax, np.repeat(np.arange(n),
+                                      np.diff(wc.indptr)),
+                      np.abs(wc.data))
+        cmax[cmax == 0] = 1.0
+        cs = 1.0 / np.sqrt(cmax)
+        work = (wc @ _sp.diags(cs)).tocsr()
+        c *= cs
+    # power-of-two snapping keeps the mapping exact in binary fp
+    r = np.exp2(np.round(np.log2(r)))
+    c = np.exp2(np.round(np.log2(c)))
+    return r, c
+
+
 def simplex_solve(a_csc, col_cost, col_lower, col_upper, row_lower,
                   row_upper, basis_in: Optional[np.ndarray] = None,
                   tol_p: float = 1e-9, tol_d: float = 1e-9,
-                  max_iter: int = 200000, time_limit: float = 0.0
+                  max_iter: int = 200000, time_limit: float = 0.0,
+                  equilibrate: bool = False, scales=None,
+                  scaled_matrix=None
                   ) -> Tuple[int, np.ndarray, np.ndarray, np.ndarray,
                              np.ndarray, int]:
     """Solve min c'x s.t. L <= Ax <= U, l <= x <= u with the native
-    simplex.  Returns (result, x, y, z, basis_status(n+m), iters)."""
+    simplex.  Returns (result, x, y, z, basis_status(n+m), iters).
+
+    With ``equilibrate`` a Ruiz scaling R A C is solved instead and
+    the solution mapped back exactly (power-of-two factors): x = C x',
+    y = R y', z = z'/C; basis statuses are scale-invariant."""
+    if equilibrate or scales is not None:
+        import scipy.sparse as _sp
+        sc = scales if scales is not None else _ruiz_scales(
+            a_csc.tocsc())
+        if sc is not None:
+            r, cdiag = sc
+            a_s = scaled_matrix if scaled_matrix is not None else (
+                _sp.diags(r) @ a_csc @ _sp.diags(cdiag)).tocsc()
+            res, xs, ys, zs, b, it = simplex_solve(
+                a_s, np.asarray(col_cost) * cdiag,
+                np.where(np.isfinite(col_lower),
+                         col_lower / cdiag, col_lower),
+                np.where(np.isfinite(col_upper),
+                         col_upper / cdiag, col_upper),
+                np.where(np.isfinite(row_lower),
+                         row_lower * r, row_lower),
+                np.where(np.isfinite(row_upper),
+                         row_upper * r, row_upper),
+                basis_in=basis_in, tol_p=tol_p, tol_d=tol_d,
+                max_iter=max_iter, time_limit=time_limit,
+                equilibrate=False, scales=None)
+            return res, xs * cdiag, ys * r, zs / cdiag, b, it
     lib = get_lib()
     m, n = a_csc.shape
     big = 1e30
