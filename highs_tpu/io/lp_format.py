@@ -94,6 +94,11 @@ class _Parser:
         t = self.peek()
         if t is None:
             return "end"
+        # a keyword followed by ':' is an entity NAME, not a section
+        # (reference: check/instances/1451.lp names a constraint "end",
+        # TestFilereader.cpp "keywords as constraint names")
+        if self.peek(1) == ":":
+            return None
         tl = t.lower()
         if tl in ("subject", "such"):
             t2 = self.peek(1)
@@ -330,7 +335,10 @@ def read_lp(path: str) -> HighsModel:
                 rhs = s2 * _num(p.next())
             else:
                 rhs = _num(p.next())
-            rhs -= const
+            # constants inside constraint expressions are DROPPED to
+            # match the reference (filereaderlp keeps only the
+            # objective offset; FilereaderLp.cpp:67 ToDo + the 1451.lp
+            # test expects  x - 1 >= 2  to behave as  x >= 2)
             lo, up = -kHighsInf, kHighsInf
             if op in ("<=", "<", "=<"):
                 up = rhs
@@ -340,9 +348,9 @@ def read_lp(path: str) -> HighsModel:
                 lo = up = rhs
             if lhs_bound is not None:
                 if lhs_op in ("<=", "<", "=<"):
-                    lo = lhs_bound - const
+                    lo = lhs_bound
                 else:
-                    up = lhs_bound - const
+                    up = lhs_bound
             # possible trailing second bound: "expr >= l <= u"? (rare)
             i = len(row_names)
             row_names.append(row_name or f"r{i}")

@@ -49,15 +49,26 @@ def _snap_fix_value(xj: float, lo_j: float, up_j: float,
     infeasibilities downstream (reference instance issue-2290.mps).
     Prefer the exact integer or small rational within reach."""
     width = max(tol, (up_j - lo_j) if np.isfinite(up_j - lo_j) else tol)
+
+    def _clip(v):
+        # the fixing value must stay INSIDE the interval: values a
+        # tolerance outside shift every substituted row and the drift
+        # compounds into false infeasibilities
+        if np.isfinite(lo_j):
+            v = max(v, lo_j)
+        if np.isfinite(up_j):
+            v = min(v, up_j)
+        return float(v)
+
     r = round(xj)
     if abs(r - xj) <= width and lo_j - tol <= r <= up_j + tol:
-        return float(r)
+        return _clip(r)
     from ..utils.integers import nearest_rational
     p, q = nearest_rational(xj, 1024)
     cand = p / q
     if abs(cand - xj) <= width and lo_j - tol <= cand <= up_j + tol:
-        return float(cand)
-    return float(xj)
+        return _clip(cand)
+    return _clip(xj)
 
 
 def _rule_on(options: HighsOptions, rule: PresolveRuleType) -> bool:
@@ -189,8 +200,17 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # --- fixed columns -----------------------------------------------
         if _rule_on(options, PresolveRuleType.kFixedCol):
             with np.errstate(invalid="ignore"):
+                # integers: a width-<1 interval holds a unique integer.
+                # continuous: only essentially-zero widths may be fixed
+                # — a tolerance-width interval (propagation/rc-fixing
+                # fuzz, e.g. [0, 2e-6]) can contain the ONLY feasible
+                # value strictly inside, and fixing to an endpoint
+                # manufactures infeasibility
+                width_ok = np.where(
+                    is_int, cu - cl <= tol * (1.0 + np.abs(cl)),
+                    cu - cl <= 1e-10 * (1.0 + np.abs(cl)))
                 fixed = col_active & np.isfinite(cl) & np.isfinite(cu) & \
-                    (cu - cl <= tol * (1.0 + np.abs(cl)))
+                    width_ok
             if has_semi:
                 semi_mask = (integ == int(HighsVarType.kSemiContinuous)) \
                     | (integ == int(HighsVarType.kSemiInteger))

@@ -265,5 +265,13 @@ def redcost_fixing(z: np.ndarray, x: np.ndarray, obj_bound: float,
     better_lb = lb_new > lo2 + feastol
     up2 = np.where(better_ub, np.maximum(ub_new, lo2), up2)
     lo2 = np.where(better_lb, np.minimum(lb_new, up2), lo2)
+    # snap tolerance-width intervals onto the EXACT pre-existing bound:
+    # leaving widths like [0, 2e-6] poisons downstream fixed-column
+    # substitution (the drift compounds into false infeasibility);
+    # reference HighsRedcostFixing fixes variables AT their bound
+    snap_up = better_ub & (up2 - lo2 <= feastol) & (up2 > lo2)
+    up2 = np.where(snap_up, lo2, up2)
+    snap_lo = better_lb & (up2 - lo2 <= feastol) & (lo2 < up2)
+    lo2 = np.where(snap_lo, up2, lo2)
     tight = int(better_ub.sum() + better_lb.sum())
     return lo2, up2, tight

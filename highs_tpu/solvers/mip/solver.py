@@ -573,7 +573,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         elif debug_sol.in_box(root_lo, root_up):
             debug_sol._report("root infeasibility")
     if not ok:
-        import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 548", flush=True); info.status = HighsModelStatus.kInfeasible
+        info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
 
@@ -612,7 +612,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                                     st_rl, 0.0)))):
                     debug_sol._report("coefficient strengthening")
             if not ok:
-                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 587", flush=True); info.status = HighsModelStatus.kInfeasible
+                info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
             if use_simplex:
@@ -635,7 +635,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     root_z = last_duals["z"]
     info.mip_node_count = 1
     if not feasible:
-        import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 610", flush=True); info.status = HighsModelStatus.kInfeasible
+        info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
     # incumbent carried through a restart (projected through presolve;
@@ -689,7 +689,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # status (ill-scaled rows false-positive otherwise)
             if debug_sol is not None and debug_sol.active:
                 debug_sol._report("root probing infeasibility")
-            import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 664", flush=True); info.status = HighsModelStatus.kInfeasible
+            info.status = HighsModelStatus.kInfeasible
             info.solve_time = time.perf_counter() - t0
             return info.status, HighsSolution(), info
         if implications.infeasible:
@@ -706,7 +706,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             feasible, root_bound, root_x, root_basis = solve_node_lp(
                 root_lo_p, root_up_p)
             if not feasible or root_x is None:
-                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 681", flush=True); info.status = HighsModelStatus.kInfeasible
+                info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
         # objective clique-partition rows (reference
@@ -747,7 +747,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 root_lo_p, root_up_p)
             root_z = last_duals["z"]
             if not feasible or root_x is None:
-                import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 722", flush=True); info.status = HighsModelStatus.kInfeasible
+                info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
         stall = 0
@@ -954,7 +954,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     if debug_sol is not None and debug_sol.active:
                         debug_sol._report("post-cut probing "
                                           "infeasibility")
-                    import os as _os0; _os0.environ.get("MIPDBG") and print("INFEAS-SITE 929", flush=True); info.status = HighsModelStatus.kInfeasible
+                    info.status = HighsModelStatus.kInfeasible
                     info.solve_time = time.perf_counter() - t0
                     return info.status, HighsSolution(), info
                 if imp2.infeasible:
