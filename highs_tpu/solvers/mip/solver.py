@@ -800,8 +800,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                   feastol)
             # path aggregation under a CUMULATIVE root budget — it is
             # the most expensive separator, and cheap instances must
-            # not spend their whole solve in it
-            if path_sep_budget[0] > 0.02:
+            # not spend their whole solve in it (sub-MIPs skip it:
+            # heuristic solves only need the cheap separators)
+            if path_sep_budget[0] > 0.02 and _sep_sub == 0:
                 _tps = time.perf_counter()
                 found += separate_path_mir(
                     sep_csr, sep_rl, sep_ru, root_lo_p,
@@ -1058,6 +1059,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         into the incumbent."""
         if sub_level >= 1:
             return False
+        if time.perf_counter() - t0 > options.time_limit - 2.0:
+            return False  # no budget left for a heuristic solve
         if np.any(lo2 > up2 + feastol):
             return False
         ok2, lo3, up3 = prop.propagate(lo2, up2)
@@ -1068,6 +1071,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         sub.col_upper = up3
         sub_opts = _copy.copy(options)
         sub_opts._sub_mip_level = sub_level + 1
+        sub_opts.mip_rel_gap = 0.0
+        sub_opts.mip_abs_gap = 0.0
         sub_opts.mip_max_nodes = node_budget
         remaining = options.time_limit - (time.perf_counter() - t0)
         sub_opts.time_limit = max(1.0, min(
@@ -1256,6 +1261,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 (incumbent_obj < math.inf and _root_gap > 0.02)
         else:
             _want_restart = newly_fixed > 0.025 * n_int
+        if _want_restart and \
+                time.perf_counter() - t0 > options.time_limit - 5.0:
+            _want_restart = False  # not enough budget for a restart
         if n_int > 0 and _want_restart:
             if log is not None:
                 log(f"MIP restart: {newly_fixed}/{n_int} integer "
@@ -1378,9 +1386,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 # inactive-column percentage); otherwise re-deriving
                 # the root cuts wastes the budget — keep the current
                 # tree instead
+                _shrink_frac = 0.95 if _cutoff_added else 0.85
                 if newly_fixed < max(1.0, 0.02 * n_int) and (
                         pres_r is None or
-                        inner_lp.num_col > 0.85 * lp.num_col):
+                        inner_lp.num_col > _shrink_frac * lp.num_col):
                     if log is not None:
                         log("MIP restart skipped: presolve did not "
                             "shrink the model")
@@ -1513,9 +1522,124 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return abs(incumbent_obj - dual_bound) / max(
             1.0, abs(incumbent_obj))
 
-    current: Optional[_Node] = None
+    # ---- native branch-and-bound dive loop (hx_bb_solve) --------------
+    # The per-node work is strictly scalar-sequential (reference:
+    # HighsSearch dive loop is C++); route the tree search through the
+    # native engine whenever no Python-side per-node feature is
+    # requested.  Root cutting/heuristics/restarts stay above.
+    _bb_status = -1
+    _native_ok = (
+        bool(getattr(options, "tpu_mip_native_search", False))
+        and sub_level == 0
+        and use_simplex and _Relax.a_csc is not None
+        and bool(is_int.any())
+        and not sos_sets and not bool(is_semi.any())
+        and debug_sol is None and batch_k <= 1
+        and (callbacks is None or
+             not getattr(callbacks, "user_callback", None))
+        and not options.mip_improving_solution_file
+        and not math.isfinite(objective_target)
+        and options.mip_max_improving_sols >= 10**9
+        and heap)
+    if _native_ok:
+        try:
+            from ..simplex.native import _ruiz_scales as _rz
+            from ..simplex.native import bb_solve as _bb
+            import scipy.sparse as _sp
+            a_bb = _Relax.a_csc
+            cost_bb = sense * lp.col_cost
+            lo_bb = root_lo_p
+            up_bb = root_up_p
+            rl_bb = np.asarray(_Relax.row_lower, float)
+            ru_bb = np.asarray(_Relax.row_upper, float)
+            sc_bb = _rz(a_bb)
+            if sc_bb is not None:
+                r_bb, c_bb = sc_bb
+                c_bb = np.where(is_int, 1.0, c_bb)  # keep integrality
+                a_bb = (_sp.diags(r_bb) @ a_bb @
+                        _sp.diags(c_bb)).tocsc()
+                cost_bb = cost_bb * c_bb
+                lo_bb = np.where(np.isfinite(lo_bb), lo_bb / c_bb,
+                                 lo_bb)
+                up_bb = np.where(np.isfinite(up_bb), up_bb / c_bb,
+                                 up_bb)
+                rl_bb = np.where(np.isfinite(rl_bb), rl_bb * r_bb,
+                                 rl_bb)
+                ru_bb = np.where(np.isfinite(ru_bb), ru_bb * r_bb,
+                                 ru_bb)
+            a_bb_csr = a_bb.tocsr()
+            best_dual = heap[0].bound
+            nodes_used = 0
+            st_n = 2
+            # chunked search: interleave the native dive loop with the
+            # Python heuristics (RINS around the best point) so exact
+            # optima are found the way the reference's in-search
+            # heuristics find them
+            while True:
+                remaining_bb = options.time_limit - (
+                    time.perf_counter() - t0)
+                if remaining_bb <= 0.2:
+                    st_n = 2
+                    break
+                node_budget = int(min(options.mip_max_nodes,
+                                      10**12)) - nodes_used
+                if node_budget <= 0:
+                    st_n = 2
+                    break
+                chunk = remaining_bb if incumbent_obj >= math.inf \
+                    else min(remaining_bb, max(5.0,
+                                               0.25 * remaining_bb))
+                st_n, found_n, x_n, obj_n, dual_n, nn, it_n = _bb(
+                    a_bb, a_bb_csr, cost_bb, lo_bb, up_bb, rl_bb,
+                    ru_bb, is_int, root_basis,
+                    min(incumbent_obj, user_cutoff),
+                    _obj_scale or 0.0, abs_gap, rel_gap, lp.offset,
+                    best_dual, feastol=feastol,
+                    max_nodes=node_budget, time_limit=chunk)
+                info.mip_node_count += nn
+                info.iterations += it_n
+                nodes_used += nn
+                if found_n:
+                    x_rec = x_n * c_bb if sc_bb is not None else x_n
+                    if not try_incumbent(x_rec, "native search") and \
+                            obj_n < incumbent_obj - 1e-9:
+                        st_n = 3  # failed strict revalidation
+                        break
+                if st_n != 2:
+                    break
+                if math.isfinite(dual_n):
+                    best_dual = max(best_dual, dual_n)
+                if chunk >= remaining_bb - 0.2:
+                    break  # the chunk covered the whole budget
+                # between chunks: RINS around the incumbent
+                if incumbent_obj < math.inf and incumbent_x is not \
+                        None and options.mip_heuristic_run_rins and \
+                        root_x is not None:
+                    lo2, up2, nfx = heur.submip_bounds_rins(
+                        is_int, incumbent_x, root_x, root_lo_p,
+                        root_up_p, feastol)
+                    if nfx:
+                        run_submip(lo2, up2, "RINS")
+        except Exception:
+            st_n = 3
+        if st_n in (0, 2):
+            if st_n == 0:
+                heap.clear()
+            elif st_n == 2:
+                # keep the proven dual bound visible to the wrap-up
+                heap.clear()
+                heapq.heappush(heap, _Node(best_dual, seq, root_lo_p,
+                                           root_up_p, 0))
+                seq += 1
+                status = (HighsModelStatus.kIterationLimit
+                          if nodes_used >= options.mip_max_nodes
+                          else HighsModelStatus.kTimeLimit)
+        _bb_status = st_n
+        # st_n == 3: numerical trouble or rejection — run the Python
+        # loop (the heap still holds the root node)
+    current = None
     nodes_since_fj = 0
-    while heap or current is not None:
+    while (heap or current is not None) and _bb_status not in (0, 2):
         if time.perf_counter() - t0 > options.time_limit:
             status = HighsModelStatus.kTimeLimit
             break

@@ -88,6 +88,34 @@ def get_lib():
             ctypes.c_uint64,
             np.ctypeslib.ndpointer(np.float64),
         ]
+        lib.hx_bb_solve.restype = ctypes.c_int
+        lib.hx_bb_solve.argtypes = [
+            ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.float64),
+            np.ctypeslib.ndpointer(np.int8),
+            ctypes.c_void_p,  # root basis (nullable)
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.float64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.hx_propagate.restype = ctypes.c_int
         lib.hx_propagate.argtypes = [
             ctypes.c_int, ctypes.c_int,
@@ -248,3 +276,66 @@ def simplex_solve(a_csc, col_cost, col_lower, col_upper, row_lower,
         basis_ptr, tol_p, tol_d, max_iter, float(time_limit),
         x, y, z, basis_out, ctypes.byref(iters), ctypes.byref(status))
     return int(status.value), x, y, z, basis_out, int(iters.value)
+
+
+def bb_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
+             is_int, root_basis, incumbent_obj, obj_scale,
+             mip_abs_gap, mip_rel_gap, obj_offset, root_bound,
+             feastol=1e-6, tol_p=1e-9, tol_d=1e-9,
+             max_nodes=10**12, time_limit=1e18):
+    """Native branch-and-bound dive loop (hx_bb_solve).  Returns
+    (status, found, best_x, best_obj, dual_bound, nodes, lp_iters);
+    status 0 = exhausted, 2 = limit, 3 = numerical fallback."""
+    lib = get_lib()
+    m, n = a_csc.shape
+    big = 1e30
+    ap = np.ascontiguousarray(a_csc.indptr, dtype=np.int64)
+    ai = np.ascontiguousarray(a_csc.indices, dtype=np.int32)
+    ax = np.ascontiguousarray(a_csc.data, dtype=np.float64)
+    rp = np.ascontiguousarray(a_csr.indptr, dtype=np.int64)
+    ri = np.ascontiguousarray(a_csr.indices, dtype=np.int32)
+    rx = np.ascontiguousarray(a_csr.data, dtype=np.float64)
+    c = np.ascontiguousarray(cost, dtype=np.float64)
+    cl = np.ascontiguousarray(
+        np.clip(np.nan_to_num(col_lo, nan=-big, posinf=big,
+                              neginf=-big), -big, big))
+    cu = np.ascontiguousarray(
+        np.clip(np.nan_to_num(col_up, nan=big, posinf=big,
+                              neginf=-big), -big, big))
+    rl = np.ascontiguousarray(
+        np.clip(np.nan_to_num(row_lo, nan=-big, posinf=big,
+                              neginf=-big), -big, big))
+    ru = np.ascontiguousarray(
+        np.clip(np.nan_to_num(row_up, nan=big, posinf=big,
+                              neginf=-big), -big, big))
+    ii = np.ascontiguousarray(is_int, dtype=np.int8)
+    basis_ptr = None
+    if root_basis is not None:
+        bas = np.ascontiguousarray(root_basis, dtype=np.int8)
+        basis_ptr = bas.ctypes.data_as(ctypes.c_void_p)
+    best_x = np.zeros(n)
+    best_obj = ctypes.c_double(0.0)
+    dual_bound = ctypes.c_double(0.0)
+    nodes = ctypes.c_int64(0)
+    iters = ctypes.c_int64(0)
+    found = ctypes.c_int(0)
+    status = ctypes.c_int(-1)
+    inc = float(incumbent_obj) if np.isfinite(incumbent_obj) else big
+    lib.hx_bb_solve(
+        m, n, ap, ai, ax, rp, ri, rx, c, cl, cu, rl, ru, ii,
+        basis_ptr, inc, float(obj_scale or 0.0), float(mip_abs_gap),
+        float(mip_rel_gap), float(obj_offset),
+        float(root_bound) if np.isfinite(root_bound) else -big,
+        float(feastol), float(tol_p), float(tol_d),
+        int(max_nodes), float(time_limit), best_x,
+        ctypes.byref(best_obj), ctypes.byref(dual_bound),
+        ctypes.byref(nodes), ctypes.byref(iters), ctypes.byref(found),
+        ctypes.byref(status))
+    db = dual_bound.value
+    if db >= big:
+        db = np.inf
+    elif db <= -big:
+        db = -np.inf
+    return (int(status.value), bool(found.value), best_x,
+            float(best_obj.value), db, int(nodes.value),
+            int(iters.value))

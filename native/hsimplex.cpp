@@ -29,6 +29,9 @@
 #include <vector>
 #include <cstdio>
 #include <chrono>
+#include <queue>
+#include <utility>
+#include <functional>
 
 namespace {
 
@@ -1331,6 +1334,313 @@ finish:
     *iter_out = iters;
     *status_out = result;
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Native branch-and-bound dive loop (reference: HighsSearch::dive +
+// HighsNodeQueue, highs/mip/HighsSearch.cpp).  The per-node work —
+// reconstruct bounds, propagate, warm-started simplex re-solve,
+// pseudocost branching — is strictly scalar-sequential, which is why
+// the reference keeps it in C++; the Python driver retains root
+// cutting, heuristics, restarts and feeds the final relaxation here.
+//
+// status_out: 0 = tree exhausted (optimal / infeasible by found_out),
+//             2 = node/time limit, 3 = numerical trouble (caller
+//             should fall back to its own loop).
+int hx_bb_solve(
+    int m, int n, const int64_t* Ap, const int32_t* Ai, const double* Ax,
+    const int64_t* Rp, const int32_t* Ri, const double* Rx,
+    const double* cost, const double* root_lo, const double* root_up,
+    const double* row_lo, const double* row_up, const int8_t* is_int,
+    const int8_t* root_basis, double incumbent_obj_in,
+    double obj_scale,  // s with s*cost integral; 0 = not integral
+    double mip_abs_gap, double mip_rel_gap, double obj_offset,
+    double root_bound_in, double feastol, double tol_p, double tol_d,
+    int64_t max_nodes, double time_limit_s,
+    double* best_x_out, double* best_obj_out, double* dual_bound_out,
+    int64_t* nodes_out, int64_t* lp_iters_out, int* found_out,
+    int* status_out) {
+  const auto t_start = std::chrono::steady_clock::now();
+  auto elapsed = [&]() {
+    const std::chrono::duration<double> el =
+        std::chrono::steady_clock::now() - t_start;
+    return el.count();
+  };
+  struct BBNode {
+    int32_t parent;   // -1 = root
+    int32_t col;      // branched column (-1 at root)
+    int8_t up_branch; // 1: lo[col]=val, 0: up[col]=val
+    double val;
+    double bound;     // proven minimization lower bound
+    int32_t depth;
+  };
+  std::vector<BBNode> nodes;
+  nodes.reserve(4096);
+  // min-heap of (bound, node index)
+  typedef std::pair<double, int32_t> HeapEnt;
+  std::priority_queue<HeapEnt, std::vector<HeapEnt>,
+                      std::greater<HeapEnt> > heap;
+
+  double incumbent = incumbent_obj_in;
+  int found = 0;
+  std::vector<double> best_x(n, 0.0);
+
+  auto prune_limit = [&]() {
+    if (incumbent >= kInf) return kInf;
+    double nl;
+    if (obj_scale > 0.0) {
+      nl = std::floor(obj_scale * incumbent - 0.5) / obj_scale;
+      if (mip_rel_gap > 0.0)
+        nl = std::min(nl, incumbent -
+            std::ceil(mip_rel_gap * std::fabs(incumbent + obj_offset) *
+                      obj_scale - 1e-9) / obj_scale);
+      if (mip_abs_gap > 0.0)
+        nl = std::min(nl, incumbent -
+            std::ceil(mip_abs_gap * obj_scale - 1e-9) / obj_scale);
+      nl += feastol;
+    } else {
+      double d = feastol;
+      if (mip_rel_gap > 0.0)
+        d = std::max(d, mip_rel_gap * std::fabs(incumbent + obj_offset));
+      if (mip_abs_gap > 0.0) d = std::max(d, mip_abs_gap);
+      nl = incumbent - d;
+    }
+    return nl;
+  };
+
+  // pseudocosts (reference HighsPseudocost)
+  std::vector<double> ps_up_sum(n, 0.0), ps_dn_sum(n, 0.0);
+  std::vector<int32_t> ps_up_cnt(n, 0), ps_dn_cnt(n, 0);
+
+  std::vector<double> lo(n), up(n);
+  std::vector<double> x(n), y(m), z(n);
+  std::vector<int8_t> basis(n + m), dive_basis(n + m);
+  bool have_dive_basis = false;
+  std::vector<int8_t> rb(n + m);
+  bool have_root_basis = root_basis != nullptr;
+  if (have_root_basis)
+    for (int j = 0; j < n + m; ++j) rb[j] = root_basis[j];
+
+  nodes.push_back(BBNode{-1, -1, 0, 0.0,
+                         root_bound_in > -kInf ? root_bound_in : -kInf,
+                         0});
+  heap.push(HeapEnt(nodes[0].bound, 0));
+
+  int64_t node_count = 0;
+  int64_t lp_iters = 0;
+  int status = 0;
+  int32_t plunge = -1;  // node to process next without popping
+
+  while (plunge >= 0 || !heap.empty()) {
+    if (elapsed() > time_limit_s || node_count >= max_nodes) {
+      status = 2;
+      break;
+    }
+    int32_t cur;
+    if (plunge >= 0) {
+      cur = plunge;
+      plunge = -1;
+    } else {
+      cur = heap.top().second;
+      heap.pop();
+      have_dive_basis = false;  // popped: dive basis no longer matches
+    }
+    if (nodes[cur].bound > prune_limit()) continue;
+
+    // ---- reconstruct bounds by walking the ancestry ------------------
+    for (int j = 0; j < n; ++j) {
+      lo[j] = root_lo[j];
+      up[j] = root_up[j];
+    }
+    for (int32_t a = cur; a >= 0; a = nodes[a].parent) {
+      if (nodes[a].col >= 0) {
+        if (nodes[a].up_branch) {
+          if (nodes[a].val > lo[nodes[a].col]) lo[nodes[a].col] =
+              nodes[a].val;
+        } else {
+          if (nodes[a].val < up[nodes[a].col]) up[nodes[a].col] =
+              nodes[a].val;
+        }
+      }
+    }
+
+    // ---- propagate ----------------------------------------------------
+    node_count++;
+    if (!hx_propagate(m, n, Rp, Ri, Rx, row_lo, row_up, is_int,
+                      feastol, 8, nullptr, -1, lo.data(), up.data()))
+      continue;  // infeasible by propagation
+
+    // ---- node LP (warm within a dive, root basis otherwise) -----------
+    const int8_t* warm = have_dive_basis ? dive_basis.data()
+                         : (have_root_basis ? rb.data() : nullptr);
+    int iters = 0, res = -1;
+    double remaining = time_limit_s - elapsed();
+    if (remaining <= 0.0) { status = 2; break; }
+    hx_simplex_solve(m, n, Ap, Ai, Ax, cost, lo.data(), up.data(),
+                     row_lo, row_up, warm, tol_p, tol_d, 100000,
+                     remaining, x.data(), y.data(), z.data(),
+                     basis.data(), &iters, &res);
+    lp_iters += iters;
+    if (res != 0 && warm != nullptr) {
+      // warm start went bad: retry cold before trusting the verdict
+      const double rem2 = time_limit_s - elapsed();
+      if (rem2 <= 0.0) { status = 2; break; }
+      hx_simplex_solve(m, n, Ap, Ai, Ax, cost, lo.data(), up.data(),
+                       row_lo, row_up, nullptr, tol_p, tol_d, 100000,
+                       rem2, x.data(), y.data(), z.data(),
+                       basis.data(), &iters, &res);
+      lp_iters += iters;
+    }
+    if (res == 1) continue;          // infeasible (cold-confirmed)
+    if (res == 2) { status = 3; break; }  // unbounded node: trouble
+    if (res != 0) { status = 3; break; }  // numerical: fall back
+
+    double obj = 0.0;
+    for (int j = 0; j < n; ++j) obj += cost[j] * x[j];
+    if (obj < nodes[cur].bound) obj = nodes[cur].bound;  // monotone
+    nodes[cur].bound = obj;
+    if (obj > prune_limit()) continue;
+
+    // pseudocost update for the branch that created this node
+    if (nodes[cur].col >= 0) {
+      const int32_t p = nodes[cur].parent;
+      const double delta = obj - nodes[p].bound;
+      // fraction distance travelled by the branch
+      // (stored implicitly: use 1.0 as the unit — averages only)
+      if (nodes[cur].up_branch) {
+        ps_up_sum[nodes[cur].col] += std::max(delta, 0.0);
+        ps_up_cnt[nodes[cur].col]++;
+      } else {
+        ps_dn_sum[nodes[cur].col] += std::max(delta, 0.0);
+        ps_dn_cnt[nodes[cur].col]++;
+      }
+    }
+
+    // ---- integrality ---------------------------------------------------
+    int bcol = -1;
+    double bscore = -1.0, bfrac = 0.0;
+    double ps_up_avg = 1e-6, ps_dn_avg = 1e-6;
+    {
+      double su = 0.0, sd = 0.0;
+      int cu_ = 0, cd_ = 0;
+      for (int j = 0; j < n; ++j) {
+        if (ps_up_cnt[j]) { su += ps_up_sum[j] / ps_up_cnt[j]; cu_++; }
+        if (ps_dn_cnt[j]) { sd += ps_dn_sum[j] / ps_dn_cnt[j]; cd_++; }
+      }
+      if (cu_) ps_up_avg = std::max(su / cu_, 1e-6);
+      if (cd_) ps_dn_avg = std::max(sd / cd_, 1e-6);
+    }
+    for (int j = 0; j < n; ++j) {
+      if (!is_int[j]) continue;
+      const double f = x[j] - std::floor(x[j]);
+      const double fr = std::min(f, 1.0 - f);
+      if (fr <= feastol) continue;
+      const double pu = ps_up_cnt[j] ? ps_up_sum[j] / ps_up_cnt[j]
+                                     : ps_up_avg;
+      const double pd = ps_dn_cnt[j] ? ps_dn_sum[j] / ps_dn_cnt[j]
+                                     : ps_dn_avg;
+      const double score = std::max(pu * (1.0 - f), 1e-12) *
+                           std::max(pd * f, 1e-12);
+      if (score > bscore) {
+        bscore = score;
+        bcol = j;
+        bfrac = f;
+      }
+    }
+    if (bcol < 0) {
+      // integral: candidate incumbent
+      if (obj < incumbent - 1e-12) {
+        incumbent = obj;
+        found = 1;
+        for (int j = 0; j < n; ++j)
+          best_x[j] = is_int[j] ? std::floor(x[j] + 0.5) : x[j];
+      }
+      continue;
+    }
+
+    // ---- rounding + LP completion heuristic (every 100 nodes) --------
+    // (reference: in-search rounding, HighsPrimalHeuristics): fix the
+    // integers at the rounded LP values, re-solve the continuous LP;
+    // an optimal completion better than the incumbent is integral
+    // feasible by construction.
+    if (node_count % 100 == 1) {
+      static thread_local std::vector<double> hlo, hup, hx, hy, hz;
+      static thread_local std::vector<int8_t> hbasis;
+      hlo.assign(lo.begin(), lo.end());
+      hup.assign(up.begin(), up.end());
+      hx.resize(n); hy.resize(m); hz.resize(n);
+      hbasis.resize(n + m);
+      bool ok_box = true;
+      for (int j = 0; j < n; ++j) {
+        if (!is_int[j]) continue;
+        const double r = std::floor(x[j] + 0.5);
+        if (r < hlo[j] - feastol || r > hup[j] + feastol) {
+          ok_box = false;
+          break;
+        }
+        hlo[j] = hup[j] = r;
+      }
+      const double hrem = time_limit_s - elapsed();
+      if (ok_box && hrem > 0.05) {
+        int hit = 0, hres = -1;
+        hx_simplex_solve(m, n, Ap, Ai, Ax, cost, hlo.data(),
+                         hup.data(), row_lo, row_up, basis.data(),
+                         tol_p, tol_d, 20000, hrem, hx.data(),
+                         hy.data(), hz.data(), hbasis.data(), &hit,
+                         &hres);
+        lp_iters += hit;
+        if (hres == 0) {
+          double hobj = 0.0;
+          for (int j = 0; j < n; ++j) hobj += cost[j] * hx[j];
+          if (hobj < incumbent - 1e-12) {
+            incumbent = hobj;
+            found = 1;
+            for (int j = 0; j < n; ++j)
+              best_x[j] = is_int[j] ? std::floor(hx[j] + 0.5) : hx[j];
+          }
+        }
+      }
+    }
+
+    // ---- branch ---------------------------------------------------------
+    const double fl = std::floor(x[bcol]);
+    const int32_t down_id = (int32_t)nodes.size();
+    nodes.push_back(BBNode{cur, bcol, 0, fl, obj,
+                           nodes[cur].depth + 1});
+    const int32_t up_id = (int32_t)nodes.size();
+    nodes.push_back(BBNode{cur, bcol, 1, fl + 1.0, obj,
+                           nodes[cur].depth + 1});
+    const int32_t plunge_id = (bfrac > 0.5) ? up_id : down_id;
+    const int32_t other_id = (bfrac > 0.5) ? down_id : up_id;
+    heap.push(HeapEnt(obj, other_id));
+    if (nodes[cur].depth < 400) {
+      plunge = plunge_id;
+      std::memcpy(dive_basis.data(), basis.data(), n + m);
+      have_dive_basis = true;
+    } else {
+      heap.push(HeapEnt(obj, plunge_id));
+    }
+  }
+
+  // ---- wrap up ------------------------------------------------------------
+  double dual = incumbent;
+  if (status != 0) {
+    // open nodes bound the optimum from below
+    dual = heap.empty() ? (found ? incumbent : -kInf) : heap.top().first;
+    if (plunge >= 0) dual = std::min(dual, nodes[plunge].bound);
+    if (found) dual = std::min(dual, incumbent);
+  } else if (!found) {
+    dual = kInf;  // exhausted with no incumbent: infeasible
+  }
+  if (found)
+    for (int j = 0; j < n; ++j) best_x_out[j] = best_x[j];
+  *best_obj_out = incumbent;
+  *dual_bound_out = dual;
+  *nodes_out = node_count;
+  *lp_iters_out = lp_iters;
+  *found_out = found;
+  *status_out = status;
   return 0;
 }
 
