@@ -322,8 +322,9 @@ def collect_variable_bounds(a_csr: sp.csr_matrix, row_lower: np.ndarray,
     (y integer) harvested from two-nonzero rows (reference:
     HighsImplications::VarBound used by HighsTransformedLp).  Returns
     (vubs, vlbs): dicts col -> list of (ycol, c1, c0)."""
-    vubs: dict = {}
-    vlbs: dict = {}
+    from .native_cuts import VBounds
+    vubs: dict = VBounds()
+    vlbs: dict = VBounds()
     m = a_csr.shape[0]
     indptr, indices, data = a_csr.indptr, a_csr.indices, a_csr.data
     for i in range(m):
@@ -362,6 +363,31 @@ def _mir_on_leq(cols: np.ndarray, vals: np.ndarray, rhs: float,
                 is_int: np.ndarray, feastol: float,
                 vubs=None, vlbs=None, prefer_vbds: bool = False
                 ) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
+    """Best c-MIR cut for one  a'x <= b  row: native (hx_mir_on_leq)
+    when the cut library builds, python fallback otherwise.  Both
+    implement the identical algorithm; see `_mir_on_leq_py`."""
+    from . import native_cuts
+    if native_cuts.get_lib() is not None:
+        xx = np.ascontiguousarray(x, dtype=np.float64)
+        ll = np.ascontiguousarray(lo, dtype=np.float64)
+        uu = np.ascontiguousarray(up, dtype=np.float64)
+        if is_int.dtype == np.bool_ and is_int.flags["C_CONTIGUOUS"]:
+            ii = is_int.view(np.int8)
+        else:
+            ii = np.ascontiguousarray(is_int, dtype=np.int8)
+        return native_cuts.mir_on_leq_native(
+            cols, vals, rhs, xx, ll, uu, ii, feastol,
+            vubs=vubs, vlbs=vlbs, prefer_vbds=prefer_vbds)
+    return _mir_on_leq_py(cols, vals, rhs, x, lo, up, is_int, feastol,
+                          vubs=vubs, vlbs=vlbs, prefer_vbds=prefer_vbds)
+
+
+def _mir_on_leq_py(cols: np.ndarray, vals: np.ndarray, rhs: float,
+                   x: np.ndarray, lo: np.ndarray, up: np.ndarray,
+                   is_int: np.ndarray, feastol: float,
+                   vubs=None, vlbs=None, prefer_vbds: bool = False
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray, float,
+                                       float]]:
     """Best c-MIR cut for one  a'x <= b  row.  Returns
     (cols, vals, rhs, efficacy) or None.
 
@@ -1041,10 +1067,28 @@ def separate_path_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
     m, n = a_csr.shape
     if m == 0:
         return []
-    act = np.asarray(a_csr @ x)
-    rng = np.random.default_rng(seed)
     vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
                                          is_int)
+    from . import native_cuts
+    if native_cuts.get_lib() is not None:
+        raw = native_cuts.path_mir_native(
+            a_csr, np.asarray(row_lower, float),
+            np.asarray(row_upper, float), lo, up, x, is_int, feastol,
+            max_path, max_starts, seed, time_budget, vubs, vlbs)
+        cuts = []
+        for (cc, cv, cr, _eff) in raw:
+            res = _clean_cut(cc.astype(np.int32), cv, cr, lo, up)
+            if res is None:
+                continue
+            c2_, v2_, r2_ = res
+            viol = float(x[c2_] @ v2_) - r2_
+            nrm = float(np.linalg.norm(v2_))
+            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+                cuts.append(Cut(cols=c2_, vals=v2_, rhs=r2_,
+                                efficacy=viol / nrm))
+        return cuts
+    act = np.asarray(a_csr @ x)
+    rng = np.random.default_rng(seed)
 
     # --- row classification (reference RowType) -----------------------
     EQ, LEQ, GEQ, UNUSABLE = 0, 1, -1, -2
