@@ -88,23 +88,76 @@ class IpmSettings:
     reg_dual: float = 1e-10
 
 
-def _mv(problem: IpmProblem, xs: jax.Array) -> jax.Array:
+class _JaxLinalg:
+    """Dense-linalg backend: jax (device; MXU matmuls + jit)."""
+    xp = jnp
+
+    @staticmethod
+    def cholesky(mat):
+        return jnp.linalg.cholesky(mat)
+
+    @staticmethod
+    def cho_solve(chol, rhs):
+        return jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+    @staticmethod
+    def cg(mdot, rhs, precond):
+        dy, _ = jax.scipy.sparse.linalg.cg(
+            mdot, rhs, M=precond, tol=1e-14, maxiter=400)
+        return dy
+
+
+class _NumpyLinalg:
+    """Dense-linalg backend: numpy/scipy on the host.
+
+    Below MXU-payoff size the accelerator adds only backend-init and
+    per-shape compile latency; the MIP node/heuristic path calls the
+    IPM on toy relaxations where host BLAS wins outright.  Cholesky
+    breakdown returns NaN (matching jnp.linalg.cholesky) so the
+    driver's regularization escalation handles both backends alike."""
+    xp = np
+
+    @staticmethod
+    def cholesky(mat):
+        try:
+            return np.linalg.cholesky(mat)
+        except np.linalg.LinAlgError:
+            return np.full_like(mat, np.nan)
+
+    @staticmethod
+    def cho_solve(chol, rhs):
+        import scipy.linalg as _sla
+        if not np.all(np.isfinite(chol)):
+            return np.full_like(rhs, np.nan)
+        return _sla.cho_solve((chol, True), rhs)
+
+    @staticmethod
+    def cg(mdot, rhs, precond):
+        import scipy.sparse.linalg as _spla
+        nn = len(rhs)
+        op = _spla.LinearOperator((nn, nn), matvec=mdot)
+        pre = _spla.LinearOperator((nn, nn), matvec=precond)
+        dy, _ = _spla.cg(op, rhs, rtol=1e-14, maxiter=400, M=pre)
+        return dy
+
+
+def _mv(problem: IpmProblem, xs, xp=jnp):
     """[K, -I_slack] @ (x, s)."""
     n = problem.a.shape[1]
     return problem.a @ xs[:n] - problem.slack_mask * xs[n:]
 
 
-def _rmv(problem: IpmProblem, y: jax.Array) -> jax.Array:
+def _rmv(problem: IpmProblem, y, xp=jnp):
     """[K, -I_slack]' @ y."""
-    return jnp.concatenate([y @ problem.a, -problem.slack_mask * y])
+    return xp.concatenate([y @ problem.a, -problem.slack_mask * y])
 
 
-def _residuals(problem: IpmProblem, state: IpmState):
+def _residuals(problem: IpmProblem, state: IpmState, xp=jnp):
     m, n = problem.a.shape
-    c_full = jnp.concatenate([problem.c,
-                              jnp.zeros(m, dtype=problem.c.dtype)])
-    rb = problem.b - _mv(problem, state.x)
-    rc = c_full - _rmv(problem, state.y) - state.zl + state.zu
+    c_full = xp.concatenate([problem.c,
+                             xp.zeros(m, dtype=problem.c.dtype)])
+    rb = problem.b - _mv(problem, state.x, xp)
+    rc = c_full - _rmv(problem, state.y, xp) - state.zl + state.zu
     # stationarity on inactive (fixed) vars is satisfied by definition:
     # their reduced cost is free
     rc = rc * problem.active
@@ -113,13 +166,12 @@ def _residuals(problem: IpmProblem, state: IpmState):
     return rb, rc, rl, ru, c_full
 
 
-@partial(jax.jit, static_argnames=("settings", "newton"))
-def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
-             settings: Tuple, newton: str = "chol"
-             ) -> Tuple[IpmState, IpmMetrics]:
-    """One Mehrotra predictor-corrector iteration, fully on device.
+def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
+                   settings: Tuple, newton: str, la
+                   ) -> Tuple[IpmState, IpmMetrics]:
+    """One Mehrotra predictor-corrector iteration on backend `la`.
 
-    `regs` = device array (reg_primal, reg_dual) — dynamic so the host
+    `regs` = array (reg_primal, reg_dual) — dynamic so the host
     can escalate regularization (on Cholesky breakdown) without
     recompilation.  `settings` = (sigma_min, sigma_max, ftb, theta_max).
     `newton` picks the normal-equations solver: "chol" = dense Cholesky
@@ -128,24 +180,25 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
     IPX-style iterative KKT path (kkt_solver_diag.h) that scales past
     the O(m^3) factorization.
     """
+    xp = la.xp
     (sigma_min, sigma_max, ftb, theta_max) = settings
     reg_p, reg_d = regs[0], regs[1]
     m, n = problem.a.shape
     dtype = problem.a.dtype
-    eps = jnp.asarray(1e-30, dtype=dtype)
+    eps = xp.asarray(1e-30, dtype=dtype)
 
-    rb, rc, rl, ru, c_full = _residuals(problem, state)
+    rb, rc, rl, ru, c_full = _residuals(problem, state, xp)
 
-    n_fin = jnp.sum(problem.lo_fin) + jnp.sum(problem.up_fin)
-    gap_sum = (jnp.sum(state.xl * state.zl * problem.lo_fin) +
-               jnp.sum(state.xu * state.zu * problem.up_fin))
-    mu = gap_sum / jnp.maximum(n_fin, 1.0)
+    n_fin = xp.sum(problem.lo_fin) + xp.sum(problem.up_fin)
+    gap_sum = (xp.sum(state.xl * state.zl * problem.lo_fin) +
+               xp.sum(state.xu * state.zu * problem.up_fin))
+    mu = gap_sum / xp.maximum(n_fin, 1.0)
 
     # diagonal D = Zl/Xl + Zu/Xu + reg; Theta = 1/D, 0 for fixed vars
-    d = (state.zl / jnp.maximum(state.xl, eps) * problem.lo_fin +
-         state.zu / jnp.maximum(state.xu, eps) * problem.up_fin + reg_p)
-    theta = jnp.where(problem.active > 0,
-                      jnp.clip(1.0 / d, 0.0, theta_max), 0.0)
+    d = (state.zl / xp.maximum(state.xl, eps) * problem.lo_fin +
+         state.zu / xp.maximum(state.xu, eps) * problem.up_fin + reg_p)
+    theta = xp.where(problem.active > 0,
+                     xp.clip(1.0 / d, 0.0, theta_max), 0.0)
     theta_x, theta_s = theta[:n], theta[n:]
 
     # normal matrix M = K Theta_x K' + Theta_s (ineq diag) + reg_d I
@@ -153,11 +206,11 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
     if newton == "chol":
         at_weighted = problem.a * theta_x[None, :]
         mmat = at_weighted @ problem.a.T
-        mmat = mmat + jnp.diag(diag_extra)
-        chol = jnp.linalg.cholesky(mmat)
+        mmat = mmat + xp.diag(diag_extra)
+        chol = la.cholesky(mmat)
 
         def solve_m(rhs_y):
-            return jax.scipy.linalg.cho_solve((chol, True), rhs_y)
+            return la.cho_solve(chol, rhs_y)
     else:
         # matrix-free CG on M with Jacobi preconditioner
         # diag(M)_i = sum_j K_ij^2 theta_j + diag_extra_i
@@ -166,57 +219,56 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
         def mdot(v):
             # [K,-I_s] Theta [K,-I_s]' v already contains the
             # Theta_s slack diagonal, so only reg_d is added here
-            return _mv(problem, theta * _rmv(problem, v)) + reg_d * v
+            return _mv(problem, theta * _rmv(problem, v, xp), xp) + \
+                reg_d * v
 
         def precond(v):
-            return v / jnp.maximum(diag_m, eps)
+            return v / xp.maximum(diag_m, eps)
 
         def solve_m(rhs_y):
-            dy, _ = jax.scipy.sparse.linalg.cg(
-                mdot, rhs_y, M=precond, tol=1e-14, maxiter=400)
-            return dy
+            return la.cg(mdot, rhs_y, precond)
 
     def solve_newton(rmu_l, rmu_u):
         rhs_x = (rc -
-                 rmu_l / jnp.maximum(state.xl, eps) * problem.lo_fin -
-                 state.zl * rl / jnp.maximum(state.xl, eps) *
+                 rmu_l / xp.maximum(state.xl, eps) * problem.lo_fin -
+                 state.zl * rl / xp.maximum(state.xl, eps) *
                  problem.lo_fin +
-                 rmu_u / jnp.maximum(state.xu, eps) * problem.up_fin -
-                 state.zu * ru / jnp.maximum(state.xu, eps) *
+                 rmu_u / xp.maximum(state.xu, eps) * problem.up_fin -
+                 state.zu * ru / xp.maximum(state.xu, eps) *
                  problem.up_fin)
         w = theta * rhs_x
-        rhs_y = rb + _mv(problem, w)
+        rhs_y = rb + _mv(problem, w, xp)
         dy = solve_m(rhs_y)
-        dx = theta * (_rmv(problem, dy) - rhs_x)
+        dx = theta * (_rmv(problem, dy, xp) - rhs_x)
         dxl = (dx - rl) * problem.lo_fin
         dxu = (ru - dx) * problem.up_fin
         dzl = ((rmu_l - state.zl * dxl) /
-               jnp.maximum(state.xl, eps)) * problem.lo_fin
+               xp.maximum(state.xl, eps)) * problem.lo_fin
         dzu = ((rmu_u - state.zu * dxu) /
-               jnp.maximum(state.xu, eps)) * problem.up_fin
+               xp.maximum(state.xu, eps)) * problem.up_fin
         return dx, dy, dxl, dxu, dzl, dzu
 
     def max_step(v, dv, mask):
-        ratio = jnp.where((dv < 0) & (mask > 0), -v / jnp.minimum(dv, -eps),
-                          jnp.inf)
-        return jnp.minimum(1.0, jnp.min(ratio))
+        ratio = xp.where((dv < 0) & (mask > 0), -v / xp.minimum(dv, -eps),
+                         xp.inf)
+        return xp.minimum(1.0, xp.min(ratio))
 
     # ---- predictor (affine scaling) --------------------------------------
     rmu_l_aff = -state.xl * state.zl * problem.lo_fin
     rmu_u_aff = -state.xu * state.zu * problem.up_fin
     dxa, dya, dxla, dxua, dzla, dzua = solve_newton(rmu_l_aff, rmu_u_aff)
 
-    ap_aff = jnp.minimum(max_step(state.xl, dxla, problem.lo_fin),
-                         max_step(state.xu, dxua, problem.up_fin))
-    ad_aff = jnp.minimum(max_step(state.zl, dzla, problem.lo_fin),
-                         max_step(state.zu, dzua, problem.up_fin))
-    mu_aff = ((jnp.sum((state.xl + ap_aff * dxla) *
-                       (state.zl + ad_aff * dzla) * problem.lo_fin) +
-               jnp.sum((state.xu + ap_aff * dxua) *
-                       (state.zu + ad_aff * dzua) * problem.up_fin)) /
-              jnp.maximum(n_fin, 1.0))
-    sigma = jnp.clip((mu_aff / jnp.maximum(mu, eps))**3,
-                     sigma_min, sigma_max)
+    ap_aff = xp.minimum(max_step(state.xl, dxla, problem.lo_fin),
+                        max_step(state.xu, dxua, problem.up_fin))
+    ad_aff = xp.minimum(max_step(state.zl, dzla, problem.lo_fin),
+                        max_step(state.zu, dzua, problem.up_fin))
+    mu_aff = ((xp.sum((state.xl + ap_aff * dxla) *
+                      (state.zl + ad_aff * dzla) * problem.lo_fin) +
+               xp.sum((state.xu + ap_aff * dxua) *
+                      (state.zu + ad_aff * dzua) * problem.up_fin)) /
+              xp.maximum(n_fin, 1.0))
+    sigma = xp.clip((mu_aff / xp.maximum(mu, eps))**3,
+                    sigma_min, sigma_max)
 
     # ---- corrector (combined) --------------------------------------------
     rmu_l = (sigma * mu - state.xl * state.zl -
@@ -225,51 +277,69 @@ def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
              dxua * dzua) * problem.up_fin
     dx, dy, dxl, dxu, dzl, dzu = solve_newton(rmu_l, rmu_u)
 
-    alpha_p = ftb * jnp.minimum(max_step(state.xl, dxl, problem.lo_fin),
-                                max_step(state.xu, dxu, problem.up_fin))
-    alpha_d = ftb * jnp.minimum(max_step(state.zl, dzl, problem.lo_fin),
-                                max_step(state.zu, dzu, problem.up_fin))
+    alpha_p = ftb * xp.minimum(max_step(state.xl, dxl, problem.lo_fin),
+                               max_step(state.xu, dxu, problem.up_fin))
+    alpha_d = ftb * xp.minimum(max_step(state.zl, dzl, problem.lo_fin),
+                               max_step(state.zu, dzu, problem.up_fin))
 
     new_state = IpmState(
         x=state.x + alpha_p * dx,
-        xl=jnp.where(problem.lo_fin > 0, state.xl + alpha_p * dxl, 1.0),
-        xu=jnp.where(problem.up_fin > 0, state.xu + alpha_p * dxu, 1.0),
+        xl=xp.where(problem.lo_fin > 0, state.xl + alpha_p * dxl, 1.0),
+        xu=xp.where(problem.up_fin > 0, state.xu + alpha_p * dxu, 1.0),
         y=state.y + alpha_d * dy,
-        zl=jnp.where(problem.lo_fin > 0, state.zl + alpha_d * dzl, 0.0),
-        zu=jnp.where(problem.up_fin > 0, state.zu + alpha_d * dzu, 0.0))
+        zl=xp.where(problem.lo_fin > 0, state.zl + alpha_d * dzl, 0.0),
+        zu=xp.where(problem.up_fin > 0, state.zu + alpha_d * dzu, 0.0))
 
     # ---- metrics at the new point ----------------------------------------
-    rb2, rc2, _, _, _ = _residuals(problem, new_state)
-    gap2 = (jnp.sum(new_state.xl * new_state.zl * problem.lo_fin) +
-            jnp.sum(new_state.xu * new_state.zu * problem.up_fin))
-    mu2 = gap2 / jnp.maximum(n_fin, 1.0)
-    pobj = jnp.dot(problem.c, new_state.x[:n])
-    lo_safe = jnp.where(problem.lo_fin > 0, problem.lo, 0.0)
-    up_safe = jnp.where(problem.up_fin > 0, problem.up, 0.0)
+    rb2, rc2, _, _, _ = _residuals(problem, new_state, xp)
+    gap2 = (xp.sum(new_state.xl * new_state.zl * problem.lo_fin) +
+            xp.sum(new_state.xu * new_state.zu * problem.up_fin))
+    mu2 = gap2 / xp.maximum(n_fin, 1.0)
+    pobj = xp.dot(problem.c, new_state.x[:n])
+    lo_safe = xp.where(problem.lo_fin > 0, problem.lo, 0.0)
+    up_safe = xp.where(problem.up_fin > 0, problem.up, 0.0)
     # dual objective: b'y + l'zl - u'zu + fixed-var contribution
     fixed_mask = 1.0 - problem.active
-    c_fixed = jnp.concatenate([problem.c, jnp.zeros(m, dtype=dtype)])
-    z_fixed = (c_fixed - _rmv(problem, new_state.y)) * fixed_mask
-    dobj = (jnp.dot(problem.b, new_state.y) +
-            jnp.dot(lo_safe, new_state.zl * problem.lo_fin) -
-            jnp.dot(up_safe, new_state.zu * problem.up_fin) +
-            jnp.dot(problem.lo * fixed_mask, z_fixed))
+    c_fixed = xp.concatenate([problem.c, xp.zeros(m, dtype=dtype)])
+    z_fixed = (c_fixed - _rmv(problem, new_state.y, xp)) * fixed_mask
+    dobj = (xp.dot(problem.b, new_state.y) +
+            xp.dot(lo_safe, new_state.zl * problem.lo_fin) -
+            xp.dot(up_safe, new_state.zu * problem.up_fin) +
+            xp.dot(problem.lo * fixed_mask, z_fixed))
     metrics = IpmMetrics(
-        primal_res=jnp.linalg.norm(rb2),
-        dual_res=jnp.linalg.norm(rc2),
+        primal_res=xp.linalg.norm(rb2),
+        dual_res=xp.linalg.norm(rc2),
         mu=mu2, primal_obj=pobj, dual_obj=dobj,
         alpha_p=alpha_p, alpha_d=alpha_d)
     return new_state, metrics
 
 
-@jax.jit
-def _starting_point(problem: IpmProblem):
+@partial(jax.jit, static_argnames=("settings", "newton"))
+def ipm_step(problem: IpmProblem, state: IpmState, regs: jax.Array,
+             settings: Tuple, newton: str = "chol"
+             ) -> Tuple[IpmState, IpmMetrics]:
+    """One predictor-corrector iteration, fully on device (jitted)."""
+    return _ipm_step_impl(problem, state, regs, settings, newton,
+                          _JaxLinalg)
+
+
+def ipm_step_np(problem: IpmProblem, state: IpmState, regs,
+                settings: Tuple, newton: str = "chol"
+                ) -> Tuple[IpmState, IpmMetrics]:
+    """Host (numpy) variant of ipm_step for below-MXU-payoff sizes."""
+    with np.errstate(all="ignore"):
+        return _ipm_step_impl(problem, state, regs, settings, newton,
+                              _NumpyLinalg)
+
+
+def _starting_point_impl(problem: IpmProblem, la):
     """Mehrotra-style least-squares starting point (reference analogue:
     ipx ComputeStartingPoint ipm.cc:23 / HiPO starting-point heuristics).
 
     x0 = argmin ||x||^2 s.t. K_std x = b  (via one Cholesky of K K' + I),
     y0 = argmin ||c - K_std'y||, then shift slacks/duals positive.
     """
+    xp = la.xp
     m, n = problem.a.shape
     dtype = problem.a.dtype
     lo, up = problem.lo, problem.up
@@ -278,35 +348,45 @@ def _starting_point(problem: IpmProblem):
 
     # Gram matrix of [K, -I_slack]: K K' + slack diag + reg
     gram = (problem.a @ problem.a.T +
-            jnp.diag(problem.slack_mask + 1e-8))
-    chol = jnp.linalg.cholesky(gram)
+            xp.diag(problem.slack_mask + 1e-8))
+    chol = la.cholesky(gram)
     # x0 = K'(KK')^-1 b : minimum-norm solution of K_std x = b
-    v = jax.scipy.linalg.cho_solve((chol, True), problem.b)
-    x0 = _rmv(problem, v)
+    v = la.cho_solve(chol, problem.b)
+    x0 = _rmv(problem, v, xp)
     # y0 from least squares on the cost: K_std K_std' y = K_std c
-    c_full = jnp.concatenate([problem.c, jnp.zeros(m, dtype=dtype)])
-    y0 = jax.scipy.linalg.cho_solve((chol, True), _mv(problem, c_full))
-    z0 = (c_full - _rmv(problem, y0)) * problem.active
+    c_full = xp.concatenate([problem.c, xp.zeros(m, dtype=dtype)])
+    y0 = la.cho_solve(chol, _mv(problem, c_full, xp))
+    z0 = (c_full - _rmv(problem, y0, xp)) * problem.active
 
     # shift into the interior (Mehrotra's delta heuristics)
-    xl_raw = jnp.where(lo_fin > 0, x0 - lo, 1.0)
-    xu_raw = jnp.where(up_fin > 0, up - x0, 1.0)
-    shift_p = jnp.maximum(0.0, -1.5 * jnp.minimum(
-        jnp.min(jnp.where(lo_fin > 0, xl_raw, jnp.inf)),
-        jnp.min(jnp.where(up_fin > 0, xu_raw, jnp.inf)))) + 0.1
-    shift_p = jnp.where(jnp.isfinite(shift_p), shift_p, 1.0)
-    xl0 = jnp.where(lo_fin > 0, xl_raw + shift_p, 1.0)
-    xu0 = jnp.where(up_fin > 0, xu_raw + shift_p, 1.0)
+    xl_raw = xp.where(lo_fin > 0, x0 - lo, 1.0)
+    xu_raw = xp.where(up_fin > 0, up - x0, 1.0)
+    shift_p = xp.maximum(0.0, -1.5 * xp.minimum(
+        xp.min(xp.where(lo_fin > 0, xl_raw, xp.inf)),
+        xp.min(xp.where(up_fin > 0, xu_raw, xp.inf)))) + 0.1
+    shift_p = xp.where(xp.isfinite(shift_p), shift_p, 1.0)
+    xl0 = xp.where(lo_fin > 0, xl_raw + shift_p, 1.0)
+    xu0 = xp.where(up_fin > 0, xu_raw + shift_p, 1.0)
 
-    zl_raw = jnp.where(lo_fin > 0, jnp.maximum(z0, 0.0), 0.0)
-    zu_raw = jnp.where(up_fin > 0, jnp.maximum(-z0, 0.0), 0.0)
-    shift_d = 0.1 + 0.1 * problem.norm_c / jnp.sqrt(
-        jnp.asarray(n + m, dtype=dtype))
-    zl0 = jnp.where(lo_fin > 0, zl_raw + shift_d, 0.0)
-    zu0 = jnp.where(up_fin > 0, zu_raw + shift_d, 0.0)
+    zl_raw = xp.where(lo_fin > 0, xp.maximum(z0, 0.0), 0.0)
+    zu_raw = xp.where(up_fin > 0, xp.maximum(-z0, 0.0), 0.0)
+    shift_d = 0.1 + 0.1 * problem.norm_c / xp.sqrt(
+        xp.asarray(n + m, dtype=dtype))
+    zl0 = xp.where(lo_fin > 0, zl_raw + shift_d, 0.0)
+    zu0 = xp.where(up_fin > 0, zu_raw + shift_d, 0.0)
 
-    x_init = jnp.where(fixed, lo, x0)
+    x_init = xp.where(fixed, lo, x0)
     return IpmState(x=x_init, xl=xl0, xu=xu0, y=y0, zl=zl0, zu=zu0)
+
+
+@jax.jit
+def _starting_point(problem: IpmProblem):
+    return _starting_point_impl(problem, _JaxLinalg)
+
+
+def _starting_point_np(problem: IpmProblem):
+    with np.errstate(all="ignore"):
+        return _starting_point_impl(problem, _NumpyLinalg)
 
 
 @dataclasses.dataclass
@@ -325,22 +405,20 @@ def solve_lp_ipm_native(lp: HighsLp, options: HighsOptions, log=None,
                                    IpmRunInfo]:
     """Solve an LP with the dense normal-equations IPM.
 
-    Tiny problems run on the CPU backend: below MXU-payoff size the
-    accelerator adds only backend-init + compile latency (the MIP
-    node/heuristic path calls this on toy relaxations)."""
-    if lp.num_row * max(1, lp.num_col) <= 1_000_000:
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None and jax.default_backend() != "cpu":
-            with jax.default_device(cpu):
-                return _solve_lp_ipm_impl(lp, options, log=log, x0=x0)
-    return _solve_lp_ipm_impl(lp, options, log=log, x0=x0)
+    Small problems run entirely on the host (numpy/LAPACK): below
+    MXU-payoff size the accelerator adds only backend-init and
+    per-shape compile latency — the MIP node/heuristic path calls the
+    IPM on toy relaxations with ever-changing shapes, where even
+    initializing the jax backend (seconds for a tunneled TPU client)
+    dwarfs the solve."""
+    host = (lp.num_row <= 1500 and
+            lp.num_row * max(1, lp.num_col) <= 2_000_000)
+    return _solve_lp_ipm_impl(lp, options, log=log, x0=x0, host=host)
 
 
 def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
-                       x0: Optional[np.ndarray] = None
+                       x0: Optional[np.ndarray] = None,
+                       host: bool = False
                        ) -> Tuple[HighsModelStatus, HighsSolution,
                                   IpmRunInfo]:
     t0 = time.perf_counter()
@@ -400,26 +478,29 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     lo_dev = np.where(np.isfinite(lo), lo, -big)
     up_dev = np.where(np.isfinite(up), up, big)
 
-    problem = IpmProblem(
-        a=jnp.asarray(a_scaled, dtype=dtype),
-        b=jnp.asarray(b_scaled, dtype=dtype),
-        c=jnp.asarray(c_scaled, dtype=dtype),
-        slack_mask=jnp.asarray(is_ineq, dtype=dtype),
-        lo=jnp.asarray(lo_dev, dtype=dtype),
-        up=jnp.asarray(up_dev, dtype=dtype),
-        lo_fin=jnp.asarray(lo_fin, dtype=dtype),
-        up_fin=jnp.asarray(up_fin, dtype=dtype),
-        active=jnp.asarray(active, dtype=dtype),
-        norm_c=jnp.asarray(np.linalg.norm(c_scaled), dtype=dtype),
-        norm_b=jnp.asarray(np.linalg.norm(b_scaled), dtype=dtype))
-
     # analytic-centring mode (reference run_centring, ipx/ipm.cc:450):
     # zero objective + near-unit centering parameter drives the iterate
     # to the analytic centre of the feasible region (used by the MIP
-    # root's analytic-centre heuristic)
+    # root's analytic-centre heuristic).  Must happen before the
+    # problem pytree is built so the solve itself sees the zero cost.
     centring = bool(getattr(options, "run_centring", False))
     if centring:
         c_scaled = np.zeros_like(c_scaled)
+
+    _asarray = (lambda v, dtype: np.asarray(v, dtype=np.float64)) \
+        if host else jnp.asarray
+    problem = IpmProblem(
+        a=_asarray(a_scaled, dtype=dtype),
+        b=_asarray(b_scaled, dtype=dtype),
+        c=_asarray(c_scaled, dtype=dtype),
+        slack_mask=_asarray(is_ineq, dtype=dtype),
+        lo=_asarray(lo_dev, dtype=dtype),
+        up=_asarray(up_dev, dtype=dtype),
+        lo_fin=_asarray(lo_fin, dtype=dtype),
+        up_fin=_asarray(up_fin, dtype=dtype),
+        active=_asarray(active, dtype=dtype),
+        norm_c=_asarray(np.linalg.norm(c_scaled), dtype=dtype),
+        norm_b=_asarray(np.linalg.norm(b_scaled), dtype=dtype))
 
     time_budget = options.time_limit
     if deadline is not None:
@@ -445,7 +526,8 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
         # dense Cholesky is O(m^3); switch to matrix-free CG at scale
         newton = "cg" if m > 2500 else "chol"
 
-    state = _starting_point(problem)
+    state = _starting_point_np(problem) if host else \
+        _starting_point(problem)
 
     norm_c_h = float(problem.norm_c)
     norm_b_h = float(problem.norm_b)
@@ -456,11 +538,16 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     nan_retries = 0
     while it < settings.iteration_limit:
         prev_state = state
-        state, metrics = ipm_step(problem, state,
-                                  jnp.asarray(regs, dtype=dtype),
-                                  sett_tuple, newton)
+        if host:
+            state, metrics = ipm_step_np(problem, state, regs,
+                                         sett_tuple, newton)
+            mh = metrics
+        else:
+            state, metrics = ipm_step(problem, state,
+                                      jnp.asarray(regs, dtype=dtype),
+                                      sett_tuple, newton)
+            mh = jax.device_get(metrics)
         it += 1
-        mh = jax.device_get(metrics)
         if not np.isfinite(float(mh.mu)):
             # Cholesky breakdown (degenerate basis as mu -> 0): keep the
             # previous iterate and escalate regularization

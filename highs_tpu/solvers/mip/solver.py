@@ -252,6 +252,32 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             up[members] = up[members].min()
         return lo, up
 
+    _elastic = {"key": None, "a": None, "scales": None,
+                "scaled_a": None}
+
+    def elastic_lp():
+        """Elastic matrix [A I -I] + its Ruiz factors, cached per
+        relaxation-matrix version (rebuilding + re-equilibrating per
+        infeasibility check dominated node time)."""
+        import scipy.sparse as _sp
+        from ..simplex.native import _ruiz_scales
+        a = _Relax.a_csc
+        key = (id(a), a.shape, a.nnz)
+        if _elastic["key"] != key:
+            mm = a.shape[0]
+            ident = _sp.identity(mm, format="csc")
+            a_el = _sp.hstack([a, ident, -ident]).tocsc()
+            _elastic["key"] = key
+            _elastic["a"] = a_el
+            _elastic["scales"] = _ruiz_scales(a_el)
+            if _elastic["scales"] is not None:
+                r_, c_ = _elastic["scales"]
+                _elastic["scaled_a"] = (_sp.diags(r_) @ a_el @
+                                        _sp.diags(c_)).tocsc()
+            else:
+                _elastic["scaled_a"] = None
+        return _elastic["a"], _elastic["scales"], _elastic["scaled_a"]
+
     def confirm_infeasible(lo, up) -> bool:
         """Elastic feasibility LP:  min 1's  s.t.
         rl <= Ax + p - q <= ru, p,q >= 0.  Always feasible, so the
@@ -260,12 +286,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         'infeasible' at a node silently loses the MIP optimum
         (reference analogue: unscaled-feasibility guards in
         HighsLpRelaxation), so every infeasible verdict is confirmed."""
-        import scipy.sparse as _sp
         from ..simplex.native import RESULT_OPTIMAL, simplex_solve
         a = _Relax.a_csc
         mm = a.shape[0]
-        ident = _sp.identity(mm, format="csc")
-        a_el = _sp.hstack([a, ident, -ident]).tocsc()
+        a_el, el_scales, el_scaled = elastic_lp()
         cost = np.concatenate([np.zeros(lp.num_col), np.ones(2 * mm)])
         lo_el = np.concatenate([lo, np.zeros(2 * mm)])
         up_el = np.concatenate([up, np.full(2 * mm, np.inf)])
@@ -274,7 +298,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         result, x, y, z, b, iters = simplex_solve(
             a_el, cost, lo_el, up_el, _Relax.row_lower,
             _Relax.row_upper, tol_p=1e-9, tol_d=1e-9, max_iter=100000,
-            time_limit=min(remaining_el, 1e18), equilibrate=True)
+            time_limit=min(remaining_el, 1e18), scales=el_scales,
+            scaled_matrix=el_scaled)
         info.iterations += iters
         if result != RESULT_OPTIMAL:
             return None  # inconclusive: keep the node
@@ -1014,17 +1039,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if cand is not None:
                 try_incumbent(cand, "rounding after cuts")
 
-    def run_feasibility_jump(x_start, lo, up, seed=0):
+    def run_feasibility_jump(x_start, lo, up, seed=0, effort=1.0):
         """Feasibility-jump + LP completion (reference:
-        mip_heuristic_run_feasibility_jump)."""
+        mip_heuristic_run_feasibility_jump).  `effort` < 1 scales the
+        time/move box down for in-tree retries (a full root-sized FJ
+        per retry starves the node loop)."""
         from .feasibility_jump import feasibility_jump
         # time-boxed per mip_heuristic_effort (reference option)
-        budget = max(2.0, options.mip_heuristic_effort *
-                     min(options.time_limit, 600.0))
+        budget = effort * max(2.0, options.mip_heuristic_effort *
+                              min(options.time_limit, 600.0))
         xfj = feasibility_jump(
             a_csr, lp.row_lower, lp.row_upper, lo, up,
             sense * lp.col_cost, is_int | is_semi,
             x0=x_start, feastol=feastol, seed=seed,
+            max_moves=int(30000 * effort),
             time_budget=budget)
         if xfj is None:
             return False
@@ -1843,7 +1871,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 options.mip_heuristic_run_feasibility_jump:
             nodes_since_fj = 0
             run_feasibility_jump(x, node.lo, node.up,
-                                 seed=info.mip_node_count)
+                                 seed=info.mip_node_count,
+                                 effort=0.15)
 
         # ---- choose a branching variable ---------------------------------
         frac = np.abs(x - np.round(x))
