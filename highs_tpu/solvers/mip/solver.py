@@ -179,6 +179,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         _scale_key = None
         _scales = None
         _scaled_a = None
+        _eng_key = None
+        _eng = None
 
     def relax_scales():
         """Ruiz factors for the CURRENT relaxation matrix, cached per
@@ -322,6 +324,42 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             return x_str
         return True
 
+    def relax_engine():
+        """Persistent native dual-simplex engine for the CURRENT
+        relaxation matrix (reference: HighsLpRelaxation keeps one
+        hot-started dual simplex per worker).  Rebuilt only when the
+        cut loop changes the matrix.  Returns (engine, r, c) with the
+        Ruiz factors used (None, None when unscaled)."""
+        a = _Relax.a_csc
+        key = (id(a), a.shape, a.nnz)
+        if _Relax._eng_key != key:
+            from ..simplex.dual_native import DualEngine
+            sc = relax_scales()
+            if sc is not None:
+                r_, c_ = sc
+                a_use = _Relax._scaled_a
+                cost_use = sense * lp.col_cost * c_
+                rl = np.asarray(_Relax.row_lower, float)
+                ru = np.asarray(_Relax.row_upper, float)
+                rl_use = np.where(np.isfinite(rl), rl * r_, rl)
+                ru_use = np.where(np.isfinite(ru), ru * r_, ru)
+            else:
+                r_ = c_ = None
+                a_use = a
+                cost_use = sense * lp.col_cost
+                rl_use = np.asarray(_Relax.row_lower, float)
+                ru_use = np.asarray(_Relax.row_upper, float)
+            if _Relax._eng is not None:
+                _Relax._eng.close()
+            _Relax._eng = DualEngine(
+                a_use, a_use.tocsr(), cost_use,
+                np.full(lp.num_col, -np.inf), np.full(lp.num_col,
+                                                      np.inf),
+                rl_use, ru_use)
+            _Relax._eng_key = key
+            _Relax._eng_sc = (r_, c_)
+        return _Relax._eng, _Relax._eng_sc[0], _Relax._eng_sc[1]
+
     last_duals = {"z": None}
 
     def solve_node_lp(lo, up, warm_basis=None, cached=None):
@@ -340,8 +378,36 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                           RESULT_OPTIMAL,
                                           RESULT_UNBOUNDED,
                                           simplex_solve)
+            from ..simplex import dual_native as _dn
             remaining = max(1.0, options.time_limit -
                             (time.perf_counter() - t0))
+            # hot path: the persistent native dual engine (reference:
+            # HighsLpRelaxation hot-started dual simplex).  Its
+            # infeasible verdicts are internally re-verified on a
+            # fresh factorization, so no elastic confirmation needed.
+            eng, r_sc, c_sc = relax_engine()
+            lo_e = lo / c_sc if c_sc is not None else lo
+            up_e = up / c_sc if c_sc is not None else up
+            eng.set_col_bounds(lo_e, up_e)
+            if warm_basis is not None:
+                eng.set_basis(warm_basis)
+            result, x, y, z, basis_out, iters = eng.solve(
+                tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+                time_limit=min(remaining, 1e18))
+            info.iterations += iters
+            if result == _dn.RESULT_OPTIMAL:
+                if c_sc is not None:
+                    x = x * c_sc
+                    y = y * r_sc
+                    z = z / c_sc
+                last_duals["z"] = z
+                return True, float(sense * lp.col_cost @ x), x, basis_out
+            if result == _dn.RESULT_INFEASIBLE:
+                return False, math.inf, None, None
+            if result == _dn.RESULT_UNBOUNDED:
+                return True, -math.inf, None, None
+            # NEED_PRIMAL / SINGULAR / iteration trouble: the primal
+            # engine handles cold starts and phase-1 shapes
             result, x, y, z, basis_out, iters = simplex_solve(
                 _Relax.a_csc, sense * lp.col_cost, lo, up,
                 _Relax.row_lower, _Relax.row_upper, basis_in=warm_basis,
@@ -1558,13 +1624,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     _bb_status = -1
     _native_ok = (
         bool(getattr(options, "tpu_mip_native_search", False))
-        and sub_level == 0
         and use_simplex and _Relax.a_csc is not None
         and bool(is_int.any())
         and not sos_sets and not bool(is_semi.any())
         and debug_sol is None and batch_k <= 1
-        and (callbacks is None or
-             not getattr(callbacks, "user_callback", None))
         and not options.mip_improving_solution_file
         and not math.isfinite(objective_target)
         and options.mip_max_improving_sols >= 10**9
@@ -1572,7 +1635,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     if _native_ok:
         try:
             from ..simplex.native import _ruiz_scales as _rz
-            from ..simplex.native import bb_solve as _bb
+            from ..simplex.dual_native import mip_solve as _bb
             import scipy.sparse as _sp
             a_bb = _Relax.a_csc
             cost_bb = sense * lp.col_cost
@@ -1599,6 +1662,31 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             best_dual = heap[0].bound
             nodes_used = 0
             st_n = 2
+
+            # progress hook out of the native search: wires the MIP
+            # callback types (reference HighsCallbackType, HConst.h:
+            # 233-245) and records improved incumbents as they appear
+            def _native_cb(what, primal, dual, nds, lpit, xs):
+                if what == 1 and xs is not None:
+                    x_rec = xs * c_bb if sc_bb is not None else xs
+                    try_incumbent(x_rec, "native search")
+                if callbacks is not None and \
+                        getattr(callbacks, "user_callback", None):
+                    from ...constants import HighsCallbackType as CbT
+                    callbacks.data_out.mip_node_count = \
+                        info.mip_node_count + nds
+                    callbacks.data_out.running_time = \
+                        time.perf_counter() - t0
+                    if math.isfinite(primal) and primal < 1e29:
+                        callbacks.data_out.mip_primal_bound = \
+                            sense * primal + lp.offset
+                    if math.isfinite(dual) and abs(dual) < 1e29:
+                        callbacks.data_out.mip_dual_bound = \
+                            sense * dual + lp.offset
+                    if callbacks.call(CbT.kCallbackMipLogging) or \
+                            callbacks.call(CbT.kCallbackMipInterrupt):
+                        return True
+                return (time.perf_counter() - t0) > options.time_limit
             # chunked search: interleave the native dive loop with the
             # Python heuristics (RINS around the best point) so exact
             # optima are found the way the reference's in-search
@@ -1623,7 +1711,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     min(incumbent_obj, user_cutoff),
                     _obj_scale or 0.0, abs_gap, rel_gap, lp.offset,
                     best_dual, feastol=feastol,
-                    max_nodes=node_budget, time_limit=chunk)
+                    max_nodes=node_budget, time_limit=chunk,
+                    reliable=int(options.mip_pscost_minreliable),
+                    callback=_native_cb)
                 info.mip_node_count += nn
                 info.iterations += it_n
                 nodes_used += nn
