@@ -395,6 +395,32 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 tol_p=1e-9, tol_d=1e-9, max_iter=100000,
                 time_limit=min(remaining, 1e18))
             info.iterations += iters
+            import os as _os
+            if _os.environ.get('HX_CHECK_DUAL'):
+                # dev cross-check: every dual-engine verdict against a
+                # cold solve of the fallback engine (status, objective,
+                # reduced costs) — run the instance matrix with
+                # HX_CHECK_DUAL=1 to audit the hot path
+                r2, x2, y2, z2, b2, it2 = simplex_solve(
+                    _Relax.a_csc, sense * lp.col_cost, lo, up,
+                    _Relax.row_lower, _Relax.row_upper, basis_in=None,
+                    tol_p=1e-9, tol_d=1e-9, max_iter=100000,
+                    scales=relax_scales(),
+                    scaled_matrix=_Relax._scaled_a)
+                o1 = (float(sense*lp.col_cost@(
+                    x*c_sc if c_sc is not None else x))
+                      if result == _dn.RESULT_OPTIMAL else None)
+                o2 = (float(sense*lp.col_cost@x2)
+                      if r2 == RESULT_OPTIMAL else None)
+                bad = (result == _dn.RESULT_OPTIMAL) !=                     (r2 == RESULT_OPTIMAL)
+                if not bad and o1 is not None:
+                    bad = abs(o1-o2) > 1e-7*(1+abs(o2))
+                if bad and result not in (_dn.RESULT_NEED_PRIMAL,
+                                          _dn.RESULT_SINGULAR,
+                                          _dn.RESULT_ITER_LIMIT):
+                    print('HXDUAL MISMATCH res=%s obj=%s ref_res=%s '
+                          'ref_obj=%s' % (result, o1, r2, o2),
+                          flush=True)
             if result == _dn.RESULT_OPTIMAL:
                 if c_sc is not None:
                     x = x * c_sc
@@ -1586,28 +1612,23 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             _obj_scale = 1.0
 
     def prune_limit():
-        """Node-pruning bound (reference computeNewUpperLimit,
-        HighsMipSolverData.cpp:628): with an integral objective the
-        next-better solution is a full 1/scale below the incumbent, so
-        any node bound above floor(scale*ub - 0.5)/scale can be cut
-        off — this closes integral-objective gaps that the LP bound
-        alone leaves open."""
+        """STRICT node-pruning bound (reference upper_limit =
+        computeNewUpperLimit(ub, 0.0, 0.0), HighsMipSolverData.cpp:880):
+        only the feasibility tolerance / integral-objective step is
+        subtracted — NOT the mip_rel_gap/mip_abs_gap.  The gap
+        tolerances enter solely through the best-bound termination
+        check (reference optimality_limit, applied at the node queue):
+        pruning dives with the gap-based limit legally discards the
+        true optimum and the search then "proves" a within-gap
+        incumbent optimal (observed on bell5)."""
         ub = cutoff_value()
         if not math.isfinite(ub):
             return math.inf
         if _obj_scale:
             nl = math.floor(_obj_scale * ub - 0.5) / _obj_scale
-            if rel_gap:
-                nl = min(nl, ub - math.ceil(
-                    rel_gap * abs(ub + lp.offset) * _obj_scale
-                    - 1e-9) / _obj_scale)
-            if abs_gap:
-                nl = min(nl, ub - math.ceil(
-                    abs_gap * _obj_scale - 1e-9) / _obj_scale)
             nl += feastol
         else:
-            nl = ub - max(feastol, rel_gap * abs(ub + lp.offset),
-                          abs_gap)
+            nl = ub - feastol
         return nl
 
     def current_gap(dual_bound):
@@ -1788,7 +1809,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         dual_bound = min(node.bound,
                          heap[0].bound if heap else node.bound)
         if incumbent_obj < math.inf:
-            if current_gap(dual_bound) <= rel_gap:
+            if current_gap(dual_bound) <= rel_gap or \
+                    abs(incumbent_obj - dual_bound) <= abs_gap:
                 break
             # objective_target reached (reference kObjectiveTarget)
             if sense * incumbent_obj + lp.offset <= objective_target:

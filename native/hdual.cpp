@@ -473,15 +473,39 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
       }
     }
     if (rr < 0) {
-      // primal feasible: verify once on a fresh factorization
-      if (verify++ < 1 && e.lu.etas.size() > 0) {
+      // primal feasible: optimality additionally requires dual
+      // feasibility of the final point.  Verify both on a fresh
+      // factorization — a wrong-sign boxed reduced cost here means
+      // the point is feasible-but-suboptimal (flip and keep pivoting;
+      // the flip may re-introduce primal infeasibility).
+      if (verify++ < 3 && e.lu.etas.size() > 0) {
         if (!factor(e)) { *iters_out = iters; return kSingular; }
         compute_basics(e);
         compute_duals(e);
+        if (!restore_dual_feasibility(e, tol_d)) {
+          *iters_out = iters;
+          return kNeedPrimal;
+        }
         continue;
       }
+      if (restore_dual_feasibility(e, 10.0 * tol_d)) {
+        bool clean = true;
+        for (int p = 0; p < m; ++p) {
+          const int jb = e.basic[p];
+          const double v = e.xval[jb];
+          const double tj = 10.0 * ptol_of(e, jb, tol_p);
+          if (v < e.lo[jb] - tj || v > e.up[jb] + tj) { clean = false; break; }
+        }
+        if (clean) {
+          *iters_out = iters;
+          return kOptimal;
+        }
+        if (verify < 24) continue;  // flips broke primal: keep pivoting
+        *iters_out = iters;
+        return kIterLimit;
+      }
       *iters_out = iters;
-      return kOptimal;
+      return kNeedPrimal;
     }
     const int jl = e.basic[rr];
     const double target = (delta < 0.0) ? e.lo[jl] : e.up[jl];
@@ -1103,25 +1127,42 @@ int hx_mip_solve(
   int found = 0;
   std::vector<double> best_x(n, 0.0);
 
+  // STRICT pruning limit (reference upper_limit =
+  // computeNewUpperLimit(ub, 0.0, 0.0), HighsMipSolverData.cpp:880):
+  // dives keep exploring anything that could still hold a strictly
+  // better solution.  The gap tolerances enter only through the
+  // best-bound termination below (reference optimality_limit).
   auto prune_limit = [&]() {
     if (incumbent >= kInf) return kInf;
     double nl;
     if (obj_scale > 0.0) {
       nl = std::floor(obj_scale * incumbent - 0.5) / obj_scale;
+      nl += feastol;
+    } else {
+      nl = incumbent - feastol;
+    }
+    return nl;
+  };
+  // gap-based optimality limit: when the best OPEN bound exceeds it,
+  // the incumbent is optimal within mip_rel_gap/mip_abs_gap — stop.
+  auto opt_limit = [&]() {
+    if (incumbent >= kInf) return kInf;
+    double nl = prune_limit();
+    if (obj_scale > 0.0) {
       if (mip_rel_gap > 0.0)
         nl = std::min(nl, incumbent -
             std::ceil(mip_rel_gap * std::fabs(incumbent + obj_offset) *
-                      obj_scale - 1e-9) / obj_scale);
+                      obj_scale - 1e-9) / obj_scale + feastol);
       if (mip_abs_gap > 0.0)
         nl = std::min(nl, incumbent -
-            std::ceil(mip_abs_gap * obj_scale - 1e-9) / obj_scale);
-      nl += feastol;
+            std::ceil(mip_abs_gap * obj_scale - 1e-9) / obj_scale +
+            feastol);
     } else {
-      double d0 = feastol;
       if (mip_rel_gap > 0.0)
-        d0 = std::max(d0, mip_rel_gap * std::fabs(incumbent + obj_offset));
-      if (mip_abs_gap > 0.0) d0 = std::max(d0, mip_abs_gap);
-      nl = incumbent - d0;
+        nl = std::min(nl, incumbent -
+                      mip_rel_gap * std::fabs(incumbent + obj_offset));
+      if (mip_abs_gap > 0.0)
+        nl = std::min(nl, incumbent - mip_abs_gap);
     }
     return nl;
   };
@@ -1150,6 +1191,7 @@ int hx_mip_solve(
 
   int64_t node_count = 0, lp_iters = 0;
   int status = 0;
+  double open_bound_at_stop = kInf;
   int32_t plunge = -1;
   bool engine_live = false;  // engine basis continues the current dive
   EngineState probe_save;
@@ -1181,6 +1223,14 @@ int hx_mip_solve(
       cur = heap.top().second;
       heap.pop();
       engine_live = false;
+      // best-bound termination within the gap tolerances (reference
+      // optimality_limit at the node queue): the heap is bound-
+      // ordered, so everything remaining is also within the gap.
+      if (nodes[cur].bound > opt_limit()) {
+        open_bound_at_stop = nodes[cur].bound;
+        pool_release(nodes[cur].basis_id);
+        break;
+      }
     }
     const int32_t cur_basis_id = nodes[cur].basis_id;
     if (nodes[cur].bound > prune_limit()) {
@@ -1450,7 +1500,11 @@ int hx_mip_solve(
 
   // ---- wrap up ----------------------------------------------------------
   double dual = incumbent;
-  if (status != 0) {
+  if (status == 0 && found && open_bound_at_stop < kInf) {
+    // stopped within the gap tolerances: the best open bound is the
+    // honest dual bound
+    dual = std::min(incumbent, open_bound_at_stop);
+  } else if (status != 0) {
     dual = heap.empty() ? (found ? incumbent : -kInf) : heap.top().first;
     if (plunge >= 0) dual = std::min(dual, nodes[plunge].bound);
     if (found) dual = std::min(dual, incumbent);
