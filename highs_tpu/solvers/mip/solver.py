@@ -605,6 +605,56 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         rhs = 1.0 - float(np.sum(node_lo[js] == 1.0))
         conflict_pool.append((js.copy(), coefs, rhs))
 
+    # objective_bound acts as a cutoff (reference: nodes with bound
+    # above it are cut off); incumbent_obj stores the MINIMIZATION value
+    # sense*(obj - offset), so translate the user-space bound.
+    user_cutoff = (sense * (options.objective_bound - lp.offset)
+                   if math.isfinite(options.objective_bound) else math.inf)
+    objective_target = options.objective_target
+
+    def cutoff_value():
+        return min(incumbent_obj, user_cutoff)
+
+    # objective integrality: every objective value is a multiple of
+    # 1/_obj_scale when all costed columns are integer with integral
+    # scaled costs (reference HighsObjectiveFunction::isIntegral)
+    _obj_scale = None
+    _nzc = np.abs(lp.col_cost) > 1e-12
+    if not np.any(_nzc & ~is_int):
+        if _nzc.any():
+            from ...utils.integers import integral_scale
+            _sc = integral_scale(lp.col_cost[_nzc], feastol, 1e-12)
+            if _sc and 0 < _sc <= 1e6:
+                _obj_scale = float(_sc)
+        else:
+            _obj_scale = 1.0
+
+    def prune_limit():
+        """STRICT node-pruning bound (reference upper_limit =
+        computeNewUpperLimit(ub, 0.0, 0.0), HighsMipSolverData.cpp:880):
+        only the feasibility tolerance / integral-objective step is
+        subtracted — NOT the mip_rel_gap/mip_abs_gap.  The gap
+        tolerances enter solely through the best-bound termination
+        check (reference optimality_limit, applied at the node queue):
+        pruning dives with the gap-based limit legally discards the
+        true optimum and the search then "proves" a within-gap
+        incumbent optimal (observed on bell5)."""
+        ub = cutoff_value()
+        if not math.isfinite(ub):
+            return math.inf
+        if _obj_scale:
+            nl = math.floor(_obj_scale * ub - 0.5) / _obj_scale
+            nl += feastol
+        else:
+            nl = ub - feastol
+        return nl
+
+    def current_gap(dual_bound):
+        if incumbent_obj == math.inf:
+            return math.inf
+        return abs(incumbent_obj - dual_bound) / max(
+            1.0, abs(incumbent_obj))
+
     def try_incumbent(x, source=""):
         nonlocal incumbent_x, incumbent_obj, n_improving
         if x is None:
@@ -1173,6 +1223,60 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # ---- primal heuristics (reference HighsPrimalHeuristics.cpp) ------
     from . import heuristics as heur
 
+    _sub_native = {"key": None}
+
+    def native_submip(lo3, up3, source, node_budget, tl):
+        """Fast sub-MIP: hand the restricted box straight to the
+        native branch-and-bound (hx_mip_solve) over the CURRENT
+        relaxation rows — no recursive root machinery (the reference's
+        solveSubMip also runs with submip=true effort caps).  Returns
+        True when an improving incumbent was found."""
+        from ..simplex.native import _ruiz_scales as _rz
+        from ..simplex.dual_native import mip_solve as _bb
+        import scipy.sparse as _sp
+        a = _Relax.a_csc
+        key = (id(a), a.shape, a.nnz)
+        if _sub_native["key"] != key:
+            cost_s = sense * lp.col_cost
+            sc = _rz(a)
+            if sc is not None:
+                r_s, c_s = sc
+                c_s = np.where(is_int, 1.0, c_s)
+                a_s = (_sp.diags(r_s) @ a @ _sp.diags(c_s)).tocsc()
+                cost_s = cost_s * c_s
+            else:
+                r_s = c_s = None
+                a_s = a
+            _sub_native.update(
+                key=key, a=a_s, a_csr=a_s.tocsr(), cost=cost_s,
+                r=r_s, c=c_s)
+        r_s, c_s = _sub_native["r"], _sub_native["c"]
+        rl_s = np.asarray(_Relax.row_lower, float)
+        ru_s = np.asarray(_Relax.row_upper, float)
+        lo_s, up_s = lo3, up3
+        if c_s is not None:
+            rl_s = np.where(np.isfinite(rl_s), rl_s * r_s, rl_s)
+            ru_s = np.where(np.isfinite(ru_s), ru_s * r_s, ru_s)
+            lo_s = np.where(np.isfinite(lo3), lo3 / c_s, lo3)
+            up_s = np.where(np.isfinite(up3), up3 / c_s, up3)
+        try:
+            st_s, found_s, x_s, obj_s, dual_s, nn_s, it_s = _bb(
+                _sub_native["a"], _sub_native["a_csr"],
+                _sub_native["cost"], lo_s, up_s, rl_s, ru_s, is_int,
+                None, min(incumbent_obj, user_cutoff),
+                _obj_scale or 0.0, 0.0, 0.0, lp.offset, -math.inf,
+                feastol=feastol, max_nodes=node_budget,
+                time_limit=tl,
+                reliable=int(options.mip_pscost_minreliable))
+        except Exception:
+            return None  # caller falls back to the recursive path
+        info.mip_node_count += nn_s
+        info.iterations += it_s
+        if found_s:
+            x_rec = x_s * c_s if c_s is not None else x_s
+            return try_incumbent(x_rec, source)
+        return False
+
     def run_submip(lo2, up2, source, node_budget=500):
         """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
         solve the restricted MIP with tight budgets, feed any solution
@@ -1186,6 +1290,19 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         ok2, lo3, up3 = prop.propagate(lo2, up2)
         if not ok2:
             return False
+        remaining0 = options.time_limit - (time.perf_counter() - t0)
+        if use_simplex and _Relax.a_csc is not None and \
+                bool(is_int.any()) and not sos_sets and \
+                not bool(is_semi.any()) and debug_sol is None:
+            # native nodes are ~100x cheaper than Python-loop nodes:
+            # scale the budget up so the sub-MIP usually solves to
+            # proven optimality inside its box
+            got = native_submip(
+                lo3, up3, source, 40 * node_budget,
+                max(0.5, min(remaining0 * 0.25,
+                             2.0 + 20.0 * options.mip_heuristic_effort)))
+            if got is not None:
+                return got
         sub = lp.copy()
         sub.col_lower = lo3
         sub.col_upper = up3
@@ -1274,13 +1391,18 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 is_int, root_x, root_z, root_lo_p, root_up_p)
             if nfx:
                 run_submip(lo2, up2, "root reduced cost")
-        if options.mip_heuristic_run_rins and \
-                incumbent_obj < math.inf and incumbent_x is not None:
-            lo2, up2, nfx = heur.submip_bounds_rins(
-                is_int, incumbent_x, root_x, root_lo_p, root_up_p,
-                feastol)
-            if nfx:
-                run_submip(lo2, up2, "RINS")
+        # root RINS to a fixpoint: each improved incumbent re-centres
+        # the neighbourhood (the reference fires ~a dozen root sub-MIPs
+        # this way before the first dive — see its dcmulti log)
+        if options.mip_heuristic_run_rins:
+            for _rins_round in range(6):
+                if incumbent_obj >= math.inf or incumbent_x is None:
+                    break
+                lo2, up2, nfx = heur.submip_bounds_rins(
+                    is_int, incumbent_x, root_x, root_lo_p, root_up_p,
+                    feastol)
+                if not nfx or not run_submip(lo2, up2, "RINS"):
+                    break
 
     # ---- reduced-cost fixing from the root duals (reference
     # HighsRedcostFixing.cpp: dual bound + cutoff => global bound
@@ -1587,55 +1709,6 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     abs_gap = options.mip_abs_gap
     rel_gap = options.mip_rel_gap
     status = HighsModelStatus.kNotset
-    # objective_bound acts as a cutoff (reference: nodes with bound
-    # above it are cut off); incumbent_obj stores the MINIMIZATION value
-    # sense*(obj - offset), so translate the user-space bound.
-    user_cutoff = (sense * (options.objective_bound - lp.offset)
-                   if math.isfinite(options.objective_bound) else math.inf)
-    objective_target = options.objective_target
-
-    def cutoff_value():
-        return min(incumbent_obj, user_cutoff)
-
-    # objective integrality: every objective value is a multiple of
-    # 1/_obj_scale when all costed columns are integer with integral
-    # scaled costs (reference HighsObjectiveFunction::isIntegral)
-    _obj_scale = None
-    _nzc = np.abs(lp.col_cost) > 1e-12
-    if not np.any(_nzc & ~is_int):
-        if _nzc.any():
-            from ...utils.integers import integral_scale
-            _sc = integral_scale(lp.col_cost[_nzc], feastol, 1e-12)
-            if _sc and 0 < _sc <= 1e6:
-                _obj_scale = float(_sc)
-        else:
-            _obj_scale = 1.0
-
-    def prune_limit():
-        """STRICT node-pruning bound (reference upper_limit =
-        computeNewUpperLimit(ub, 0.0, 0.0), HighsMipSolverData.cpp:880):
-        only the feasibility tolerance / integral-objective step is
-        subtracted — NOT the mip_rel_gap/mip_abs_gap.  The gap
-        tolerances enter solely through the best-bound termination
-        check (reference optimality_limit, applied at the node queue):
-        pruning dives with the gap-based limit legally discards the
-        true optimum and the search then "proves" a within-gap
-        incumbent optimal (observed on bell5)."""
-        ub = cutoff_value()
-        if not math.isfinite(ub):
-            return math.inf
-        if _obj_scale:
-            nl = math.floor(_obj_scale * ub - 0.5) / _obj_scale
-            nl += feastol
-        else:
-            nl = ub - feastol
-        return nl
-
-    def current_gap(dual_bound):
-        if incumbent_obj == math.inf:
-            return math.inf
-        return abs(incumbent_obj - dual_bound) / max(
-            1.0, abs(incumbent_obj))
 
     # ---- native branch-and-bound dive loop (hx_bb_solve) --------------
     # The per-node work is strictly scalar-sequential (reference:
@@ -1743,6 +1816,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     if not try_incumbent(x_rec, "native search") and \
                             obj_n < incumbent_obj - 1e-9:
                         st_n = 3  # failed strict revalidation
+                        import os as _os4
+                        if _os4.environ.get('HX_NATIVE_DEBUG'):
+                            print('native reject obj_n', obj_n,
+                                  'inc', incumbent_obj, flush=True)
                         break
                 if st_n != 2:
                     break
@@ -1761,6 +1838,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         run_submip(lo2, up2, "RINS")
         except Exception:
             st_n = 3
+            import os as _os3
+            if _os3.environ.get('HX_NATIVE_DEBUG'):
+                import traceback as _tb
+                _tb.print_exc()
         if st_n in (0, 2):
             if st_n == 0:
                 heap.clear()

@@ -482,7 +482,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         if (!factor(e)) { *iters_out = iters; return kSingular; }
         compute_basics(e);
         compute_duals(e);
-        if (!restore_dual_feasibility(e, tol_d)) {
+        if (!restore_dual_feasibility(e, 10.0 * tol_d)) {
           *iters_out = iters;
           return kNeedPrimal;
         }
@@ -784,6 +784,63 @@ int engine_solve(Engine& e, double tol_p, double tol_d, int max_iter,
                    obj_cut);
 }
 
+// Dual phase-1 by temporary boxing (Koberstein's subproblem approach):
+// when a start basis is dual infeasible in an unbounded direction
+// (kNeedPrimal), give every missing bound an artificial value so bound
+// flips can restore dual feasibility, solve the boxed LP, then restore
+// the true bounds and re-optimize from the now dual-feasible basis.
+// Grows the artificial bound when it turns out binding.
+int engine_solve_phase1(Engine& e, double tol_p, double tol_d,
+                        int max_iter, double time_limit_s,
+                        int* iters_out, double obj_cut) {
+  int it1 = 0;
+  int res = engine_solve(e, tol_p, tol_d, max_iter, time_limit_s, &it1,
+                         obj_cut);
+  *iters_out = it1;
+  if (res != kNeedPrimal) return res;
+  std::vector<double> lo_save(e.lo), up_save(e.up);
+  double bigM = 1e7;
+  for (int attempt = 0; attempt < 4 && res == kNeedPrimal;
+       ++attempt, bigM *= 100.0) {
+    for (int j = 0; j < e.nv; ++j) {
+      e.lo[j] = lo_save[j] <= -kInf
+                    ? (up_save[j] < kInf ? up_save[j] : 0.0) - bigM
+                    : lo_save[j];
+      e.up[j] = up_save[j] >= kInf
+                    ? (lo_save[j] > -kInf ? lo_save[j] : 0.0) + bigM
+                    : up_save[j];
+    }
+    for (int j = 0; j < e.nv; ++j)
+      if (e.stat[j] == kZero) e.stat[j] = kLower;
+    // no objective cutoff on the boxed problem: its optimum upper-
+    // bounds the true one, so pruning on it would be invalid
+    int it2 = 0;
+    res = engine_solve(e, tol_p, tol_d, max_iter, time_limit_s, &it2,
+                       kInf);
+    *iters_out += it2;
+    if (res == kOptimal) {
+      for (int j = 0; j < e.nv; ++j) {
+        const bool at_art_lo =
+            lo_save[j] <= -kInf && e.xval[j] <= e.lo[j] + 1e-5 * bigM &&
+            e.stat[j] != kBasic;
+        const bool at_art_up =
+            up_save[j] >= kInf && e.xval[j] >= e.up[j] - 1e-5 * bigM &&
+            e.stat[j] != kBasic;
+        if (at_art_lo || at_art_up) { res = kNeedPrimal; break; }
+      }
+    }
+  }
+  for (int j = 0; j < e.nv; ++j) { e.lo[j] = lo_save[j]; e.up[j] = up_save[j]; }
+  sanitize_nonbasic(e);
+  if (res != kOptimal) return res == kNeedPrimal ? kNeedPrimal : res;
+  // final solve on the true bounds from the dual-feasible basis
+  int it3 = 0;
+  res = engine_solve(e, tol_p, tol_d, max_iter, time_limit_s, &it3,
+                     obj_cut);
+  *iters_out += it3;
+  return res;
+}
+
 void export_solution(const Engine& e, double* x_out, double* y_out,
                      double* z_out, int8_t* basis_out) {
   // final duals from the maintained d (refreshed at refactors)
@@ -1025,8 +1082,9 @@ int hx_dual_solve_h(void* h, double tol_p, double tol_d, int max_iter,
                     int* iters_out) {
   Engine& e = *static_cast<Engine*>(h);
   int iters = 0;
-  const int res = engine_solve(e, tol_p, tol_d, max_iter, time_limit_s,
-                               &iters, obj_cut >= kInf ? kInf : obj_cut);
+  const int res = engine_solve_phase1(
+      e, tol_p, tol_d, max_iter, time_limit_s, &iters,
+      obj_cut >= kInf ? kInf : obj_cut);
   if (x_out) export_solution(e, x_out, y_out, z_out, basis_out);
   *iters_out = iters;
   return res;
@@ -1268,14 +1326,15 @@ int hx_mip_solve(
     double remaining = time_limit_s - elapsed();
     if (remaining <= 0.0) { status = 2; break; }
     int iters = 0;
-    int res = engine_solve(e, tol_p, tol_d, 100000, remaining, &iters,
-                           prune_limit());
+    int res = engine_solve_phase1(e, tol_p, tol_d, 100000, remaining,
+                                  &iters, prune_limit());
     lp_iters += iters;
     if (res == kNeedPrimal || res == kSingular) {
       // retry once from the all-logical basis before giving up
       set_basis_from(e, nullptr);
-      res = engine_solve(e, tol_p, tol_d, 100000,
-                         time_limit_s - elapsed(), &iters, prune_limit());
+      res = engine_solve_phase1(e, tol_p, tol_d, 100000,
+                                time_limit_s - elapsed(), &iters,
+                                prune_limit());
       lp_iters += iters;
     }
     engine_live = false;
