@@ -392,10 +392,12 @@ _opt("tpu_batch_solve", bool, False,
 _opt("tpu_ipm_newton", str, "choose",
      "IPM normal-equations solver: choose / cholesky / cg "
      "(cg = matrix-free Jacobi-preconditioned conjugate gradients)")
-_opt("tpu_mip_native_search", bool, False,
+_opt("tpu_mip_native_search", bool, True,
      "Run the MIP tree search in the native C++ dive loop "
-     "(hx_bb_solve): much higher node throughput, but without the "
-     "Python loop's in-tree separation/heuristic cadence")
+     "(hx_mip_solve): ~100x node throughput of the Python loop, with "
+     "reliability strong branching, in-search rounding completion and "
+     "exact incumbent revalidation; falls back to the Python loop on "
+     "numerical rejection or unsupported features")
 _opt("tpu_mip_batch_nodes", int, 0,
      "Evaluate MIP node LPs in vmapped device batches of this size "
      "(0 = sequential node engine)", 0, 1024)

@@ -356,6 +356,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 np.full(lp.num_col, -np.inf), np.full(lp.num_col,
                                                       np.inf),
                 rl_use, ru_use)
+            if r_ is not None:
+                # absolute-unscaled feasibility on scaled data
+                _Relax._eng.set_tol_scale(
+                    np.concatenate([1.0 / c_, r_]))
             _Relax._eng_key = key
             _Relax._eng_sc = (r_, c_)
         return _Relax._eng, _Relax._eng_sc[0], _Relax._eng_sc[1]
@@ -1267,7 +1271,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 _obj_scale or 0.0, 0.0, 0.0, lp.offset, -math.inf,
                 feastol=feastol, max_nodes=node_budget,
                 time_limit=tl,
-                reliable=int(options.mip_pscost_minreliable))
+                reliable=int(options.mip_pscost_minreliable),
+                tol_scale=(np.concatenate([1.0 / c_s, r_s])
+                           if c_s is not None else None))
         except Exception:
             return None  # caller falls back to the recursive path
         info.mip_node_count += nn_s
@@ -1760,6 +1766,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # progress hook out of the native search: wires the MIP
             # callback types (reference HighsCallbackType, HConst.h:
             # 233-245) and records improved incumbents as they appear
+            _cb_interrupt = {"flag": False}
+
             def _native_cb(what, primal, dual, nds, lpit, xs):
                 if what == 1 and xs is not None:
                     x_rec = xs * c_bb if sc_bb is not None else xs
@@ -1779,6 +1787,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                             sense * dual + lp.offset
                     if callbacks.call(CbT.kCallbackMipLogging) or \
                             callbacks.call(CbT.kCallbackMipInterrupt):
+                        _cb_interrupt["flag"] = True
                         return True
                 return (time.perf_counter() - t0) > options.time_limit
             # chunked search: interleave the native dive loop with the
@@ -1807,7 +1816,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     best_dual, feastol=feastol,
                     max_nodes=node_budget, time_limit=chunk,
                     reliable=int(options.mip_pscost_minreliable),
-                    callback=_native_cb)
+                    callback=_native_cb,
+                    tol_scale=(np.concatenate([1.0 / c_bb, r_bb])
+                               if sc_bb is not None else None))
                 info.mip_node_count += nn
                 info.iterations += it_n
                 nodes_used += nn
@@ -1815,12 +1826,30 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     x_rec = x_n * c_bb if sc_bb is not None else x_n
                     if not try_incumbent(x_rec, "native search") and \
                             obj_n < incumbent_obj - 1e-9:
-                        st_n = 3  # failed strict revalidation
-                        import os as _os4
-                        if _os4.environ.get('HX_NATIVE_DEBUG'):
-                            print('native reject obj_n', obj_n,
-                                  'inc', incumbent_obj, flush=True)
-                        break
+                        # near-miss (scaled-space feasible, unscaled
+                        # violation above the absolute tolerance):
+                        # fix the integers and re-solve the UNSCALED
+                        # LP exactly — the reference's unscaled-
+                        # feasibility cleanup solve
+                        from ..simplex.native import (
+                            RESULT_OPTIMAL as _RO, simplex_solve as
+                            _ss)
+                        lo_f = root_lo_p.copy()
+                        up_f = root_up_p.copy()
+                        xr_i = np.round(x_rec[is_int])
+                        lo_f[is_int] = xr_i
+                        up_f[is_int] = xr_i
+                        res_f, x_f, _yf, _zf, _bf, it_f = _ss(
+                            _Relax.a_csc, sense * lp.col_cost, lo_f,
+                            up_f, _Relax.row_lower, _Relax.row_upper,
+                            tol_p=1e-9, tol_d=1e-9, max_iter=20000,
+                            scales=relax_scales(),
+                            scaled_matrix=_Relax._scaled_a)
+                        info.iterations += it_f
+                        if not (res_f == _RO and try_incumbent(
+                                x_f, "native search (cleanup)")):
+                            st_n = 3  # failed strict revalidation
+                            break
                 if st_n != 2:
                     break
                 if math.isfinite(dual_n):
@@ -1851,7 +1880,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 heapq.heappush(heap, _Node(best_dual, seq, root_lo_p,
                                            root_up_p, 0))
                 seq += 1
-                status = (HighsModelStatus.kIterationLimit
+                status = (HighsModelStatus.kInterrupt
+                          if _cb_interrupt["flag"]
+                          else HighsModelStatus.kIterationLimit
                           if nodes_used >= options.mip_max_nodes
                           else HighsModelStatus.kTimeLimit)
         _bb_status = st_n

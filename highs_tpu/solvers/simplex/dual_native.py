@@ -80,6 +80,9 @@ def get_lib():
             ctypes.c_void_p, f64p, f64p]
         lib.hx_dual_set_basis.restype = None
         lib.hx_dual_set_basis.argtypes = [ctypes.c_void_p, i8p]
+        lib.hx_dual_set_tol_scale.restype = None
+        lib.hx_dual_set_tol_scale.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.hx_dual_solve_h.restype = ctypes.c_int
         lib.hx_dual_solve_h.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
@@ -97,6 +100,7 @@ def get_lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int,
             MIP_CALLBACK, ctypes.c_void_p,
+            ctypes.c_void_p,  # tol_scale (nullable)
             f64p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64),
@@ -162,6 +166,14 @@ class DualEngine:
         cu = _finite(np.where(np.isfinite(up), up, big))
         self._lib.hx_dual_set_col_bounds(self._h, cl, cu)
 
+    def set_tol_scale(self, tol_scale):
+        """Per-variable primal tolerance scale (len n+m: 1/col_scale
+        then row_scale) so the engine enforces ABSOLUTE unscaled
+        feasibility on Ruiz-scaled data."""
+        ts = np.ascontiguousarray(tol_scale, dtype=np.float64)
+        self._lib.hx_dual_set_tol_scale(
+            self._h, ts.ctypes.data_as(ctypes.c_void_p))
+
     def set_basis(self, basis):
         b = np.ascontiguousarray(basis, dtype=np.int8)
         self._lib.hx_dual_set_basis(self._h, b)
@@ -185,7 +197,7 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
               mip_abs_gap, mip_rel_gap, obj_offset, root_bound,
               feastol=1e-6, tol_p=1e-9, tol_d=1e-9,
               max_nodes=10**12, time_limit=1e18, reliable=4,
-              callback=None):
+              callback=None, tol_scale=None):
     """Native branch-and-bound over the persistent dual engine
     (hx_mip_solve).  Returns (status, found, best_x, best_obj,
     dual_bound, nodes, lp_iters); status 0 = exhausted, 2 = limit or
@@ -242,7 +254,10 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
         float(mip_rel_gap), float(obj_offset),
         float(root_bound) if np.isfinite(root_bound) else -big,
         float(feastol), float(tol_p), float(tol_d), int(max_nodes),
-        float(time_limit), int(reliable), cb, None, best_x,
+        float(time_limit), int(reliable), cb, None,
+        (np.ascontiguousarray(tol_scale, dtype=np.float64)
+         .ctypes.data_as(ctypes.c_void_p)
+         if tol_scale is not None else None), best_x,
         ctypes.byref(best_obj), ctypes.byref(dual_bound),
         ctypes.byref(nodes), ctypes.byref(iters), ctypes.byref(found),
         ctypes.byref(status))

@@ -40,6 +40,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <chrono>
 #include <cstdlib>
 #include <queue>
@@ -94,6 +95,10 @@ struct LU {
 
 struct Engine {
   int m = 0, n = 0, nv = 0;
+  // per-variable primal tolerance scale (maps an absolute UNSCALED
+  // feasibility tolerance into the scaled space: 1/c_j for columns,
+  // r_i for logicals); empty = all ones
+  std::vector<double> tolsc;
   // matrix views (owned copies: the engine outlives python temporaries)
   std::vector<int64_t> Ap;
   std::vector<int32_t> Ai;
@@ -381,9 +386,12 @@ void push_eta(Engine& e, int p, const double* alpha) {
 }
 
 double ptol_of(const Engine& e, int j, double tol_p) {
-  double s = 1.0;
-  if (e.lo[j] > -kInf) s = std::max(s, std::fabs(e.lo[j]));
-  if (e.up[j] < kInf) s = std::max(s, std::fabs(e.up[j]));
+  // ABSOLUTE unscaled feasibility: scale the tolerance by the
+  // variable's scaling factor only (never by bound magnitude — a
+  // bound-relative tolerance admits points whose unscaled row
+  // violation exceeds the MIP's absolute mip_feasibility_tolerance;
+  // observed as rejected "incumbents" on bell5's 1e7-rhs rows).
+  const double s = e.tolsc.empty() ? 1.0 : e.tolsc[j];
   return tol_p * s;
 }
 
@@ -790,6 +798,8 @@ int engine_solve(Engine& e, double tol_p, double tol_d, int max_iter,
 // flips can restore dual feasibility, solve the boxed LP, then restore
 // the true bounds and re-optimize from the now dual-feasible basis.
 // Grows the artificial bound when it turns out binding.
+long long g_phase1_count = 0;
+
 int engine_solve_phase1(Engine& e, double tol_p, double tol_d,
                         int max_iter, double time_limit_s,
                         int* iters_out, double obj_cut) {
@@ -798,6 +808,7 @@ int engine_solve_phase1(Engine& e, double tol_p, double tol_d,
                          obj_cut);
   *iters_out = it1;
   if (res != kNeedPrimal) return res;
+  ++g_phase1_count;
   std::vector<double> lo_save(e.lo), up_save(e.up);
   double bigM = 1e7;
   for (int attempt = 0; attempt < 4 && res == kNeedPrimal;
@@ -1054,6 +1065,14 @@ void hx_dual_set_col_bounds(void* h, const double* col_lo,
   sanitize_nonbasic(e);
 }
 
+void hx_dual_set_tol_scale(void* h, const double* ts) {
+  Engine& e = *static_cast<Engine*>(h);
+  e.tolsc.assign(e.nv, 1.0);
+  if (ts)
+    for (int j = 0; j < e.nv; ++j)
+      e.tolsc[j] = std::min(std::max(ts[j], 1e-4), 1e6);
+}
+
 void hx_dual_set_basis(void* h, const int8_t* basis) {
   Engine& e = *static_cast<Engine*>(h);
   // unchanged-basis fast path: keep the live factorization (the dive
@@ -1126,7 +1145,7 @@ int hx_mip_solve(
     double mip_abs_gap, double mip_rel_gap, double obj_offset,
     double root_bound_in, double feastol, double tol_p, double tol_d,
     int64_t max_nodes, double time_limit_s, int reliable_count,
-    HxMipCb cb, void* cb_ud,
+    HxMipCb cb, void* cb_ud, const double* tol_scale,
     double* best_x_out, double* best_obj_out, double* dual_bound_out,
     int64_t* nodes_out, int64_t* lp_iters_out, int* found_out,
     int* status_out) {
@@ -1140,6 +1159,7 @@ int hx_mip_solve(
   Engine* ep = build_engine(m, n, Ap, Ai, Ax, Rp, Ri, Rx, cost, root_lo,
                             root_up, row_lo, row_up);
   Engine& e = *ep;
+  hx_dual_set_tol_scale(ep, tol_scale);
   set_basis_from(e, root_basis);
 
   struct BBNode {
@@ -1388,13 +1408,38 @@ int hx_mip_solve(
       if (score > bscore) { bscore = score; bcol = j; bfrac = f; }
     }
     if (bcol < 0) {
-      // integral: candidate incumbent
+      // integral: candidate incumbent.  Rounding basic integers to
+      // exact integrality perturbs the rows by up to feastol per
+      // column — on badly scaled instances that exceeds the absolute
+      // MIP feasibility tolerance.  Do what the reference's
+      // transformNewIntegerFeasibleSolution does: fix every integer
+      // at its rounded value and warm re-solve the LP so the
+      // continuous completion is exact.
       if (obj < incumbent - 1e-12) {
-        incumbent = obj;
-        found = 1;
+        EngineState fix_save;
+        save_state(e, fix_save);
+        std::vector<double> flo(lo), fup(up);
         for (int j = 0; j < n; ++j)
-          best_x[j] = is_int[j] ? std::floor(x[j] + 0.5) : x[j];
-        if (cb && fire_cb(1, best_x.data())) { status = 2; break; }
+          if (is_int[j]) flo[j] = fup[j] = std::floor(x[j] + 0.5);
+        hx_dual_set_col_bounds(&e, flo.data(), fup.data());
+        int fit = 0;
+        const int fres = engine_solve_phase1(
+            e, tol_p, tol_d, 20000, time_limit_s - elapsed(), &fit,
+            kInf);
+        lp_iters += fit;
+        if (fres == kOptimal) {
+          const double fobj = hx_dual_objective(&e);
+          if (fobj < incumbent - 1e-12) {
+            incumbent = fobj;
+            found = 1;
+            for (int j = 0; j < n; ++j)
+              best_x[j] = is_int[j] ? flo[j] : e.xval[j];
+            if (cb && fire_cb(1, best_x.data())) { status = 2; break; }
+          }
+        }
+        restore_state(e, fix_save);
+        hx_dual_set_col_bounds(&e, lo.data(), up.data());
+        engine_live = false;
       }
       continue;
     }
@@ -1578,6 +1623,10 @@ int hx_mip_solve(
   *lp_iters_out = lp_iters;
   *found_out = found;
   *status_out = status;
+  if (std::getenv("HX_NATIVE_DEBUG"))
+    std::fprintf(stderr, "hx_mip: nodes=%lld lp_iters=%lld phase1=%lld\n",
+                 (long long)node_count, (long long)lp_iters,
+                 g_phase1_count);
   delete ep;
   return 0;
 }
