@@ -40,6 +40,7 @@ class HighsCallbackDataOut:
     cutpool_lower: Optional[np.ndarray] = None
     cutpool_upper: Optional[np.ndarray] = None
     objective_bound: float = float("inf")
+    external_solution_query_origin: int = 0
 
 
 @dataclasses.dataclass

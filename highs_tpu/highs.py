@@ -274,6 +274,9 @@ class Highs(HighsModelApi, HighsAnalysisApi):
             write_matrix_pbm(self._model.hessian.to_scipy_full(),
                              f"{name}_hessian.pbm")
         self._options._timer = self._timer
+        # solvers reach the user-callback registry through the options
+        # carrier (reference: HighsCallback* threaded into every solver)
+        self._options._callbacks = self._callbacks
         self._timer.start("run")
         try:
             status = self._optimize_model()

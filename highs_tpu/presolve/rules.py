@@ -1017,7 +1017,7 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
             # the merged dual sits on i1; assign it to whichever
             # original row supplied the active bound
             if have_dual and abs(y[i1]) > 1e-12:
-                act = float(a_csr[i1] @ x)
+                act = float((a_csr[i1] @ x)[0])
                 tol_b = 1e-7
                 own_lo = np.isfinite(rl1) and \
                     abs(act - rl1) <= tol_b * (1 + abs(rl1))

@@ -203,7 +203,8 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
                                                   basis=basis)
         if status in (HighsModelStatus.kOptimal,
                       HighsModelStatus.kInfeasible,
-                      HighsModelStatus.kUnbounded):
+                      HighsModelStatus.kUnbounded,
+                      HighsModelStatus.kInterrupt):
             return status, solution, info
 
     if solver == "choose" and ipm_ok:
@@ -214,7 +215,8 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
         status, solution, info = solve_lp_ipm(lp, options, log=log)
         if status in (HighsModelStatus.kOptimal,
                       HighsModelStatus.kInfeasible,
-                      HighsModelStatus.kUnbounded):
+                      HighsModelStatus.kUnbounded,
+                      HighsModelStatus.kInterrupt):
             return status, solution, info
         # IPM could not conclude: classify infeasible/unbounded exactly
         # via elastic feasibility LPs (reference analogue: simplex

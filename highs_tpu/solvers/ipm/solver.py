@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import HighsModelStatus, kHighsInf
+from ...constants import (HighsCallbackType as _CbT,
+                          HighsModelStatus, kHighsInf)
 from ...models.lp import HighsLp
 from ...models.solution import HighsSolution
 from ...options import HighsOptions
@@ -536,7 +537,16 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     stall = 0
     best_err = np.inf
     nan_retries = 0
+    # user interrupt hook (reference kCallbackIpmInterrupt, fired per
+    # IPM iteration — hipo/ipm/Control.cpp:27)
+    _cbs = getattr(options, "_callbacks", None)
     while it < settings.iteration_limit:
+        if _cbs is not None and _cbs.callback_active(
+                _CbT.kCallbackIpmInterrupt):
+            _cbs.data_out.ipm_iteration_count = it
+            if _cbs.call(_CbT.kCallbackIpmInterrupt, "IPM interrupt"):
+                status = HighsModelStatus.kInterrupt
+                break
         prev_state = state
         if host:
             state, metrics = ipm_step_np(problem, state, regs,

@@ -30,7 +30,9 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ...constants import HighsModelStatus, HighsVarType, kHighsInf
+from ...constants import (HighsCallbackType as CbT,
+                          HighsModelStatus, HighsVarType,
+                          kHighsInf)
 from ...models.lp import HighsLp
 from ...models.solution import HighsSolution
 from ...options import HighsOptions
@@ -659,6 +661,57 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return abs(incumbent_obj - dual_bound) / max(
             1.0, abs(incumbent_obj))
 
+    def _fire_cut_pool():
+        """kCallbackMipGetCutPool (reference
+        HighsMipSolver::callbackGetCutPool): hand the current cut-pool
+        rows to the user when a new incumbent arrives."""
+        if callbacks is None or not callbacks.callback_active(
+                CbT.kCallbackMipGetCutPool):
+            return
+        ncut = _Relax.num_cut_rows if _Relax.a_csc is not None else 0
+        callbacks.data_out.cutpool_num_col = lp.num_col
+        callbacks.data_out.cutpool_num_cut = int(ncut)
+        if ncut:
+            cut_csr = _Relax.a_csc[lp.num_row + (
+                _Relax.a_csc.shape[0] - lp.num_row - ncut):].tocsr()
+            callbacks.data_out.cutpool_start = \
+                np.asarray(cut_csr.indptr)
+            callbacks.data_out.cutpool_index = \
+                np.asarray(cut_csr.indices)
+            callbacks.data_out.cutpool_value = np.asarray(cut_csr.data)
+            callbacks.data_out.cutpool_lower = np.asarray(
+                _Relax.row_lower[-ncut:], float)
+            callbacks.data_out.cutpool_upper = np.asarray(
+                _Relax.row_upper[-ncut:], float)
+        else:
+            callbacks.data_out.cutpool_start = np.zeros(1, np.int64)
+            callbacks.data_out.cutpool_index = np.zeros(0, np.int64)
+            callbacks.data_out.cutpool_value = np.zeros(0)
+            callbacks.data_out.cutpool_lower = np.zeros(0)
+            callbacks.data_out.cutpool_upper = np.zeros(0)
+        callbacks.call(CbT.kCallbackMipGetCutPool, "MIP cut pool")
+
+    def _query_user_solution(origin=0):
+        """kCallbackMipUserSolution (reference
+        HighsMipSolverData::queryExternalSolution): give the user a
+        chance to inject a feasible solution."""
+        if callbacks is None or not callbacks.callback_active(
+                CbT.kCallbackMipUserSolution):
+            return
+        callbacks.data_out.mip_node_count = info.mip_node_count
+        callbacks.data_out.running_time = time.perf_counter() - t0
+        callbacks.data_out.external_solution_query_origin = origin
+        callbacks.data_in.user_has_solution = False
+        callbacks.data_in.user_solution = None
+        callbacks.call(CbT.kCallbackMipUserSolution,
+                       "MIP User solution")
+        if callbacks.data_in.user_has_solution and \
+                callbacks.data_in.user_solution is not None:
+            xs = np.asarray(callbacks.data_in.user_solution,
+                            dtype=np.float64)
+            if xs.shape == (lp.num_col,):
+                try_incumbent(xs, "user solution")
+
     def try_incumbent(x, source=""):
         nonlocal incumbent_x, incumbent_obj, n_improving
         if x is None:
@@ -698,6 +751,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 callbacks.data_out.mip_solution = incumbent_x.copy()
                 callbacks.call(CbType.kCallbackMipSolution)
                 callbacks.call(CbType.kCallbackMipImprovingSolution)
+                callbacks.call(
+                    CbType.kCallbackMipDefineLazyConstraints,
+                    "MIP define lazy constraints")
+                _fire_cut_pool()
             return True
         return False
 
@@ -1722,6 +1779,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # native engine whenever no Python-side per-node feature is
     # requested.  Root cutting/heuristics/restarts stay above.
     _bb_status = -1
+    # root-level external-solution query (reference
+    # queryExternalSolution at kMipSolveRoot)
+    _query_user_solution(origin=0)
     _native_ok = (
         bool(getattr(options, "tpu_mip_native_search", False))
         and use_simplex and _Relax.a_csc is not None
@@ -1856,6 +1916,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     best_dual = max(best_dual, dual_n)
                 if chunk >= remaining_bb - 0.2:
                     break  # the chunk covered the whole budget
+                _query_user_solution(origin=1)
                 # between chunks: RINS around the incumbent
                 if incumbent_obj < math.inf and incumbent_x is not \
                         None and options.mip_heuristic_run_rins and \
@@ -1911,6 +1972,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if callbacks.call(CbType.kCallbackMipInterrupt):
                 status = HighsModelStatus.kInterrupt
                 break
+            if info.mip_node_count % 64 == 0:
+                _query_user_solution(origin=1)
         if current is not None:
             node = current
             current = None

@@ -107,10 +107,14 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
 
     # active set: -1 at lower, +1 at upper, 0 free
     active = np.zeros(nv, dtype=np.int8)
-    at_lo = v <= lo_v + feastol * (1.0 + np.abs(lo_v))
-    at_up = v >= up_v - feastol * (1.0 + np.abs(up_v))
-    active[at_lo & np.isfinite(lo_v)] = -1
-    active[at_up & np.isfinite(up_v)] = 1
+    lo_fin = np.isfinite(lo_v)
+    up_fin = np.isfinite(up_v)
+    lo_f = np.where(lo_fin, lo_v, 0.0)
+    up_f = np.where(up_fin, up_v, 0.0)
+    at_lo = lo_fin & (v <= lo_f + feastol * (1.0 + np.abs(lo_f)))
+    at_up = up_fin & (v >= up_f - feastol * (1.0 + np.abs(up_f)))
+    active[at_lo] = -1
+    active[at_up] = 1
     if active_in is not None and len(active_in) == nv and \
             options.qp_allow_hot_start:
         # hot start: adopt the prior active set where consistent

@@ -88,14 +88,50 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
     # solves those with dual simplex + DSE)
     native_budget = min(options.simplex_iteration_limit,
                         max(100000, 100 * lp.num_row))
-    result, x, y, z, basis_out, iters = simplex_solve(
-        lp.a_matrix.to_scipy().tocsc(), sense * lp.col_cost,
-        lp.col_lower, lp.col_upper, lp.row_lower, lp.row_upper,
-        basis_in=basis_in,
+    _cbs = getattr(options, "_callbacks", None)
+    from ...constants import HighsCallbackType as _CbT
+    _si_active = _cbs is not None and _cbs.callback_active(
+        _CbT.kCallbackSimplexInterrupt)
+    _a_solve = lp.a_matrix.to_scipy().tocsc()
+    _kw = dict(
         tol_p=options.primal_feasibility_tolerance * 1e-2,
         tol_d=options.dual_feasibility_tolerance * 1e-2,
-        max_iter=native_budget,
         time_limit=min(options.time_limit, 1e18))
+    if not _si_active:
+        result, x, y, z, basis_out, iters = simplex_solve(
+            _a_solve, sense * lp.col_cost,
+            lp.col_lower, lp.col_upper, lp.row_lower, lp.row_upper,
+            basis_in=basis_in, max_iter=native_budget, **_kw)
+    else:
+        # kCallbackSimplexInterrupt (reference: fired per iteration,
+        # HEkk.cpp:3460): the native pivot loop runs in chunks with
+        # the callback fired between them
+        iters = 0
+        _chunk = 2000
+        _b_cur = basis_in
+        _interrupted = False
+        while True:
+            result, x, y, z, basis_out, it_c = simplex_solve(
+                _a_solve, sense * lp.col_cost,
+                lp.col_lower, lp.col_upper, lp.row_lower, lp.row_upper,
+                basis_in=_b_cur,
+                max_iter=min(_chunk, native_budget - iters), **_kw)
+            iters += it_c
+            if result != RESULT_ITER_LIMIT or iters >= native_budget:
+                break
+            _cbs.data_out.simplex_iteration_count = iters
+            _cbs.data_out.running_time = time.perf_counter() - t0
+            if _cbs.call(_CbT.kCallbackSimplexInterrupt,
+                         "Simplex interrupt"):
+                _interrupted = True
+                break
+            _b_cur = basis_out
+        if _interrupted:
+            info.iterations = iters
+            info.simplex_iterations = iters
+            info.status = HighsModelStatus.kInterrupt
+            info.solve_time = time.perf_counter() - t0
+            return info.status, HighsSolution(), info
 
     info.iterations = iters
     info.simplex_iterations = iters

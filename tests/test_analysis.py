@@ -215,3 +215,107 @@ def test_feasibility_relaxation():
     assert sol.value_valid
     # relaxed solution respects col bound x >= 5
     assert sol.col_value[0] >= 5.0 - 1e-6
+
+
+def test_simplex_interrupt_callback(instances_dir):
+    fired = {"n": 0}
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(
+                HighsCallbackType.kCallbackSimplexInterrupt):
+            fired["n"] += 1
+            data_in.user_interrupt = True
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("presolve", "off")
+    h.readModel(instance_path("25fv47.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackSimplexInterrupt)
+    h.run()
+    assert fired["n"] >= 1
+    assert h.getModelStatus() == HighsModelStatus.kInterrupt
+
+
+def test_ipm_interrupt_callback(instances_dir):
+    fired = {"n": 0}
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(HighsCallbackType.kCallbackIpmInterrupt):
+            fired["n"] += 1
+            if data_out.ipm_iteration_count >= 2:
+                data_in.user_interrupt = True
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "ipm")
+    h.readModel(instance_path("adlittle.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackIpmInterrupt)
+    h.run()
+    assert fired["n"] >= 1
+
+
+def test_mip_user_solution_callback(instances_dir):
+    """kCallbackMipUserSolution: inject the known optimum."""
+    state = {"fired": 0}
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(
+                HighsCallbackType.kCallbackMipUserSolution):
+            state["fired"] += 1
+            if state["fired"] == 1 and user_data is not None:
+                data_in.user_has_solution = True
+                data_in.user_solution = user_data
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("flugpl.mps"))
+    h.run()
+    xopt = np.array(h.getSolution().col_value)
+
+    h2 = Highs()
+    h2.setOptionValue("output_flag", False)
+    h2.readModel(instance_path("flugpl.mps"))
+    h2.setCallback(cb, xopt)
+    h2.startCallback(HighsCallbackType.kCallbackMipUserSolution)
+    h2.run()
+    assert state["fired"] >= 1
+    assert abs(h2.getInfo().objective_function_value - 1201500.0) < 1.0
+
+
+def test_mip_cut_pool_callback(instances_dir):
+    got = {"cuts": -1}
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(
+                HighsCallbackType.kCallbackMipGetCutPool):
+            got["cuts"] = data_out.cutpool_num_cut
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("bell5.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(HighsCallbackType.kCallbackMipGetCutPool)
+    h.run()
+    # fired at least once with a well-formed (possibly empty) pool
+    assert got["cuts"] >= 0
+
+
+def test_mip_lazy_constraint_callback_fires(instances_dir):
+    fired = {"n": 0}
+
+    def cb(callback_type, message, data_out, data_in, user_data):
+        if callback_type == int(
+                HighsCallbackType.kCallbackMipDefineLazyConstraints):
+            fired["n"] += 1
+            assert data_out.mip_solution is not None
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel(instance_path("egout.mps"))
+    h.setCallback(cb, None)
+    h.startCallback(
+        HighsCallbackType.kCallbackMipDefineLazyConstraints)
+    h.run()
+    assert fired["n"] >= 1
