@@ -65,6 +65,21 @@ def shard_pdhg(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS):
     # DenseMatrix: shard the (m, n) array by rows
     if hasattr(k_op, "a") and hasattr(k_op.a, "ndim") and k_op.a.ndim == 2:
         k_op = type(k_op)(put(k_op.a, row_mat))
+    elif hasattr(k_op, "idx"):
+        # EllMatrix: the row-oriented gather tables shard by rows; the
+        # transpose tables live in column space (replicated), and the
+        # spill tails are tiny
+        rep_mat = NamedSharding(mesh, P())
+        k_op = k_op._replace(
+            idx=put(k_op.idx, row_mat), val=put(k_op.val, row_mat),
+            idx_t=put(k_op.idx_t, rep_mat),
+            val_t=put(k_op.val_t, rep_mat),
+            tail_seg=put(k_op.tail_seg, rep),
+            tail_col=put(k_op.tail_col, rep),
+            tail_val=put(k_op.tail_val, rep),
+            tail_seg_t=put(k_op.tail_seg_t, rep),
+            tail_col_t=put(k_op.tail_col_t, rep),
+        )
     problem = problem._replace(
         k_op=k_op,
         b=put(problem.b, row),

@@ -88,3 +88,39 @@ def test_matrix_image_option(tmp_path, monkeypatch):
     h.passModel(lp)
     h.run()
     assert os.path.exists("pic_matrix.pbm")
+
+
+def test_ell_matrix_matvec_and_spill():
+    """EllMatrix: padded-gather matvec with COO spill tail equals the
+    scipy products; cast_linop produces a bf16 stepping copy."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from highs_tpu.ops import linops as L
+
+    rng = np.random.default_rng(7)
+    A = sp.random(180, 140, density=0.06, random_state=3).tolil()
+    A[11, :120] = 2.0   # skewed row -> exercises the spill tail
+    A = A.tocsr()
+    op = L.from_scipy_ell(A)
+    assert op.tail_seg.shape[0] > 0
+    x = rng.standard_normal(140)
+    y = rng.standard_normal(180)
+    np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(x))),
+                               A @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(y))),
+                               A.T @ y, rtol=1e-12, atol=1e-12)
+    lo = L.cast_linop(op, jnp.bfloat16)
+    assert lo is not None and lo.val.dtype == jnp.bfloat16
+    assert op.shape == (180, 140)
+
+
+def test_linop_choose_ell_for_scattered():
+    """from_scipy('choose') picks ELL for large scattered matrices
+    (block-CSR tiles would blow up ~5000x on random sparsity)."""
+    import scipy.sparse as sp
+    from highs_tpu.ops import linops as L
+
+    big = sp.random(9000, 9000, density=0.0008, random_state=2)
+    assert isinstance(L.from_scipy(big, fmt="choose"), L.EllMatrix)
+    small = sp.random(300, 200, density=0.05, random_state=1)
+    assert isinstance(L.from_scipy(small, fmt="choose"), L.DenseMatrix)
