@@ -444,13 +444,31 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
             pass
 
     blocks_since_ckpt = 0
+    # Latency-adaptive block sizing: each block costs one host round
+    # trip for the convergence metrics (the reference's CUDA-graph
+    # block is a fixed 40 steps, pdhg.cc:32, because its host link is
+    # PCIe).  On a tunneled / remote TPU the round trip can dwarf 40
+    # steps of compute, so the block doubles (-> one recompile per
+    # doubling) while blocks complete quickly, up to 64x the base
+    # interval.  Restart/step-size control simply runs per block.
+    block_steps = max(1, settings.check_interval)
+    max_block = max(block_steps, min(2560, 64 * block_steps))
+    n_blocks = 0
 
     while True:
+        t_blk = time.perf_counter()
         state, metrics = pdhg_block(problem, state,
-                                    settings.check_interval, gamma,
+                                    block_steps, gamma,
                                     step_op)
-        total_iters += settings.check_interval
+        total_iters += block_steps
         mlast = jax.device_get(metrics)
+        blk_wall = time.perf_counter() - t_blk
+        n_blocks += 1
+        if blk_wall < 0.25 and block_steps < max_block:
+            block_steps = min(2 * block_steps, max_block)
+        elif blk_wall > 2.0 and block_steps > settings.check_interval:
+            block_steps = max(block_steps // 2,
+                              settings.check_interval)
         blocks_since_ckpt += 1
         if ckpt and blocks_since_ckpt >= settings.checkpoint_interval:
             blocks_since_ckpt = 0
@@ -536,7 +554,7 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
             eta_cur = float(jax.device_get(state.eta))
             if interaction > 1e-300 and movement > 0.0:
                 eta_limit = movement / interaction
-                k = total_iters / max(1, settings.check_interval)
+                k = max(1, n_blocks)
                 if settings.step_size_strategy == "adaptive":
                     # cuPDLP reduction/growth exponents 0.3/0.6
                     # (defs.hpp:129-137), block-level

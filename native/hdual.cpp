@@ -946,6 +946,168 @@ void restore_state(Engine& e, const EngineState& s) {
   e.factored = s.factored;
 }
 
+// ---------------------------------------------------------------------------
+// Propagation-based conflict analysis (role of the reference's
+// HighsDomain reason/conflict stack + HighsConflictPool,
+// highs/mip/HighsDomain.cpp, HighsConflictPool.cpp).
+//
+// Every bound tightened by a row records that row as its REASON.  When
+// propagation hits an infeasible row, the bounds contributing to the
+// violated activity side are resolved backwards — a propagated bound
+// expands into the bounds of its reason row, a clause-derived bound
+// expands into the falsified literals of its clause — until only
+// branch decisions on BINARY variables remain.  Those decisions form a
+// no-good clause ("not all of these fixings together"), stored in a
+// pool and unit-propagated at every node.
+struct ConflictPool {
+  std::vector<int32_t> start{0};
+  std::vector<int32_t> col;
+  std::vector<int8_t> sgn;  // 1: satisfied by x=1, 0: satisfied by x=0
+  int num() const { return (int)start.size() - 1; }
+  void add(const std::vector<std::pair<int32_t, int8_t>>& lits) {
+    for (auto& l : lits) { col.push_back(l.first); sgn.push_back(l.second); }
+    start.push_back((int32_t)col.size());
+  }
+};
+
+struct CflCtx {
+  const double* root_lo = nullptr;  // global bounds (col space, size n)
+  const double* root_up = nullptr;
+  ConflictPool* pool = nullptr;
+  std::vector<int32_t> reason_lo, reason_up;  // per col: row >=0,
+                                              // -1 decision/root,
+                                              // -(2+c) clause c
+  std::vector<std::pair<int32_t, int8_t>> out;  // derived clause
+  bool have_out = false;
+};
+
+enum CflSide : int8_t { kSideLo = 0, kSideUp = 1 };
+
+// resolve the contributing bounds of (row i, violated side) to binary
+// decision literals; fills ctx.out / ctx.have_out
+void cfl_analyze(const Engine& e, CflCtx& ctx, const int8_t* is_int,
+                 const double* lo, const double* up, int bad_row,
+                 bool min_side) {
+  ctx.have_out = false;
+  ctx.out.clear();
+  const int n = e.n;
+  std::vector<std::pair<int32_t, int8_t>> work;  // (col, side)
+  std::vector<int8_t> seen_lo(n, 0), seen_up(n, 0);
+  auto push = [&](int j, int8_t side) {
+    if (side == kSideLo) {
+      if (seen_lo[j]) return;
+      seen_lo[j] = 1;
+    } else {
+      if (seen_up[j]) return;
+      seen_up[j] = 1;
+    }
+    work.push_back({(int32_t)j, side});
+  };
+  // seed: bounds contributing to the violated activity bound of bad_row.
+  // min-activity violated uses lo for a>0 / up for a<0; max-activity
+  // the opposite.
+  for (int64_t k = e.Rp[bad_row]; k < e.Rp[bad_row + 1]; ++k) {
+    const int j = e.Ri[k];
+    const bool pos = e.Rx[k] > 0;
+    push(j, (min_side == pos) ? kSideLo : kSideUp);
+  }
+  std::vector<std::pair<int32_t, int8_t>> lits;
+  int expansions = 0;
+  while (!work.empty()) {
+    if (++expansions > 512 || (int)lits.size() > 48) return;  // too big
+    auto [j, side] = work.back();
+    work.pop_back();
+    const double rl0 = ctx.root_lo[j], ru0 = ctx.root_up[j];
+    // a bound still at its global value is universally true: no literal
+    if (side == kSideLo && lo[j] <= rl0 + 1e-12) continue;
+    if (side == kSideUp && up[j] >= ru0 - 1e-12) continue;
+    const int32_t r = (side == kSideLo) ? ctx.reason_lo[j]
+                                        : ctx.reason_up[j];
+    if (r >= 0) {
+      // propagated by row r: expand into that row's contributing
+      // bounds (all other columns, plus the row side that was used)
+      // lower-bound tightening of j by row r used: min-activity others
+      // (res) when r's UPPER bound active, etc.  Conservatively expand
+      // BOTH sides' contributors of the row except j itself.
+      for (int64_t k = e.Rp[r]; k < e.Rp[r + 1]; ++k) {
+        const int jj = e.Ri[k];
+        if (jj == j) continue;
+        const bool pos = e.Rx[k] > 0;
+        // contributing bound for residual activity on either side
+        push(jj, pos ? kSideLo : kSideUp);
+        push(jj, pos ? kSideUp : kSideLo);
+      }
+      continue;
+    }
+    if (r <= -2) {
+      // fixed by clause c: expand into the clause's other literals'
+      // falsifying bounds
+      const int c = -(r + 2);
+      for (int32_t k = ctx.pool->start[c]; k < ctx.pool->start[c + 1];
+           ++k) {
+        const int jj = ctx.pool->col[k];
+        if (jj == j) continue;
+        // literal falsified means: sgn=1 -> x=0 (up bound), sgn=0 ->
+        // x=1 (lo bound)
+        push(jj, ctx.pool->sgn[k] ? kSideUp : kSideLo);
+      }
+      continue;
+    }
+    // decision literal: only binaries make a clause
+    if (!is_int[j] || ctx.root_lo[j] < -0.5 || ctx.root_up[j] > 1.5)
+      return;
+    if (side == kSideLo && lo[j] >= 0.5) {
+      lits.push_back({(int32_t)j, (int8_t)0});  // relax: x_j = 0
+    } else if (side == kSideUp && up[j] <= 0.5) {
+      lits.push_back({(int32_t)j, (int8_t)1});  // relax: x_j = 1
+    } else {
+      return;  // non-binary-valued decision bound
+    }
+  }
+  if (lits.empty()) return;  // globally infeasible would be caught at root
+  ctx.out = std::move(lits);
+  ctx.have_out = true;
+}
+
+// unit-propagate the clause pool; returns false on an all-falsified
+// clause (ctx records nothing for it — the clause itself is the
+// conflict).  fixes record the clause as their reason.
+bool cfl_propagate(CflCtx& ctx, const int8_t* is_int, double* lo,
+                   double* up, bool* changed) {
+  ConflictPool& P = *ctx.pool;
+  for (int c = 0; c < P.num(); ++c) {
+    int undecided = -1;
+    int n_false = 0;
+    const int len = P.start[c + 1] - P.start[c];
+    bool sat = false;
+    for (int32_t k = P.start[c]; k < P.start[c + 1]; ++k) {
+      const int j = P.col[k];
+      if (P.sgn[k]) {
+        if (lo[j] >= 0.5) { sat = true; break; }
+        if (up[j] <= 0.5) ++n_false; else undecided = k;
+      } else {
+        if (up[j] <= 0.5) { sat = true; break; }
+        if (lo[j] >= 0.5) ++n_false; else undecided = k;
+      }
+    }
+    if (sat) continue;
+    if (n_false == len) return false;  // conflict
+    if (n_false == len - 1 && undecided >= 0) {
+      const int j = P.col[undecided];
+      if (P.sgn[undecided]) {
+        lo[j] = 1.0;
+        if (!ctx.reason_lo.empty()) ctx.reason_lo[j] = -(2 + c);
+      } else {
+        up[j] = 0.0;
+        if (!ctx.reason_up.empty()) ctx.reason_up[j] = -(2 + c);
+      }
+      if (lo[j] > up[j] + 1e-9) return false;
+      *changed = true;
+    }
+  }
+  return true;
+}
+
 // worklist-free activity-bound propagation over the rows (role of
 // HighsDomain::propagate, highs/mip/HighsDomain.cpp; simple full
 // rounds — the node problems here are small and the rounds vectorize
@@ -953,7 +1115,12 @@ void restore_state(Engine& e, const EngineState& s) {
 bool node_propagate(const Engine& e, const double* row_lo,
                     const double* row_up, const int8_t* is_int,
                     double feastol, int max_rounds, double* lo,
-                    double* up) {
+                    double* up, CflCtx* cfl = nullptr) {
+  if (cfl) {
+    cfl->reason_lo.assign(e.n, -1);
+    cfl->reason_up.assign(e.n, -1);
+    cfl->have_out = false;
+  }
   const int m = e.m, n = e.n;
   for (int round = 0; round < max_rounds; ++round) {
     bool changed = false;
@@ -977,10 +1144,16 @@ bool node_propagate(const Engine& e, const double* row_lo,
       }
       const double row_scale =
           1.0 + std::max(std::fabs(amin), std::fabs(amax));
-      if (ninf_max == 0 && rl > -kInf && amax < rl - feastol * row_scale)
+      if (ninf_max == 0 && rl > -kInf &&
+          amax < rl - feastol * row_scale) {
+        if (cfl) cfl_analyze(e, *cfl, is_int, lo, up, i, false);
         return false;
-      if (ninf_min == 0 && ru < kInf && amin > ru + feastol * row_scale)
+      }
+      if (ninf_min == 0 && ru < kInf &&
+          amin > ru + feastol * row_scale) {
+        if (cfl) cfl_analyze(e, *cfl, is_int, lo, up, i, true);
         return false;
+      }
       // tighten each variable from the residual activity
       for (int64_t k = e.Rp[i]; k < e.Rp[i + 1]; ++k) {
         const int j = e.Ri[k];
@@ -994,6 +1167,7 @@ bool node_propagate(const Engine& e, const double* row_lo,
             if (is_int[j]) nb = std::floor(nb + feastol);
             if (nb < u - std::max(feastol, 1e-9 * std::fabs(u))) {
               up[j] = nb;
+              if (cfl) cfl->reason_up[j] = i;
               if (up[j] < lo[j] - feastol) return false;
               changed = true;
             }
@@ -1001,6 +1175,7 @@ bool node_propagate(const Engine& e, const double* row_lo,
             if (is_int[j]) nb = std::ceil(nb - feastol);
             if (nb > l + std::max(feastol, 1e-9 * std::fabs(l))) {
               lo[j] = nb;
+              if (cfl) cfl->reason_lo[j] = i;
               if (lo[j] > up[j] + feastol) return false;
               changed = true;
             }
@@ -1013,6 +1188,7 @@ bool node_propagate(const Engine& e, const double* row_lo,
             if (is_int[j]) nb = std::ceil(nb - feastol);
             if (nb > l + std::max(feastol, 1e-9 * std::fabs(l))) {
               lo[j] = nb;
+              if (cfl) cfl->reason_lo[j] = i;
               if (lo[j] > up[j] + feastol) return false;
               changed = true;
             }
@@ -1020,6 +1196,7 @@ bool node_propagate(const Engine& e, const double* row_lo,
             if (is_int[j]) nb = std::floor(nb + feastol);
             if (nb < u - std::max(feastol, 1e-9 * std::fabs(u))) {
               up[j] = nb;
+              if (cfl) cfl->reason_up[j] = i;
               if (up[j] < lo[j] - feastol) return false;
               changed = true;
             }
@@ -1028,6 +1205,9 @@ bool node_propagate(const Engine& e, const double* row_lo,
       }
       // NOTE: amin/amax intentionally not updated within the row pass;
       // the next round recomputes them (keeps the pass branch-light)
+    }
+    if (cfl && cfl->pool && cfl->pool->num()) {
+      if (!cfl_propagate(*cfl, is_int, lo, up, &changed)) return false;
     }
     if (!changed) break;
   }
@@ -1270,6 +1450,34 @@ int hx_mip_solve(
   int64_t node_count = 0, lp_iters = 0;
   int status = 0;
   double open_bound_at_stop = kInf;
+  // conflict machinery (reference HighsDomain reason stack +
+  // HighsConflictPool): clauses over binary decisions, derived from
+  // propagation-infeasible nodes and from LP-infeasible branch paths
+  ConflictPool cfl_pool;
+  CflCtx cfl;
+  cfl.root_lo = root_lo;
+  cfl.root_up = root_up;
+  cfl.pool = &cfl_pool;
+  const bool cfl_off = std::getenv("HX_NO_CONFLICTS") != nullptr;
+  const int kMaxConflicts = cfl_off ? 0 : 5000;
+  auto path_clause = [&](int32_t node_id) {
+    // no-good over the binary fixings on the ancestry path
+    if (cfl_pool.num() >= kMaxConflicts) return;
+    std::vector<std::pair<int32_t, int8_t>> lits;
+    for (int32_t a = node_id; a >= 0; a = nodes[a].parent) {
+      if (nodes[a].col < 0) continue;
+      const int j = nodes[a].col;
+      if (root_lo[j] < -0.5 || root_up[j] > 1.5 || !is_int[j]) return;
+      if (nodes[a].up_branch && nodes[a].val >= 0.5)
+        lits.push_back({(int32_t)j, (int8_t)0});  // relax x_j -> 0
+      else if (!nodes[a].up_branch && nodes[a].val <= 0.5)
+        lits.push_back({(int32_t)j, (int8_t)1});
+      else
+        return;  // non-binary branch value
+      if (lits.size() > 48) return;
+    }
+    if (!lits.empty()) cfl_pool.add(lits);
+  };
   int32_t plunge = -1;
   bool engine_live = false;  // engine basis continues the current dive
   EngineState probe_save;
@@ -1330,7 +1538,12 @@ int hx_mip_solve(
 
     ++node_count;
     if (!node_propagate(e, row_lo, row_up, is_int, feastol, 4,
-                        lo.data(), up.data())) {
+                        lo.data(), up.data(),
+                        cfl_off ? nullptr : &cfl)) {
+      if (cfl.have_out && cfl_pool.num() < kMaxConflicts)
+        cfl_pool.add(cfl.out);
+      else if (!cfl.have_out)
+        path_clause(cur);
       pool_release(cur_basis_id);
       continue;
     }
@@ -1359,7 +1572,10 @@ int hx_mip_solve(
     }
     engine_live = false;
     if (res == kObjCut) continue;          // bound-pruned mid-solve
-    if (res == kInfeasible) continue;      // engine re-verified already
+    if (res == kInfeasible) {              // engine re-verified already
+      path_clause(cur);
+      continue;
+    }
     if (res == kUnbounded) { status = 3; break; }
     if (res != kOptimal) {
       if (elapsed() > time_limit_s) { status = 2; break; }
@@ -1624,9 +1840,11 @@ int hx_mip_solve(
   *found_out = found;
   *status_out = status;
   if (std::getenv("HX_NATIVE_DEBUG"))
-    std::fprintf(stderr, "hx_mip: nodes=%lld lp_iters=%lld phase1=%lld\n",
+    std::fprintf(stderr,
+                 "hx_mip: nodes=%lld lp_iters=%lld phase1=%lld "
+                 "conflicts=%d\n",
                  (long long)node_count, (long long)lp_iters,
-                 g_phase1_count);
+                 g_phase1_count, cfl_pool.num());
   delete ep;
   return 0;
 }

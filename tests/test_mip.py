@@ -274,3 +274,34 @@ def test_mip_restart_on_heavy_fixing():
         objs[flag] = h.getObjectiveValue()
     assert abs(objs[True] - (-2.0)) < 1e-6
     assert abs(objs[True] - objs[False]) < 1e-9
+
+
+def test_native_conflict_pool_derives_clauses(instances_dir):
+    """Propagation-based conflict analysis (native hx_mip_solve,
+    reference HighsDomain reason stack + HighsConflictPool): the
+    search derives no-good clauses on lseu and the answer stays
+    exact with the pool on and off."""
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "from highs_tpu.highs import Highs\n"
+        "h = Highs()\n"
+        "h.readModel(r'%s')\n"
+        "h.setOptionValue('output_flag', False)\n"
+        "h.run()\n"
+        "print('OBJ', h.getInfo().objective_function_value)\n"
+        % str(instances_dir / "lseu.mps"))
+    env = dict(os.environ, HX_NATIVE_DEBUG="1")
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert "OBJ 1120.0" in out.stdout
+    import re
+    counts = [int(mm) for mm in re.findall(r"conflicts=(\d+)",
+                                           out.stderr)]
+    assert counts and max(counts) > 0, out.stderr[-500:]
+    env2 = dict(os.environ, HX_NO_CONFLICTS="1")
+    out2 = subprocess.run([sys.executable, "-c", script], env=env2,
+                          capture_output=True, text=True, timeout=300)
+    assert "OBJ 1120.0" in out2.stdout
