@@ -101,3 +101,61 @@ def shard_pdhg(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS):
         k=put(state.k, rep), eta=put(state.eta, rep),
         omega=put(state.omega, rep))
     return problem, state
+
+
+COL_AXIS = "cols"
+
+
+def shard_pdhg_2d(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS,
+                  col_axis: str = COL_AXIS):
+    """2D block layout (SURVEY §7.3): K is partitioned into
+    (rows x cols) blocks; row-space vectors shard over `row_axis`,
+    column-space vectors over `col_axis`.
+
+    Under jit/GSPMD each product is halo-free:
+    - K x   -> local block matmuls + psum over `col_axis`
+               (result row-sharded)
+    - K' y  -> local block matmuls + psum over `row_axis`
+               (result col-sharded)
+    so both PDHG matvecs cost one partial-vector all-reduce each and
+    every elementwise update stays fully local.  This is the layout
+    for a single large LP spanning a pod slice; the 1D `shard_pdhg`
+    row layout is preferred while K fits a replicated column space.
+    Dense operators only (the ELL gather tables stay 1D row-sharded).
+    """
+    row = NamedSharding(mesh, P(row_axis))
+    col = NamedSharding(mesh, P(col_axis))
+    rep = NamedSharding(mesh, P())
+    blk = NamedSharding(mesh, P(row_axis, col_axis))
+
+    def put(x, sh):
+        return jax.device_put(x, sh)
+
+    k_op = problem.k_op
+    if not (hasattr(k_op, "a") and hasattr(k_op.a, "ndim")
+            and k_op.a.ndim == 2):
+        raise ValueError("2D block sharding requires a DenseMatrix "
+                         "operator")
+    k_op = type(k_op)(put(k_op.a, blk))
+    problem = problem._replace(
+        k_op=k_op,
+        b=put(problem.b, row),
+        c=put(problem.c, col),
+        lo=put(problem.lo, col),
+        up=put(problem.up, col),
+        is_eq=put(problem.is_eq, row),
+        lo_fin=put(problem.lo_fin, col),
+        up_fin=put(problem.up_fin, col),
+        inv_row_scale=put(problem.inv_row_scale, row),
+        inv_col_scale=put(problem.inv_col_scale, col),
+        norm_b=put(problem.norm_b, rep),
+        norm_c=put(problem.norm_c, rep))
+    state = state._replace(
+        x=put(state.x, col), y=put(state.y, row),
+        x_pd=put(state.x_pd, col), y_pd=put(state.y_pd, row),
+        x_anchor=put(state.x_anchor, col),
+        y_anchor=put(state.y_anchor, row),
+        aty=put(state.aty, col),
+        k=put(state.k, rep), eta=put(state.eta, rep),
+        omega=put(state.omega, rep))
+    return problem, state

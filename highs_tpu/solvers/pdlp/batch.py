@@ -170,9 +170,16 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
     final_pobj = np.zeros(b)
     final_dobj = np.zeros(b)
 
+    n_blocks = 0
+    max_block = max(check, min(2560, 64 * check))
     while True:
-        state, metrics = batched_pdhg_block(problem, state, check, 1.0)
-        total += check
+        # same deterministic block-size ramp as the single-instance
+        # loop (pdhg.py): doubles every 4 blocks, count-based only
+        block_steps = min(max_block, check << min(6, n_blocks // 4))
+        state, metrics = batched_pdhg_block(problem, state,
+                                            block_steps, 1.0)
+        total += block_steps
+        n_blocks += 1
         mh = jax.device_get(metrics)
         pobj = np.asarray(mh.primal_obj, dtype=np.float64) + \
             np.array([s.offset for s in stds])

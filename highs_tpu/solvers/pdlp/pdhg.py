@@ -444,31 +444,28 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
             pass
 
     blocks_since_ckpt = 0
-    # Latency-adaptive block sizing: each block costs one host round
+    # Deterministic block-size ramp: each block costs one host round
     # trip for the convergence metrics (the reference's CUDA-graph
     # block is a fixed 40 steps, pdhg.cc:32, because its host link is
     # PCIe).  On a tunneled / remote TPU the round trip can dwarf 40
-    # steps of compute, so the block doubles (-> one recompile per
-    # doubling) while blocks complete quickly, up to 64x the base
-    # interval.  Restart/step-size control simply runs per block.
-    block_steps = max(1, settings.check_interval)
-    max_block = max(block_steps, min(2560, 64 * block_steps))
+    # steps of compute, so the block size doubles every 4 blocks (one
+    # recompile per doubling) up to 64x the base interval.  The ramp
+    # depends only on the block count — never on wall-clock — so
+    # iteration counts stay bit-reproducible across devices, meshes
+    # and machine speeds (mesh-invariance tests).
+    base_steps = max(1, settings.check_interval)
+    max_block = max(base_steps, min(2560, 64 * base_steps))
     n_blocks = 0
 
     while True:
-        t_blk = time.perf_counter()
+        block_steps = min(max_block,
+                          base_steps << min(6, n_blocks // 4))
         state, metrics = pdhg_block(problem, state,
                                     block_steps, gamma,
                                     step_op)
         total_iters += block_steps
         mlast = jax.device_get(metrics)
-        blk_wall = time.perf_counter() - t_blk
         n_blocks += 1
-        if blk_wall < 0.25 and block_steps < max_block:
-            block_steps = min(2 * block_steps, max_block)
-        elif blk_wall > 2.0 and block_steps > settings.check_interval:
-            block_steps = max(block_steps // 2,
-                              settings.check_interval)
         blocks_since_ckpt += 1
         if ckpt and blocks_since_ckpt >= settings.checkpoint_interval:
             blocks_since_ckpt = 0
