@@ -112,6 +112,11 @@ class PdhgSettings:
     # `step_dtype_switch_tol`, then switch to full precision
     step_dtype: str = ""
     step_dtype_switch_tol: float = 1e-3
+    # engine mode: "halpern" = reflected-Halpern (HiPDLP / cuPDLPx,
+    # pdhg.cc kUseCupdlpx), "average" = average-iterate restarted PDHG
+    # (cuPDLP-C, cupdlp_solver.c PDHG_Solve + cupdlp_restart.c
+    # GetRestartIterate) — the two option values "hipdlp" and "pdlp"
+    mode: str = "halpern"
     # step-size strategy (reference pdlp_step_size_strategy;
     # cupdlp_step.c fixed/adaptive/Malitsky-Pock).  The Halpern mode is
     # natively fixed-step; "adaptive" and "malitsky_pock" re-estimate
@@ -258,6 +263,70 @@ def pdhg_block(problem: PdhgProblem, state: PdhgState, n_steps: int,
     state = jax.lax.fori_loop(0, n_steps, body, state)
     metrics = _compute_metrics(problem, state)
     return state, metrics
+
+
+def _avg_pdhg_step(problem: PdhgProblem, state: PdhgState,
+                   step_op=None) -> PdhgState:
+    """One plain PDHG step with running-average accumulation
+    (cuPDLP-C PDHG_Update_Iterate): x_{k+1} = proj(x - tau(c - K'y)),
+    y_{k+1} = proj(y + sigma(b - K(2x_{k+1} - x))).  The anchor fields
+    hold the RUNNING SUMS of the iterates since the last restart (the
+    Halpern anchor is unused in this mode)."""
+    tau = state.eta / state.omega
+    sigma = state.eta * state.omega
+    op = problem.k_op if step_op is None else step_op
+    from ...ops.linops import linop_dtype
+    op_dt = linop_dtype(op)
+
+    x_pd = jnp.clip(state.x - tau * (problem.c - state.aty),
+                    problem.lo, problem.up)
+    x_r = 2.0 * x_pd - state.x
+    ax_r = op.mv(x_r.astype(op_dt)).astype(x_r.dtype)
+    y_raw = state.y + sigma * (problem.b - ax_r)
+    y_pd = jnp.where(problem.is_eq > 0, y_raw, jnp.maximum(y_raw, 0.0))
+    aty_new = op.rmv(y_pd.astype(op_dt)).astype(y_pd.dtype)
+    return state._replace(
+        x=x_pd, y=y_pd, x_pd=x_pd, y_pd=y_pd,
+        x_anchor=state.x_anchor + x_pd,
+        y_anchor=state.y_anchor + y_pd,
+        aty=aty_new, k=state.k + 1)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def pdhg_block_avg(problem: PdhgProblem, state: PdhgState,
+                   n_steps: int, step_op=None):
+    """Average-iterate device block: n_steps plain PDHG steps, then
+    metrics at BOTH the current and the average iterate (cuPDLP-C
+    checks both and restarts to the better, cupdlp_restart.c)."""
+    def body(_, st):
+        return _avg_pdhg_step(problem, st, step_op)
+
+    state = jax.lax.fori_loop(0, n_steps, body, state)
+    kf = jnp.maximum(state.k.astype(state.x.dtype), 1.0)
+    x_avg = state.x_anchor / kf
+    y_avg = state.y_anchor / kf
+    # current-iterate metrics, with the average as the "anchor" so the
+    # difference rays keep a meaningful direction
+    m_cur = _compute_metrics(problem, state._replace(
+        x_anchor=x_avg, y_anchor=y_avg))
+    m_avg = _compute_metrics(problem, state._replace(
+        x_pd=x_avg, y_pd=y_avg,
+        x_anchor=state.x_pd, y_anchor=state.y_pd))
+    return state, m_cur, m_avg, x_avg, y_avg
+
+
+@jax.jit
+def _restart_state_avg(problem: PdhgProblem, state: PdhgState,
+                       x_new: jax.Array, y_new: jax.Array,
+                       new_omega: jax.Array) -> PdhgState:
+    """Restart the average-iterate engine from (x_new, y_new) —
+    cuPDLP-C PDHG_Restart_Iterate: sums cleared, aty refreshed."""
+    return state._replace(
+        x=x_new, y=y_new, x_pd=x_new, y_pd=y_new,
+        x_anchor=jnp.zeros_like(x_new),
+        y_anchor=jnp.zeros_like(y_new),
+        aty=problem.k_op.rmv(y_new),
+        k=jnp.zeros_like(state.k), omega=new_omega)
 
 
 @partial(jax.jit, static_argnames=("n", "iters", "dtype"))
@@ -457,14 +526,37 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     max_block = max(base_steps, min(2560, 64 * base_steps))
     n_blocks = 0
 
+    avg_mode = settings.mode == "average"
+    avg_err_at_restart = None
+    avg_last_err = None
+    avg_xy = None  # device arrays of the current average iterate
+
     while True:
         block_steps = min(max_block,
                           base_steps << min(6, n_blocks // 4))
-        state, metrics = pdhg_block(problem, state,
-                                    block_steps, gamma,
-                                    step_op)
+        if avg_mode:
+            state, m_cur_d, m_avg_d, x_avg, y_avg = pdhg_block_avg(
+                problem, state, block_steps, step_op)
+            m_cur = jax.device_get(m_cur_d)
+            m_avg = jax.device_get(m_avg_d)
+
+            def _err(mm):
+                po = float(mm.primal_obj) + offset
+                do_ = float(mm.dual_obj) + offset
+                return max(
+                    float(mm.primal_res) / (1.0 + norm_b),
+                    float(mm.dual_res) / (1.0 + norm_c),
+                    abs(po - do_) / (1.0 + abs(po) + abs(do_)))
+            use_avg = _err(m_avg) <= _err(m_cur)
+            mlast = m_avg if use_avg else m_cur
+            avg_xy = (x_avg, y_avg) if use_avg else (state.x_pd,
+                                                     state.y_pd)
+        else:
+            state, metrics = pdhg_block(problem, state,
+                                        block_steps, gamma,
+                                        step_op)
+            mlast = jax.device_get(metrics)
         total_iters += block_steps
-        mlast = jax.device_get(metrics)
         n_blocks += 1
         blocks_since_ckpt += 1
         if ckpt and blocks_since_ckpt >= settings.checkpoint_interval:
@@ -572,8 +664,46 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if settings.step_size_strategy in ("adaptive", "malitsky_pock"):
             prev_iterates = (state.x_pd, state.y_pd)
 
+        # --- restart logic (avg mode: cupdlp_restart.c
+        # GetRestartIterate, KKT-error based) ------------------------------
+        if avg_mode and settings.restart_strategy > 0:
+            cand_err = max(
+                float(mlast.primal_res) / (1.0 + norm_b),
+                float(mlast.dual_res) / (1.0 + norm_c),
+                abs(float(mlast.primal_obj) + offset -
+                    (float(mlast.dual_obj) + offset)) /
+                (1.0 + abs(float(mlast.primal_obj) + offset) +
+                 abs(float(mlast.dual_obj) + offset)))
+            inner = int(jax.device_get(state.k))
+            do_restart = False
+            if avg_err_at_restart is None:
+                avg_err_at_restart = cand_err
+            if cand_err <= settings.sufficient_decay *                     avg_err_at_restart:
+                do_restart = True
+            elif (cand_err <= settings.necessary_decay *
+                  avg_err_at_restart and avg_last_err is not None
+                  and cand_err > avg_last_err):
+                do_restart = True
+            elif inner >= settings.artificial_restart_fraction *                     total_iters:
+                do_restart = True
+            avg_last_err = cand_err
+            if do_restart and avg_xy is not None:
+                dxn = float(mlast.dx_norm)
+                dyn = float(mlast.dy_norm)
+                omega = float(jax.device_get(state.omega))
+                if dxn > 1e-12 and dyn > 1e-12:
+                    theta = settings.omega_smoothing
+                    log_om = (theta * math.log(dyn / dxn) +
+                              (1.0 - theta) * math.log(omega))
+                    omega = math.exp(min(max(log_om, -12.0), 12.0))
+                state = _restart_state_avg(
+                    problem, state, avg_xy[0], avg_xy[1],
+                    jnp.asarray(omega, dtype=dtype))
+                restarts += 1
+                avg_err_at_restart = None
+                avg_last_err = None
         # --- restart logic (checkRestartCriteria behavior) ---------------
-        if settings.restart_strategy > 0:
+        if not avg_mode and settings.restart_strategy > 0:
             fp_err = float(mlast.fp_err)
             inner = int(jax.device_get(state.k))
             do_restart = False
@@ -602,6 +732,9 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                 fp_err_at_restart = None
                 last_fp_err = None
 
+    if avg_mode and avg_xy is not None:
+        # report the iterate the last convergence check used
+        state = state._replace(x_pd=avg_xy[0], y_pd=avg_xy[1])
     x = np.asarray(jax.device_get(state.x_pd), dtype=np.float64)
     y = np.asarray(jax.device_get(state.y_pd), dtype=np.float64)
     # unscale: x = Dc x~, y = Dr y~, z = Dc^-1 z~

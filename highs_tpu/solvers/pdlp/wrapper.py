@@ -177,6 +177,10 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         _budget = min(_budget, max(0.0,
                                    _deadline - _time.perf_counter()))
     settings = PdhgSettings(
+        # two engines behind two option values (HighsSolve.cpp:686-688):
+        # "pdlp" -> cuPDLP-C average-iterate restarted PDHG,
+        # "hipdlp"/"choose" -> HiPDLP reflected-Halpern
+        mode=("average" if options.solver == "pdlp" else "halpern"),
         eps_optimal=options.pdlp_optimality_tolerance,
         iteration_limit=options.pdlp_iteration_limit,
         time_limit=_budget,

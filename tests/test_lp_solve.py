@@ -160,3 +160,22 @@ def test_pdlp_step_size_strategies(instances_dir, strategy, restart):
     h.run()
     assert h.getModelStatus() == HighsModelStatus.kOptimal
     assert abs(h.getObjectiveValue() - (-464.7531429)) < 1e-3
+
+
+def test_pdlp_average_iterate_engine(instances_dir):
+    """'pdlp' routes to the cuPDLP-C-style average-iterate restarted
+    PDHG, 'hipdlp' to the reflected-Halpern engine (reference
+    HighsSolve.cpp:686-688 two-solver semantics); both reach the
+    ctest objectives."""
+    for solver, inst, ref in [("pdlp", "afiro", -464.7531429),
+                              ("pdlp", "adlittle", 225494.9632),
+                              ("hipdlp", "afiro", -464.7531429)]:
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("solver", solver)
+        h.readModel(instance_path(f"{inst}.mps"))
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kOptimal
+        obj = h.getInfo().objective_function_value
+        assert abs(obj - ref) / max(1.0, abs(ref)) < 1e-4, (solver,
+                                                           inst, obj)
