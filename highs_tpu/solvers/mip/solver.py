@@ -209,9 +209,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # orbits / orbital fixing; here: verified generators -> first-row lex
     # symmetry-breaking rows + orbit-wide bound sharing) -----------------
     sym_orbit = None
+    sym_gens = None
     _sub_level_early = int(getattr(options, "_sub_mip_level", 0))
+    import os as _os_sym
     if options.mip_detect_symmetry and bool(is_int.any()) and \
             use_simplex and lp.num_col <= 5000 and \
+            not _os_sym.environ.get("HX_NO_SYM") and \
             _sub_level_early == 0:  # sub-MIPs: detection cost >> payoff
         from ...presolve.symmetry import (detect_symmetry, orbits,
                                           symmetry_breaking_rows)
@@ -220,7 +223,15 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             time_budget=min(2.0, 0.05 * options.time_limit))
         if gens:
             sym_orbit = orbits(gens, lp.num_col)
-            pairs = symmetry_breaking_rows(gens, lp.num_col)
+            # the native search uses ORBITAL BRANCHING from the raw
+            # generators (reference HighsSymmetry orbital fixing);
+            # lex symmetry-breaking ROWS would conflict with it (both
+            # cut symmetric counterparts, together they can cut every
+            # optimum), so the rows are only added on the Python path
+            sym_gens = gens
+            pairs = ([] if getattr(options, "tpu_mip_native_search",
+                                   False)
+                     else symmetry_breaking_rows(gens, lp.num_col))
             if pairs:
                 import scipy.sparse as _sp
                 data, rows_ix, cols_ix = [], [], []
@@ -1330,7 +1341,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 time_limit=tl,
                 reliable=int(options.mip_pscost_minreliable),
                 tol_scale=(np.concatenate([1.0 / c_s, r_s])
-                           if c_s is not None else None))
+                           if c_s is not None else None),
+                sym_gens=(np.concatenate(
+                    [np.asarray(g, np.int32) for g in sym_gens])
+                    if sym_gens else None))
         except Exception:
             return None  # caller falls back to the recursive path
         info.mip_node_count += nn_s
@@ -1878,7 +1892,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     reliable=int(options.mip_pscost_minreliable),
                     callback=_native_cb,
                     tol_scale=(np.concatenate([1.0 / c_bb, r_bb])
-                               if sc_bb is not None else None))
+                               if sc_bb is not None else None),
+                    sym_gens=(np.concatenate(
+                        [np.asarray(g, np.int32) for g in sym_gens])
+                        if sym_gens else None))
                 info.mip_node_count += nn
                 info.iterations += it_n
                 nodes_used += nn

@@ -101,6 +101,7 @@ def get_lib():
             ctypes.c_int64, ctypes.c_double, ctypes.c_int,
             MIP_CALLBACK, ctypes.c_void_p,
             ctypes.c_void_p,  # tol_scale (nullable)
+            ctypes.c_void_p, ctypes.c_int,  # symmetry generators
             f64p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64),
@@ -197,7 +198,7 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
               mip_abs_gap, mip_rel_gap, obj_offset, root_bound,
               feastol=1e-6, tol_p=1e-9, tol_d=1e-9,
               max_nodes=10**12, time_limit=1e18, reliable=4,
-              callback=None, tol_scale=None):
+              callback=None, tol_scale=None, sym_gens=None):
     """Native branch-and-bound over the persistent dual engine
     (hx_mip_solve).  Returns (status, found, best_x, best_obj,
     dual_bound, nodes, lp_iters); status 0 = exhausted, 2 = limit or
@@ -257,7 +258,11 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
         float(time_limit), int(reliable), cb, None,
         (np.ascontiguousarray(tol_scale, dtype=np.float64)
          .ctypes.data_as(ctypes.c_void_p)
-         if tol_scale is not None else None), best_x,
+         if tol_scale is not None else None),
+        (np.ascontiguousarray(sym_gens, dtype=np.int32)
+         .ctypes.data_as(ctypes.c_void_p)
+         if sym_gens is not None and len(sym_gens) else None),
+        (len(sym_gens) // n if sym_gens is not None else 0), best_x,
         ctypes.byref(best_obj), ctypes.byref(dual_bound),
         ctypes.byref(nodes), ctypes.byref(iters), ctypes.byref(found),
         ctypes.byref(status))

@@ -1326,6 +1326,7 @@ int hx_mip_solve(
     double root_bound_in, double feastol, double tol_p, double tol_d,
     int64_t max_nodes, double time_limit_s, int reliable_count,
     HxMipCb cb, void* cb_ud, const double* tol_scale,
+    const int32_t* sym_gens, int n_sym_gens,
     double* best_x_out, double* best_obj_out, double* dual_bound_out,
     int64_t* nodes_out, int64_t* lp_iters_out, int* found_out,
     int* status_out) {
@@ -1350,6 +1351,7 @@ int hx_mip_solve(
     double bound;
     int32_t depth;
     int32_t basis_id;  // shared basis-pool entry (-1 = root basis)
+    int32_t extra_id = -1;  // orbital-branching fixings (extra_pool)
   };
   std::vector<BBNode> nodes;
   nodes.reserve(4096);
@@ -1460,11 +1462,64 @@ int hx_mip_solve(
   cfl.pool = &cfl_pool;
   const bool cfl_off = std::getenv("HX_NO_CONFLICTS") != nullptr;
   const int kMaxConflicts = cfl_off ? 0 : 5000;
+  // orbital branching (reference HighsSymmetry.h:58-126 orbital
+  // fixing/stabilizers; Ostrowski-style orbital branching): on a
+  // down-branch fixing binary j to 0, every variable in j's orbit
+  // under the generators that STABILIZE the node's domain can also be
+  // fixed to 0 in that child — among subproblem solutions with any
+  // orbit member at 1 there is a symmetric one with x_j = 1, already
+  // covered by the up child.
+  std::vector<std::vector<int32_t>> extra_pool;
+  if (std::getenv("HX_NATIVE_DEBUG"))
+    std::fprintf(stderr, "hx_mip: n_sym_gens=%d\n", n_sym_gens);
+  std::vector<double> lo_cmp, up_cmp;
+  auto orbital_zero_fix = [&](int jcol, const std::vector<double>& lo_v,
+                              const std::vector<double>& up_v)
+      -> int32_t {
+    if (n_sym_gens <= 0) return -1;
+    std::vector<const int32_t*> stab;
+    for (int g = 0; g < n_sym_gens; ++g) {
+      const int32_t* pm = sym_gens + (size_t)g * n;
+      bool ok = true;
+      for (int i = 0; i < n && ok; ++i) {
+        const int32_t gi = pm[i];
+        if (gi == i) continue;
+        if (std::fabs(lo_v[gi] - lo_v[i]) > 1e-9 ||
+            std::fabs(up_v[gi] - up_v[i]) > 1e-9)
+          ok = false;
+      }
+      if (ok) stab.push_back(pm);
+    }
+    if (stab.empty()) return -1;
+    std::vector<int8_t> in_orbit(n, 0);
+    std::vector<int32_t> queue{(int32_t)jcol};
+    in_orbit[jcol] = 1;
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      const int32_t v = queue[qi];
+      for (const int32_t* pm : stab) {
+        const int32_t w = pm[v];
+        if (!in_orbit[w]) { in_orbit[w] = 1; queue.push_back(w); }
+      }
+    }
+    std::vector<int32_t> fix;
+    for (int32_t v : queue)
+      if (v != jcol && up_v[v] > 0.5) fix.push_back(v);
+    if (fix.empty()) return -1;
+    extra_pool.push_back(std::move(fix));
+    return (int32_t)extra_pool.size() - 1;
+  };
   auto path_clause = [&](int32_t node_id) {
     // no-good over the binary fixings on the ancestry path
     if (cfl_pool.num() >= kMaxConflicts) return;
     std::vector<std::pair<int32_t, int8_t>> lits;
     for (int32_t a = node_id; a >= 0; a = nodes[a].parent) {
+      if (nodes[a].extra_id >= 0) {
+        // orbital fixings are part of the assumption set: the clause
+        // must mention them or it would over-generalize
+        for (int32_t jj : extra_pool[nodes[a].extra_id])
+          lits.push_back({jj, (int8_t)1});
+        if (lits.size() > 48) return;
+      }
       if (nodes[a].col < 0) continue;
       const int j = nodes[a].col;
       if (root_lo[j] < -0.5 || root_up[j] > 1.5 || !is_int[j]) return;
@@ -1534,6 +1589,9 @@ int hx_mip_solve(
           if (nodes[a].val < up[nodes[a].col]) up[nodes[a].col] = nodes[a].val;
         }
       }
+      if (nodes[a].extra_id >= 0)
+        for (int32_t jj : extra_pool[nodes[a].extra_id])
+          if (up[jj] > 0.0) up[jj] = 0.0;
     }
 
     ++node_count;
@@ -1800,11 +1858,15 @@ int hx_mip_solve(
     const int32_t up_id = down_id + 1;
     const int32_t plunge_id = (bfrac > 0.5) ? up_id : down_id;
     const int32_t other_id = (bfrac > 0.5) ? down_id : up_id;
+    int32_t orbit_extra = -1;
+    if (n_sym_gens > 0 && is_int[bcol] && fl == 0.0 &&
+        root_lo[bcol] > -0.5 && root_up[bcol] < 1.5)
+      orbit_extra = orbital_zero_fix(bcol, lo, up);
     // the plunge child continues on the live engine basis and never
     // reads the pool; only heap-bound children carry the pool entry
     nodes.push_back(BBNode{cur, bcol, 0, fl, obj, nodes[cur].depth + 1,
                            (!do_plunge || down_id == other_id)
-                               ? basis_id : -1});
+                               ? basis_id : -1, orbit_extra});
     nodes.push_back(BBNode{cur, bcol, 1, fl + 1.0, obj,
                            nodes[cur].depth + 1,
                            (!do_plunge || up_id == other_id)
@@ -1845,6 +1907,9 @@ int hx_mip_solve(
                  "conflicts=%d\n",
                  (long long)node_count, (long long)lp_iters,
                  g_phase1_count, cfl_pool.num());
+  if (std::getenv("HX_NATIVE_DEBUG") && !extra_pool.empty())
+    std::fprintf(stderr, "hx_mip: orbital fixings at %zu nodes\n",
+                 extra_pool.size());
   delete ep;
   return 0;
 }

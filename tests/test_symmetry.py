@@ -112,3 +112,78 @@ def test_mip_symmetric_assignment():
         objs[flag] = h.getObjectiveValue()
     assert abs(objs[True] - objs[False]) < 1e-6
     assert abs(objs[True] - 6.0) < 1e-6  # every job placed once
+
+
+def test_orbital_branching_reduces_nodes():
+    """In-tree orbital branching (native search; reference
+    HighsSymmetry.h:58-126 stabilizer orbital fixing): on an
+    identical-machines assignment MIP the down branch fixes the whole
+    node-stabilizer orbit to zero, shrinking the tree while keeping
+    the exact optimum."""
+    import os
+    import numpy as np
+    import scipy.sparse as sp
+    from highs_tpu.highs import Highs
+    from highs_tpu.models.lp import HighsLp, HighsSparseMatrix
+
+    def build():
+        rng = np.random.default_rng(3)
+        J, M = 12, 4
+        w = rng.integers(3, 10, J).astype(float)
+        ncol = J * M + 1
+        rows, cols, vals, rl, ru = [], [], [], [], []
+        r = 0
+        for j in range(J):
+            for m_ in range(M):
+                rows.append(r)
+                cols.append(j * M + m_)
+                vals.append(1.0)
+            rl.append(1.0)
+            ru.append(1.0)
+            r += 1
+        for m_ in range(M):
+            for j in range(J):
+                rows.append(r)
+                cols.append(j * M + m_)
+                vals.append(w[j])
+            rows.append(r)
+            cols.append(J * M)
+            vals.append(-1.0)
+            rl.append(-np.inf)
+            ru.append(0.0)
+            r += 1
+        A = sp.csc_matrix((vals, (rows, cols)), shape=(r, ncol))
+        cost = np.zeros(ncol)
+        cost[J * M] = 1.0
+        integ = np.ones(ncol, dtype=np.uint8)
+        integ[J * M] = 0
+        up = np.ones(ncol)
+        up[J * M] = float(w.sum())
+        lp = HighsLp(num_col=ncol, num_row=r, col_cost=cost,
+                     col_lower=np.zeros(ncol), col_upper=up,
+                     row_lower=np.array(rl), row_upper=np.array(ru),
+                     a_matrix=HighsSparseMatrix.from_scipy(A), sense=1,
+                     integrality=integ)
+        h = Highs()
+        h._model.lp = lp
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("presolve", "off")
+        h.setOptionValue("mip_rel_gap", 0.0)
+        return h
+
+    results = {}
+    for label, env in [("on", None), ("off", "1")]:
+        if env:
+            os.environ["HX_NO_SYM"] = env
+        else:
+            os.environ.pop("HX_NO_SYM", None)
+        try:
+            h = build()
+            h.run()
+            results[label] = (h.getInfo().objective_function_value,
+                              h.getInfo().mip_node_count)
+        finally:
+            os.environ.pop("HX_NO_SYM", None)
+    assert abs(results["on"][0] - 16.0) < 1e-6
+    assert abs(results["off"][0] - 16.0) < 1e-6
+    assert results["on"][1] < results["off"][1]
