@@ -1,68 +1,167 @@
-"""Benchmark: PDHG device-step throughput on the flagship compute path.
+"""Benchmark: wall-clock vs the MEASURED reference binary.
 
 Prints ONE JSON line:
-  {"metric": "pdhg_iters_per_s", "value": N, "unit": "iter/s",
-   "vs_baseline": R}
+  {"metric": "suite_speedup_vs_highs", "value": G, "unit": "x",
+   "vs_baseline": G}
 
-The measured quantity is sustained PDHG iterations/second of the jitted
-device block (2 matvecs + elementwise per iteration) on a dense
-4096x4096 standard-form LP — the core loop whose CPU analogue is the
-reference HiPDLP iteration (highs/pdlp/hipdlp/pdhg.cc:961).  The block
-runs the production mixed-precision stepping mode
-(tpu_step_dtype=bfloat16): bf16 step matvecs (half the HBM traffic),
-float32 iterates and metrics — exactly what solve_pdhg executes.
-`vs_baseline` is measured against a 1000 iter/s anchor, a generous
-estimate of the reference's CPU PDLP iteration rate at this size
-(the reference publishes no absolute numbers — BASELINE.md).
+`G` is the geometric-mean speedup (reference seconds / our seconds)
+over the anchored suite of real instances in BASELINE_MEASURED.json —
+the reference HiGHS binary built from /root/reference (Release) and
+timed on the same machine, best of 3 full-process runs (its LP path is
+dual simplex, its MIP path branch-and-cut; see that file for the
+numbers).  Our timings are in-process solves (import/compile excluded,
+matching the reference's measured in-binary solve phase which also
+excludes process startup only ~10ms).
+
+vs_baseline == value: the baseline IS the reference binary, so 1.0
+means parity with HiGHS on its own headline instances.
+
+A second, TPU-only segment exercises the flagship sparse PDHG path
+(EllMatrix gathers) on a 50k x 50k synthetic sparse LP whose
+reference-PDLP anchor is also recorded in BASELINE_MEASURED.json
+(356 iter/s CPU, optimal at 47080 iters / 126 s).  Its results are
+written to BENCH_DETAILS.json; it is skipped gracefully when the
+accelerator is unreachable so the suite number always reports.
 """
 import json
+import os
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+INSTANCES = "/root/reference/check/instances"
+
+
+def _instance_suite():
+    with open(os.path.join(HERE, "BASELINE_MEASURED.json")) as f:
+        base = json.load(f)
+    return base["instances"]
+
+
+def run_suite(details):
+    from highs_tpu.highs import Highs
+
+    suite = _instance_suite()
+    ratios = []
+    for name, rec in suite.items():
+        path = os.path.join(INSTANCES, f"{name}.mps")
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.readModel(path)
+        t0 = time.perf_counter()
+        h.run()
+        ours = time.perf_counter() - t0
+        obj = h.getInfo().objective_function_value
+        ref_obj = rec.get("ref_objective")
+        agree = (ref_obj is None or
+                 abs(obj - ref_obj) <= 1e-4 * (1.0 + abs(ref_obj)))
+        ratio = rec["ref_seconds"] / max(ours, 1e-9)
+        ratios.append(ratio if agree else min(ratio, 1e-3))
+        details["instances"][name] = {
+            "kind": rec["kind"],
+            "ref_seconds": rec["ref_seconds"],
+            "our_seconds": round(ours, 4),
+            "speedup": round(ratio, 4),
+            "our_objective": obj,
+            "ref_objective": ref_obj,
+            "objective_agrees": bool(agree),
+        }
+    return float(np.exp(np.mean(np.log(ratios))))
+
+
+def synth50k():
+    """The synthetic 50k x 50k sparse LP (same data as the MPS the
+    reference anchor was measured on — same seed/generator)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(42)
+    m = n = 50000
+    per_col = 10
+    rows = rng.integers(0, m, size=(n, per_col))
+    cols = np.repeat(np.arange(n), per_col)
+    vals = rng.standard_normal(n * per_col)
+    A = sp.csc_matrix((vals, (rows.ravel(), cols)), shape=(m, n))
+    A.sum_duplicates()
+    xstar = rng.uniform(0, 1, n)
+    b = A @ xstar - np.abs(rng.standard_normal(m)) * 0.1
+    c = rng.uniform(0.1, 1.0, n)
+    return A, b, c
+
+
+def run_tpu_pdhg(details):
+    """Flagship TPU segment: sparse PDHG iteration rate + SpMV rate."""
+    import scipy.sparse as sp  # noqa: F401
+
+    from highs_tpu.models.lp import HighsLp, HighsSparseMatrix
+    from highs_tpu.options import HighsOptions
+    from highs_tpu.solvers.pdlp.wrapper import solve_lp_pdlp
+
+    A, b, c = synth50k()
+    n = A.shape[1]
+    m = A.shape[0]
+    lp = HighsLp(
+        num_col=n, num_row=m, col_cost=c,
+        col_lower=np.zeros(n), col_upper=np.full(n, 10.0),
+        row_lower=b, row_upper=np.full(m, np.inf),
+        a_matrix=HighsSparseMatrix.from_scipy(A), sense=1)
+    opts = HighsOptions()
+    opts.solver = "hipdlp"
+    opts.time_limit = 120.0
+    opts.output_flag = False
+    t0 = time.perf_counter()
+    st, sol, info = solve_lp_pdlp(lp, opts)
+    dt = time.perf_counter() - t0
+    iters = max(1, info.iterations)
+    # each PDHG iteration = 2 SpMVs (2*nnz flops each)
+    gflops = 2 * 2 * A.nnz * iters / dt / 1e9
+    details["tpu_pdhg_synth50k"] = {
+        "status": str(st),
+        "seconds": round(dt, 2),
+        "iterations": int(iters),
+        "iters_per_s": round(iters / dt, 1),
+        "spmv_gflops_per_chip": round(gflops, 3),
+        "objective": info.primal_obj,
+        "ref_anchor": {
+            "iters_per_s_cpu": 356.0,
+            "optimal_seconds_cpu": 126.19,
+            "optimal_iterations": 47080,
+            "objective": 6704.2920770,
+        },
+    }
+
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    details = {"instances": {}, "machine_note":
+               "reference binary and our stack timed on the same host;"
+               " ref = best of 3 process runs (BASELINE_MEASURED.json)"}
+    geo = run_suite(details)
+    try:
+        import signal
 
-    m = n = 4096
-    steps_per_block = 200
-    dtype = jnp.float32
+        class _Alarm(Exception):
+            pass
 
-    import __graft_entry__ as g
-    from highs_tpu.solvers.pdlp.pdhg import pdhg_block
+        def _raise(*_a):
+            raise _Alarm()
 
-    problem, state = g._synthetic_problem(m=m, n=n, dtype=dtype, seed=7)
-    from highs_tpu.ops.linops import cast_linop
-    step_op = cast_linop(problem.k_op, jnp.bfloat16)
-
-    def block(problem, state):
-        return pdhg_block(problem, state, steps_per_block, 1.0, step_op)
-
-    # warm up / compile (scalar readback is the only reliable sync on
-    # tunneled backends — block_until_ready can return early there)
-    state, metrics = block(problem, state)
-    float(metrics.primal_res)
-
-    n_blocks = 10
-    rates = []
-    for _trial in range(4):
-        t0 = time.perf_counter()
-        s = state
-        for _ in range(n_blocks):
-            s, m = block(problem, s)
-        float(m.primal_res)  # force execution of the whole chain
-        dt = time.perf_counter() - t0
-        rates.append(n_blocks * steps_per_block / dt)
-    iters_per_s = float(np.median(rates))
-    baseline_iters_per_s = 1000.0
-    result = {
-        "metric": "pdhg_iters_per_s",
-        "value": round(iters_per_s, 1),
-        "unit": "iter/s",
-        "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
-    }
-    print(json.dumps(result))
+        signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(300)
+        try:
+            run_tpu_pdhg(details)
+        finally:
+            signal.alarm(0)
+    except Exception as exc:  # TPU unreachable / timeout: suite stands
+        details["tpu_pdhg_synth50k"] = {"skipped": str(exc)[:200]}
+    details["suite_speedup_geomean"] = round(geo, 4)
+    with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=1)
+    print(json.dumps({
+        "metric": "suite_speedup_vs_highs",
+        "value": round(geo, 4),
+        "unit": "x",
+        "vs_baseline": round(geo, 4),
+    }))
 
 
 if __name__ == "__main__":
