@@ -189,6 +189,8 @@ def detect_symmetry(lp, max_generators: int = 16,
         cu, _ = _refine(a_csc, a_csr, cu, row_color, table)
         cv, _ = _refine(a_csc, a_csr, cv, row_color, table)
         for depth in range(1, n + 1):
+            if time.perf_counter() - t0 > time_budget:
+                return None  # budget is a hard deadline, even mid-pair
             by_u = {}
             for j in range(n):
                 by_u.setdefault(int(cu[j]), []).append(j)

@@ -1695,27 +1695,33 @@ def select_diverse_cuts(cuts: List[Cut], max_cuts: int = 300,
     """Efficacy-ordered greedy selection rejecting near-parallel cuts
     (reference HighsCutPool::separate cut selection): a diverse set of
     moderately strong cuts moves the LP bound further than many
-    near-duplicates of the single strongest one."""
+    near-duplicates of the single strongest one.
+
+    One sparse row-matrix product per candidate against everything
+    picked so far (the previous pairwise intersect1d loop was the
+    hottest root-cut function on p0548)."""
+    import scipy.sparse as _sp
+
     cuts = sorted(cuts, key=lambda c: -c.efficacy)
+    if not cuts:
+        return []
+    ncol = 1 + max(int(c.cols.max()) for c in cuts if len(c.cols))
     picked: List[Cut] = []
-    norms: List[np.ndarray] = []
+    cap = min(max_cuts, len(cuts))
+    pmat = np.zeros((cap, ncol))
+    k = 0
     for c in cuts:
-        if len(picked) >= max_cuts:
+        if k >= max_cuts:
             break
         nrm = float(np.linalg.norm(c.vals))
         if nrm <= _EPS:
             continue
-        cn = c.vals / nrm
-        ok = True
-        for p, pn in zip(picked, norms):
-            common, ci, pi = np.intersect1d(c.cols, p.cols,
-                                            return_indices=True)
-            if common.size == 0:
-                continue
-            if abs(float(cn[ci] @ pn[pi])) > max_parallelism:
-                ok = False
-                break
-        if ok:
-            picked.append(c)
-            norms.append(cn)
+        dense = np.zeros(ncol)
+        dense[c.cols] = c.vals / nrm
+        if k and float(
+                np.max(np.abs(pmat[:k] @ dense))) > max_parallelism:
+            continue
+        picked.append(c)
+        pmat[k] = dense
+        k += 1
     return picked

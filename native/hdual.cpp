@@ -117,6 +117,9 @@ struct Engine {
   LU lu;
   int since_refactor = 0;
   bool factored = false;
+  // duals d depend only on (basis, cost): valid across bound-only
+  // node re-solves (set_basis_from invalidates)
+  bool d_valid = false;
   // scratch
   std::vector<double> wrow, wcol, wm, rho, tau, acol, fvec;
   std::vector<double> arow;     // priced pivot row over variables
@@ -763,6 +766,7 @@ void set_basis_from(Engine& e, const int8_t* basis_in) {
     }
   }
   e.factored = false;
+  e.d_valid = false;
   e.dse.assign(e.m, 1.0);
 }
 
@@ -781,15 +785,21 @@ int engine_solve(Engine& e, double tol_p, double tol_d, int max_iter,
                  double time_limit_s, int* iters_out, double obj_cut) {
   if (!e.factored) {
     if (!factor(e)) { *iters_out = 0; return kSingular; }
+    e.d_valid = false;
   }
   compute_basics(e);
-  compute_duals(e);
+  if (!e.d_valid) compute_duals(e);
   if (!restore_dual_feasibility(e, 10.0 * tol_d)) {
     *iters_out = 0;
+    e.d_valid = true;  // d matches the (unchanged) basis
     return kNeedPrimal;
   }
-  return dual_loop(e, tol_p, tol_d, max_iter, time_limit_s, iters_out,
-                   obj_cut);
+  const int res = dual_loop(e, tol_p, tol_d, max_iter, time_limit_s,
+                            iters_out, obj_cut);
+  // the loop maintains d incrementally for the current basis (exact
+  // recompute at every refactor); singular exits lose that invariant
+  e.d_valid = res != kSingular;
+  return res;
 }
 
 // Dual phase-1 by temporary boxing (Koberstein's subproblem approach):
@@ -944,6 +954,7 @@ void restore_state(Engine& e, const EngineState& s) {
   e.lu = s.lu;
   e.since_refactor = s.since_refactor;
   e.factored = s.factored;
+  e.d_valid = s.factored;  // snapshot's d matches its basis
 }
 
 // ---------------------------------------------------------------------------
@@ -1452,6 +1463,12 @@ int hx_mip_solve(
   int64_t node_count = 0, lp_iters = 0;
   int status = 0;
   double open_bound_at_stop = kInf;
+  double t_prop = 0, t_lp = 0, t_probe = 0, t_heur = 0, t_fix = 0;
+  const bool timing_dbg = std::getenv("HX_NATIVE_DEBUG") != nullptr;
+  auto tick = [&]() { return std::chrono::steady_clock::now(); };
+  auto tsec = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
   // conflict machinery (reference HighsDomain reason stack +
   // HighsConflictPool): clauses over binary decisions, derived from
   // propagation-infeasible nodes and from LP-infeasible branch paths
@@ -1595,9 +1612,12 @@ int hx_mip_solve(
     }
 
     ++node_count;
-    if (!node_propagate(e, row_lo, row_up, is_int, feastol, 4,
-                        lo.data(), up.data(),
-                        cfl_off ? nullptr : &cfl)) {
+    auto tp0 = tick();
+    const bool prop_ok = node_propagate(
+        e, row_lo, row_up, is_int, feastol, 4, lo.data(), up.data(),
+        cfl_off ? nullptr : &cfl);
+    if (timing_dbg) t_prop += tsec(tp0, tick());
+    if (!prop_ok) {
       if (cfl.have_out && cfl_pool.num() < kMaxConflicts)
         cfl_pool.add(cfl.out);
       else if (!cfl.have_out)
@@ -1617,8 +1637,10 @@ int hx_mip_solve(
     double remaining = time_limit_s - elapsed();
     if (remaining <= 0.0) { status = 2; break; }
     int iters = 0;
+    auto tl0 = tick();
     int res = engine_solve_phase1(e, tol_p, tol_d, 100000, remaining,
                                   &iters, prune_limit());
+    if (timing_dbg) t_lp += tsec(tl0, tick());
     lp_iters += iters;
     if (res == kNeedPrimal || res == kSingular) {
       // retry once from the all-logical basis before giving up
@@ -1904,9 +1926,9 @@ int hx_mip_solve(
   if (std::getenv("HX_NATIVE_DEBUG"))
     std::fprintf(stderr,
                  "hx_mip: nodes=%lld lp_iters=%lld phase1=%lld "
-                 "conflicts=%d\n",
+                 "conflicts=%d t_prop=%.2f t_lp=%.2f\n",
                  (long long)node_count, (long long)lp_iters,
-                 g_phase1_count, cfl_pool.num());
+                 g_phase1_count, cfl_pool.num(), t_prop, t_lp);
   if (std::getenv("HX_NATIVE_DEBUG") && !extra_pool.empty())
     std::fprintf(stderr, "hx_mip: orbital fixings at %zu nodes\n",
                  extra_pool.size());
