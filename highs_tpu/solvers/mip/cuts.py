@@ -1725,3 +1725,294 @@ def select_diverse_cuts(cuts: List[Cut], max_cuts: int = 300,
         pmat[k] = dense
         k += 1
     return picked
+
+
+# --------------------------------------------------------------------------
+# Path MIXING cuts (reference HighsPathSeparator.cpp:395-545)
+# --------------------------------------------------------------------------
+
+def _mixing_transform_maps(lo, up, x, is_int, vubs, vlbs, feastol):
+    """One GLOBAL complementation per column (reference
+    HighsTransformedLp: the same variable must transform identically in
+    every path row).  Returns per-col tuples
+    (sigma, b0, b1, ycol): x_j = b0 + b1*y + sigma*t_j with t_j >= 0.
+    Continuous columns prefer a variable bound (smallest slack at x*);
+    integers complement to the nearest finite bound."""
+    n = len(lo)
+    maps = [None] * n
+    for j in range(n):
+        xj = float(x[j])
+        if is_int[j]:
+            lo_f = np.isfinite(lo[j])
+            up_f = np.isfinite(up[j])
+            if lo_f and (not up_f or xj - lo[j] <= up[j] - xj):
+                maps[j] = (1.0, float(lo[j]), 0.0, -1)
+            elif up_f:
+                maps[j] = (-1.0, float(up[j]), 0.0, -1)
+            continue
+        cands = []
+        if np.isfinite(lo[j]):
+            cands.append((xj - float(lo[j]), 1.0, float(lo[j]), 0.0, -1))
+        if np.isfinite(up[j]):
+            cands.append((float(up[j]) - xj, -1.0, float(up[j]), 0.0,
+                          -1))
+        for (ycol, c1, c0) in (vlbs.get(j, ()) if vlbs else ()):
+            cands.append((xj - c0 - c1 * float(x[ycol]), 1.0, c0, c1,
+                          ycol))
+        for (ycol, c1, c0) in (vubs.get(j, ()) if vubs else ()):
+            cands.append((c0 + c1 * float(x[ycol]) - xj, -1.0, c0, c1,
+                          ycol))
+        cands = [c for c in cands if c[0] >= -feastol]
+        if not cands:
+            continue
+        sbest = min(c[0] for c in cands)
+        vb = [c for c in cands if c[4] >= 0 and c[0] <= sbest + feastol]
+        s_, sigma, b0, b1, ycol = (min(vb, key=lambda t: t[0]) if vb
+                                   else min(cands, key=lambda t: t[0]))
+        maps[j] = (sigma, b0, b1, ycol)
+    return maps
+
+
+def separate_path_mixing(a_csr: sp.spmatrix, row_lower: np.ndarray,
+                         row_upper: np.ndarray, lo: np.ndarray,
+                         up: np.ndarray, x: np.ndarray,
+                         is_int: np.ndarray, feastol: float = 1e-6,
+                         max_path: int = 6, max_starts: int = 300,
+                         seed: int = 7331,
+                         time_budget: float = 2.0) -> List[Cut]:
+    """Path MIXING cuts (behavioral port of the mixing stage of
+    HighsPathSeparator.cpp:395-545): aggregate a path of rows by
+    successively eliminating the continuous variable farthest from its
+    bounds; transform every PREFIX inequality with one global
+    complementation; when the transformed right-hand sides decrease
+    strictly, the mixed-MIR recurrence over the prefix sequence yields
+    a cut no single-row c-MIR can produce.  This is the separator that
+    closes fixed-charge/lot-sizing roots (sp150x300d-class)."""
+    import time as _time
+    t0 = _time.perf_counter()
+    m, n = a_csr.shape
+    if m == 0:
+        return []
+    a_csr = a_csr.tocsr()
+    a_csc = a_csr.tocsc()
+    vubs, vlbs = collect_variable_bounds(a_csr, row_lower, row_upper,
+                                         is_int)
+    maps = _mixing_transform_maps(lo, up, x, is_int, vubs, vlbs,
+                                  feastol)
+    rng = np.random.default_rng(seed)
+    cuts: List[Cut] = []
+
+    def transform(agg_cols, agg_vals, rhs):
+        """x-space  a'x <= rhs  ->  g't <= r  with t >= 0.
+        Returns (tcols, g, r, tsol, tint) or None; tcols are original
+        column ids (a col appears once)."""
+        coef: dict = {}
+        r = float(rhs)
+        # continuous substitution first (may add integer y mass)
+        pend = []
+        for c, v in zip(agg_cols, agg_vals):
+            j = int(c)
+            if maps[j] is None:
+                return None
+            if is_int[j]:
+                pend.append((j, float(v)))
+                continue
+            sigma, b0, b1, ycol = maps[j]
+            r -= float(v) * b0
+            if ycol >= 0 and abs(b1) > _EPS:
+                pend.append((int(ycol), float(v) * b1))
+            coef[j] = coef.get(j, 0.0) + float(v) * sigma
+        for j, v in pend:
+            if maps[j] is None:
+                return None
+            sigma, b0, _b1, _y = maps[j]
+            r -= v * b0
+            coef[j] = coef.get(j, 0.0) + v * sigma
+        tcols = np.fromiter(coef.keys(), dtype=np.int64,
+                            count=len(coef))
+        g = np.fromiter(coef.values(), dtype=np.float64,
+                        count=len(coef))
+        keep = np.abs(g) > _EPS
+        tcols, g = tcols[keep], g[keep]
+        tsol = np.empty(len(tcols))
+        for i, j in enumerate(tcols):
+            sigma, b0, b1, ycol = maps[j]
+            base = b0 + (b1 * float(x[ycol]) if ycol >= 0 else 0.0)
+            tsol[i] = max(sigma * (float(x[j]) - base), 0.0)
+        return tcols, g, r, tsol, is_int[tcols]
+
+    def mixing_from_prefixes(prefixes):
+        """The reference recurrence (HighsPathSeparator.cpp:460-540);
+        prefixes = [(tcols, g, r, tsol, tint), ...] in path order."""
+        # rhs conditions: r_0 <= 0 (after snapping tiny), strictly
+        # decreasing afterwards
+        usable = []
+        delta = 1.0
+        for k, (tc, g, r, ts, ti) in enumerate(prefixes):
+            if k == 0:
+                if r > 1e-12 and r > feastol:
+                    return None
+                r = min(r, 0.0)
+            elif r >= usable[-1][2] - feastol:
+                break
+            delta = max(delta, abs(r))
+            if np.any(ti):
+                delta = max(delta, float(np.max(np.abs(g[ti]))))
+            usable.append((tc, g, r, ts, ti))
+        if len(usable) < 2:
+            return None
+        delta = float(2.0 ** np.ceil(np.log2(delta + 1.0)))
+        pos: dict = {}
+        solval = []
+        isint = []
+        for tc, g, r, ts, ti in usable:
+            for i, j in enumerate(tc):
+                if int(j) not in pos:
+                    pos[int(j)] = len(solval)
+                    solval.append(float(ts[i]))
+                    isint.append(bool(ti[i]))
+        nv = len(solval)
+        solval = np.asarray(solval)
+        cut_vals = np.zeros(nv)
+        max_frac = np.zeros(nv)
+        down_sum = np.zeros(nv)
+        f_sum = np.zeros(nv)
+        cut_rhs = 0.0
+        f_last = 0.0
+        scale = -1.0 / delta
+        for k, (tc, g, r, ts, ti) in enumerate(usable):
+            f = r * scale
+            f_diff = f - f_last
+            cut_rhs += f_diff
+            for i, j in enumerate(tc):
+                p = pos[int(j)]
+                gj = float(g[i]) * scale
+                if not isint[p]:
+                    cut_vals[p] = max(cut_vals[p], gj)
+                else:
+                    gjd = np.floor(gj)
+                    hj = gj - gjd
+                    max_frac[p] = max(max_frac[p], hj)
+                    down_sum[p] += f_diff * gjd
+                    f_sum[p] += f_diff
+                    cut_vals[p] = down_sum[p] + min(f_sum[p],
+                                                    max_frac[p])
+            if k > 0:
+                viol = (cut_rhs - float(solval @ cut_vals)) * delta
+                if viol > 10 * feastol:
+                    fs = -delta
+                    cv = cut_vals * fs
+                    rr = cut_rhs * fs
+                    tcols_out = np.empty(nv, dtype=np.int64)
+                    for j, p in pos.items():
+                        tcols_out[p] = j
+                    return tcols_out, cv, rr
+            f_last = f
+        return None
+
+    def untransform(tcols, cv, rr):
+        """g't <= rr  back to x-space via t = sigma(x - b0 - b1 y)."""
+        coef: dict = {}
+        rhs = float(rr)
+        for j, c in zip(tcols, cv):
+            sigma, b0, b1, ycol = maps[int(j)]
+            coef[int(j)] = coef.get(int(j), 0.0) + float(c) * sigma
+            rhs += float(c) * sigma * b0
+            if ycol >= 0 and abs(b1) > _EPS:
+                coef[int(ycol)] = coef.get(int(ycol), 0.0) - \
+                    float(c) * sigma * b1
+        cols = np.fromiter(coef.keys(), dtype=np.int32,
+                           count=len(coef))
+        vals = np.fromiter(coef.values(), dtype=np.float64,
+                           count=len(coef))
+        keep = np.abs(vals) > _EPS
+        return cols[keep], vals[keep], rhs
+
+    # ---- path construction ------------------------------------------------
+    usable_rows = [i for i in range(m)
+                   if np.isfinite(row_lower[i]) or
+                   np.isfinite(row_upper[i])]
+    rng.shuffle(usable_rows)
+    bdist = np.minimum(
+        np.where(np.isfinite(lo), x - lo, np.inf),
+        np.where(np.isfinite(up), up - x, np.inf))
+    for start in usable_rows[:max_starts]:
+        if _time.perf_counter() - t0 > time_budget:
+            break
+        for orient in (1.0, -1.0):
+            weights: dict = {start: orient}
+            prefixes = []
+            for _step in range(max_path):
+                # aggregate current weights -> inequality over x
+                agg: dict = {}
+                rhs = 0.0
+                valid = True
+                for ri, w in weights.items():
+                    b = row_upper[ri] if w > 0 else row_lower[ri]
+                    if not np.isfinite(b):
+                        valid = False
+                        break
+                    rhs += w * float(b)
+                    s_, e_ = a_csr.indptr[ri], a_csr.indptr[ri + 1]
+                    for cc, vv in zip(a_csr.indices[s_:e_],
+                                      a_csr.data[s_:e_]):
+                        agg[int(cc)] = agg.get(int(cc), 0.0) + \
+                            w * float(vv)
+                if not valid:
+                    break
+                cols_a = np.fromiter(agg.keys(), dtype=np.int64,
+                                     count=len(agg))
+                vals_a = np.fromiter(agg.values(), dtype=np.float64,
+                                     count=len(agg))
+                keep = np.abs(vals_a) > _EPS
+                cols_a, vals_a = cols_a[keep], vals_a[keep]
+                tr = transform(cols_a, vals_a, rhs)
+                if tr is not None:
+                    prefixes.append(tr)
+                # extend: continuous col farthest from its bounds
+                cand_j = -1
+                cand_d = -1.0
+                for cc, vv in zip(cols_a, vals_a):
+                    j = int(cc)
+                    if is_int[j] or bdist[j] <= feastol:
+                        continue
+                    if bdist[j] > cand_d:
+                        cand_d = bdist[j]
+                        cand_j = j
+                if cand_j < 0:
+                    break
+                s_, e_ = a_csc.indptr[cand_j], a_csc.indptr[cand_j + 1]
+                rows_j = a_csc.indices[s_:e_]
+                vals_j = a_csc.data[s_:e_]
+                order = rng.permutation(len(rows_j))
+                nxt = -1
+                w_n = 0.0
+                for oi in order:
+                    ri = int(rows_j[oi])
+                    if ri in weights:
+                        continue
+                    w = -agg[cand_j] / float(vals_j[oi])
+                    if not (feastol <= abs(w) <= 1.0 / feastol):
+                        continue
+                    b = row_upper[ri] if w > 0 else row_lower[ri]
+                    if not np.isfinite(b):
+                        continue
+                    nxt = ri
+                    w_n = w
+                    break
+                if nxt < 0:
+                    break
+                weights[nxt] = w_n
+            got = mixing_from_prefixes(prefixes)
+            if got is None:
+                continue
+            cols_c, vals_c, rhs_c = untransform(*got)
+            res = _clean_cut(cols_c, vals_c, rhs_c, lo, up)
+            if res is None:
+                continue
+            cols_c, vals_c, rhs_c = res
+            viol = float(x[cols_c] @ vals_c) - rhs_c
+            nrm = float(np.linalg.norm(vals_c))
+            if nrm > _EPS and viol / nrm > _MIN_EFFICACY:
+                cuts.append(Cut(cols_c, vals_c, rhs_c, viol / nrm))
+    return cuts

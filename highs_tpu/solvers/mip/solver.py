@@ -1051,6 +1051,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += separate_modk(sep_csr, sep_rl, sep_ru,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
+            # path MIXING cuts (reference HighsPathSeparator mixing
+            # stage): sequence cuts over aggregation-path prefixes
+            if _sep_sub == 0 and _round < 6:
+                from .cuts import separate_path_mixing
+                try:
+                    found += separate_path_mixing(
+                        sep_csr, sep_rl, sep_ru, root_lo_p, root_up_p,
+                        root_x, is_int, feastol, time_budget=0.5)
+                except Exception:
+                    pass
             # exact min-cut cut-set separation on embedded networks
             # (fixed-charge flow structure; reference reaches these
             # via HighsPathSeparator aggregation)

@@ -173,3 +173,41 @@ def test_native_search_option_end_to_end(instances_dir):
     h.run()
     assert h.getInfo().objective_function_value == pytest.approx(
         568.1007, abs=1e-4)
+
+
+def test_path_mixing_cuts_valid_and_violated(instances_dir):
+    """Path mixing cuts (reference HighsPathSeparator.cpp:395-545):
+    generated cuts are violated at the fractional LP optimum and valid
+    at the known integer optimum of sp150x300d."""
+    import numpy as np
+    from highs_tpu.io.mps import read_mps
+    from highs_tpu.solvers.simplex.native import simplex_solve
+    from highs_tpu.solvers.mip.cuts import separate_path_mixing
+
+    model = read_mps(str(instances_dir / "sp150x300d.mps"))
+    lp = model.lp if hasattr(model, "lp") else model
+    A = lp.a_matrix.to_scipy().tocsr()
+    is_int = np.asarray(lp.integrality) == 1
+    lo = np.asarray(lp.col_lower, float)
+    up = np.asarray(lp.col_upper, float)
+    rl = np.asarray(lp.row_lower, float)
+    ru = np.asarray(lp.row_upper, float)
+    cost = np.asarray(lp.col_cost, float)
+    res, x, y, z, bas, it = simplex_solve(
+        A.tocsc(), cost, lo, up, rl, ru, tol_p=1e-9, tol_d=1e-9,
+        max_iter=100000)
+    cuts = separate_path_mixing(A, rl, ru, lo, up, x, is_int, 1e-6,
+                                time_budget=5.0)
+    assert len(cuts) >= 5  # the fixed-charge structure separates
+    # known optimum (objective 69): solve the MIP quickly
+    from highs_tpu.highs import Highs
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("time_limit", 60.0)
+    h.readModel(str(instances_dir / "sp150x300d.mps"))
+    h.run()
+    xo = np.asarray(h.getSolution().col_value)
+    for c in cuts:
+        assert float(xo[c.cols] @ c.vals) <= c.rhs + 1e-6
+        viol = float(x[c.cols] @ c.vals) - c.rhs
+        assert viol > 0  # separates the LP point
