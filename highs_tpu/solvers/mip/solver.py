@@ -996,6 +996,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # sub-MIPs are heuristics: cheap separation only (reference
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
         _max_rounds = 30 if _sep_sub == 0 else 8
+        mixing_active = [True]
         for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
@@ -1052,15 +1053,26 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                    root_lo_p, root_up_p, root_x, is_int,
                                    feastol)
             # path MIXING cuts (reference HighsPathSeparator mixing
-            # stage): sequence cuts over aggregation-path prefixes
-            if _sep_sub == 0 and _round < 6:
+            # stage): sequence cuts over aggregation-path prefixes.
+            # Self-gating: the separator only pays on fixed-charge /
+            # lot-sizing structure — one thin round probes for it, and
+            # an unproductive probe disables the later rounds
+            if _sep_sub == 0 and _round < 6 and mixing_active[0]:
                 from .cuts import separate_path_mixing
                 try:
-                    found += separate_path_mixing(
+                    mix_found = separate_path_mixing(
                         sep_csr, sep_rl, sep_ru, root_lo_p, root_up_p,
-                        root_x, is_int, feastol, time_budget=0.5)
+                        root_x, is_int, feastol,
+                        time_budget=0.5 if _round else 0.25)
                 except Exception:
-                    pass
+                    mix_found = []
+                if _round == 0 and len(mix_found) < 8:
+                    # weak structure signal: a handful of sequence
+                    # cuts is noise on non-lot-sizing models (bell5
+                    # regressed 8x from 4 such cuts) — drop them
+                    mixing_active[0] = False
+                    mix_found = []
+                found += mix_found
             # exact min-cut cut-set separation on embedded networks
             # (fixed-charge flow structure; reference reaches these
             # via HighsPathSeparator aggregation)
