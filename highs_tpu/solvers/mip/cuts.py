@@ -1801,45 +1801,44 @@ def separate_path_mixing(a_csr: sp.spmatrix, row_lower: np.ndarray,
                                   feastol)
     rng = np.random.default_rng(seed)
     cuts: List[Cut] = []
+    n_ = len(lo)
+    m_valid = np.array([mp is not None for mp in maps])
+    m_sigma = np.array([mp[0] if mp else 0.0 for mp in maps])
+    m_b0 = np.array([mp[1] if mp else 0.0 for mp in maps])
+    m_b1 = np.array([mp[2] if mp else 0.0 for mp in maps])
+    m_y = np.array([mp[3] if mp else -1 for mp in maps],
+                   dtype=np.int64)
+    # transformed solution values per column (t >= 0)
+    m_base = m_b0 + np.where(m_y >= 0, m_b1 * x[np.maximum(m_y, 0)],
+                             0.0)
+    m_tsol = np.maximum(m_sigma * (x - m_base), 0.0)
 
     def transform(agg_cols, agg_vals, rhs):
-        """x-space  a'x <= rhs  ->  g't <= r  with t >= 0.
-        Returns (tcols, g, r, tsol, tint) or None; tcols are original
-        column ids (a col appears once)."""
-        coef: dict = {}
-        r = float(rhs)
-        # continuous substitution first (may add integer y mass)
-        pend = []
-        for c, v in zip(agg_cols, agg_vals):
-            j = int(c)
-            if maps[j] is None:
-                return None
-            if is_int[j]:
-                pend.append((j, float(v)))
-                continue
-            sigma, b0, b1, ycol = maps[j]
-            r -= float(v) * b0
-            if ycol >= 0 and abs(b1) > _EPS:
-                pend.append((int(ycol), float(v) * b1))
-            coef[j] = coef.get(j, 0.0) + float(v) * sigma
-        for j, v in pend:
-            if maps[j] is None:
-                return None
-            sigma, b0, _b1, _y = maps[j]
-            r -= v * b0
-            coef[j] = coef.get(j, 0.0) + v * sigma
-        tcols = np.fromiter(coef.keys(), dtype=np.int64,
-                            count=len(coef))
-        g = np.fromiter(coef.values(), dtype=np.float64,
-                        count=len(coef))
+        """x-space  a'x <= rhs  ->  g't <= r  with t >= 0
+        (vectorized over the aggregate's support)."""
+        cols = np.asarray(agg_cols, dtype=np.int64)
+        vals = np.asarray(agg_vals, dtype=np.float64)
+        if not np.all(m_valid[cols]):
+            return None
+        cont = ~is_int[cols]
+        # continuous substitution may add integer y mass
+        y_add_cols = m_y[cols[cont]]
+        y_mask = y_add_cols >= 0
+        all_cols = np.concatenate([cols, y_add_cols[y_mask]])
+        all_vals = np.concatenate([
+            vals * 0.0,  # placeholder, filled below
+            vals[cont][y_mask] * m_b1[cols[cont]][y_mask]])
+        all_vals[:len(cols)] = vals
+        if not np.all(m_valid[all_cols]):
+            return None
+        r = float(rhs) - float(all_vals @ m_b0[all_cols])
+        t_coef = all_vals * m_sigma[all_cols]
+        # merge duplicate columns
+        uq, inv = np.unique(all_cols, return_inverse=True)
+        g = np.bincount(inv, weights=t_coef, minlength=len(uq))
         keep = np.abs(g) > _EPS
-        tcols, g = tcols[keep], g[keep]
-        tsol = np.empty(len(tcols))
-        for i, j in enumerate(tcols):
-            sigma, b0, b1, ycol = maps[j]
-            base = b0 + (b1 * float(x[ycol]) if ycol >= 0 else 0.0)
-            tsol[i] = max(sigma * (float(x[j]) - base), 0.0)
-        return tcols, g, r, tsol, is_int[tcols]
+        tcols, g = uq[keep], g[keep]
+        return tcols, g, r, m_tsol[tcols], is_int[tcols]
 
     def mixing_from_prefixes(prefixes):
         """The reference recurrence (HighsPathSeparator.cpp:460-540);

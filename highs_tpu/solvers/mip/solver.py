@@ -116,6 +116,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
               callbacks: Optional[Dict] = None
               ) -> Tuple[HighsModelStatus, HighsSolution, MipRunInfo]:
     t0 = time.perf_counter()
+    # ---- per-stage MIP clocks (reference mip/MipTimer.h ~60 clocks;
+    # read back with Highs.writeAllClocks / log_dev_level>=2) ----------
+    _timer = getattr(options, "_timer", None)
+
+    class _NullScope:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _clk(name):
+        return (_timer.scope("mip::" + name) if _timer is not None
+                else _NullScope())
     info = MipRunInfo()
     sense = float(lp.sense)
     feastol = options.mip_feasibility_tolerance
@@ -380,6 +394,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     last_duals = {"z": None}
 
     def solve_node_lp(lo, up, warm_basis=None, cached=None):
+        with _clk("node_lp"):
+            return _solve_node_lp_impl(lo, up, warm_basis, cached)
+
+    def _solve_node_lp_impl(lo, up, warm_basis=None, cached=None):
         """Returns (feasible, obj_minimize, x, basis) for the node
         relaxation.  Reduced costs of the last solve are stashed in
         last_duals["z"] (for reduced-cost fixing).  `cached` carries a
@@ -1000,6 +1018,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
+            _sep_scope = _clk("separation")
+            _sep_scope.__enter__()
             found = []
             # tableau (GMI) cuts only in early rounds: GMI derived from
             # a tableau that already contains GMI rows compounds
@@ -1086,6 +1106,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 found += cs
             found += implications.separate(root_x, root_lo_p, root_up_p)
             found += clique_table.separate(root_x)
+            _sep_scope.__exit__()
             added = [c for c in found if cutpool.add(c)]
             if not added:
                 break
@@ -1377,6 +1398,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         return False
 
     def run_submip(lo2, up2, source, node_budget=500):
+        with _clk("sub_mip"):
+            return _run_submip_impl(lo2, up2, source, node_budget)
+
+    def _run_submip_impl(lo2, up2, source, node_budget=500):
         """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
         solve the restricted MIP with tight budgets, feed any solution
         into the incumbent."""
@@ -1904,6 +1929,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 chunk = remaining_bb if incumbent_obj >= math.inf \
                     else min(remaining_bb, max(5.0,
                                                0.25 * remaining_bb))
+                _clk_ns = _clk("native_search")
+                _clk_ns.__enter__()
                 st_n, found_n, x_n, obj_n, dual_n, nn, it_n = _bb(
                     a_bb, a_bb_csr, cost_bb, lo_bb, up_bb, rl_bb,
                     ru_bb, is_int, root_basis,
@@ -1918,6 +1945,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     sym_gens=(np.concatenate(
                         [np.asarray(g, np.int32) for g in sym_gens])
                         if sym_gens else None))
+                _clk_ns.__exit__()
                 info.mip_node_count += nn
                 info.iterations += it_n
                 nodes_used += nn
