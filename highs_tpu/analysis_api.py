@@ -21,6 +21,17 @@ from .models.lp import HighsLp
 from .models.solution import HighsBasis, HighsLinearObjective
 
 
+def _drop_rows_outside(lp, keep_rows):
+    """Copy of lp with every row OUTSIDE keep_rows made free."""
+    work = lp.copy()
+    keep = set(keep_rows)
+    for i in range(lp.num_row):
+        if i not in keep:
+            work.row_lower[i] = -kHighsInf
+            work.row_upper[i] = kHighsInf
+    return work
+
+
 @dataclasses.dataclass
 class HighsIis:
     valid: bool = False
@@ -231,8 +242,19 @@ class HighsAnalysisApi:
     # IIS (deletion filter)
     # ------------------------------------------------------------------
     def getIis(self):
-        """Return (status, HighsIis) for an infeasible LP via the
-        deletion filter (reference HighsIis.cpp, strategy light)."""
+        """Return (status, HighsIis) for an infeasible LP.
+
+        Strategy bits (reference HConst.h:291-301, HighsIis.cpp):
+        - light (0): deletion filter over the rows
+        - kIisStrategyFromRay (1): Farkas-ray support pre-filters the
+          candidate rows before the deletion filter
+        - kIisStrategyIrreducible (4): additionally run the deletion
+          filter over COLUMN bounds so the subsystem is irreducible
+        - kIisStrategyColPriority (8): process column bounds before
+          rows
+        - kIisStrategyRelaxation (16): seed the candidate order from
+          the elastic feasibility relaxation (violated rows first)
+        """
         lp = self._model.lp
         iis = HighsIis(strategy=self._options.iis_strategy)
         if self._model_status == HighsModelStatus.kNotset:
@@ -242,6 +264,7 @@ class HighsAnalysisApi:
 
         import copy as _copy
         opts = _copy.copy(self._options)
+        strategy = int(self._options.iis_strategy)
         from .solvers.classify import build_primal_feasibility_lp
         from .solvers.ipm.wrapper import solve_lp_ipm
 
@@ -254,6 +277,43 @@ class HighsAnalysisApi:
 
         work = lp.copy()
         candidate_rows = list(range(lp.num_row))
+        if strategy & 1:  # from-ray: restrict to the Farkas support
+            ok_ray, ray = self.getDualRay()
+            if ok_ray == HighsStatus.kOk and ray is not None and                     len(ray) == lp.num_row:
+                sup = [i for i in candidate_rows
+                       if abs(float(ray[i])) > 1e-9]
+                if sup and is_infeasible(_drop_rows_outside(lp, sup)):
+                    candidate_rows = sup
+        if strategy & 16:  # relaxation seeding: violated rows first
+            try:
+                st_r, viol_rows = self._elastic_violated_rows()
+                if st_r:
+                    vs = set(viol_rows)
+                    candidate_rows = sorted(
+                        candidate_rows,
+                        key=lambda i: (i not in vs, i))
+                    candidate_rows.reverse()  # drop unviolated first
+            except Exception:
+                pass
+
+        def filter_cols():
+            """Deletion filter over column bounds (irreducible)."""
+            kept_cols = []
+            for j in range(lp.num_col):
+                saved = (work.col_lower[j], work.col_upper[j])
+                if not (np.isfinite(saved[0]) or np.isfinite(saved[1])):
+                    continue
+                work.col_lower[j] = -kHighsInf
+                work.col_upper[j] = kHighsInf
+                if is_infeasible(work):
+                    continue
+                work.col_lower[j], work.col_upper[j] = saved
+                kept_cols.append(j)
+            return kept_cols
+
+        kept_bound_cols = None
+        if (strategy & 8) and (strategy & 4):
+            kept_bound_cols = filter_cols()  # col-priority: cols first
         kept: List[int] = []
         for i in candidate_rows:
             saved = (work.row_lower[i], work.row_upper[i])
@@ -263,6 +323,9 @@ class HighsAnalysisApi:
                 continue  # row not needed for infeasibility
             work.row_lower[i], work.row_upper[i] = saved
             kept.append(i)
+        kept.sort()
+        if (strategy & 4) and kept_bound_cols is None:
+            kept_bound_cols = filter_cols()
         iis.valid = True
         iis.row_index = kept
         for i in kept:
@@ -280,9 +343,43 @@ class HighsAnalysisApi:
             cols.update(int(c) for c in
                         a_csr.indices[a_csr.indptr[i]:a_csr.indptr[i + 1]])
         iis.col_index = sorted(cols)
-        iis.col_bound = [int(IisBoundStatus.kIisBoundStatusNull)] * \
-            len(iis.col_index)
+        if kept_bound_cols is not None:
+            kb = set(kept_bound_cols)
+            iis.col_bound = []
+            for j in iis.col_index:
+                if j not in kb:
+                    iis.col_bound.append(
+                        int(IisBoundStatus.kIisBoundStatusFree))
+                    continue
+                lo_f = np.isfinite(work.col_lower[j])
+                up_f = np.isfinite(work.col_upper[j])
+                iis.col_bound.append(int(
+                    IisBoundStatus.kIisBoundStatusBoxed if lo_f and up_f
+                    else IisBoundStatus.kIisBoundStatusLower if lo_f
+                    else IisBoundStatus.kIisBoundStatusUpper))
+        else:
+            iis.col_bound = [int(IisBoundStatus.kIisBoundStatusNull)] \
+                * len(iis.col_index)
         return HighsStatus.kOk, iis
+
+    def _elastic_violated_rows(self):
+        """Rows with positive elastic violation in the feasibility
+        relaxation (seed ordering for kIisStrategyRelaxation)."""
+        from .solvers.classify import build_primal_feasibility_lp
+        from .solvers.ipm.wrapper import solve_lp_ipm
+        import copy as _copy
+        lp = self._model.lp
+        feas = build_primal_feasibility_lp(lp)
+        st, sol, info = solve_lp_ipm(feas, _copy.copy(self._options))
+        if st != HighsModelStatus.kOptimal or not sol.value_valid:
+            return False, []
+        if not len(sol.row_value):
+            return False, []
+        act = np.asarray(sol.row_value)[:lp.num_row]
+        viol = np.maximum(lp.row_lower - act, 0.0) + \
+            np.maximum(act - lp.row_upper, 0.0)
+        viol = np.where(np.isfinite(viol), viol, 0.0)
+        return True, [int(i) for i in np.nonzero(viol > 1e-7)[0]]
 
     # ------------------------------------------------------------------
     # Multi-objective

@@ -319,3 +319,27 @@ def test_mip_lazy_constraint_callback_fires(instances_dir):
         HighsCallbackType.kCallbackMipDefineLazyConstraints)
     h.run()
     assert fired["n"] >= 1
+
+
+def test_iis_strategies(instances_dir):
+    """IIS strategy bits (reference HConst.h:291-301): from-ray
+    pre-filtering and the irreducible column-bound filter produce
+    valid subsystems on galenet."""
+    from highs_tpu.constants import HighsStatus
+
+    base_rows = None
+    for strategy in [0, 1, 4, 1 | 4, 8 | 4, 16]:
+        h = Highs()
+        h.setOptionValue("output_flag", False)
+        h.setOptionValue("iis_strategy", strategy)
+        h.readModel(instance_path("galenet.mps"))
+        h.run()
+        assert h.getModelStatus() == HighsModelStatus.kInfeasible
+        st, iis = h.getIis()
+        assert st == HighsStatus.kOk
+        assert iis.valid and len(iis.row_index) >= 1
+        if strategy == 0:
+            base_rows = set(iis.row_index)
+        if strategy & 4:
+            assert len(iis.col_bound) == len(iis.col_index)
+    assert base_rows
