@@ -849,6 +849,78 @@ class CliqueTable:
                 if two_smallest.sum() > bb + feastol and \
                         vv.max() <= bb + feastol:
                     self.cliques.append((cols.copy(), comp.copy()))
+        self._merge()
+        self._build_neighbors()
+
+    # -- merging + extension (reference HighsCliqueTable.cpp:
+    #    merging absorbs dominated cliques, runCliqueMerging /
+    #    extension grows a clique by literals in conflict with every
+    #    member) -----------------------------------------------------
+    def _merge(self):
+        """Drop cliques whose literal set is contained in another."""
+        lits = [frozenset(zip(c.tolist(), cm.tolist()))
+                for c, cm in self.cliques]
+        order = sorted(range(len(lits)), key=lambda i: -len(lits[i]))
+        kept: List[int] = []
+        kept_sets: List[frozenset] = []
+        for i in order:
+            li = lits[i]
+            dominated = any(li <= ks for ks in kept_sets)
+            if not dominated:
+                kept.append(i)
+                kept_sets.append(li)
+        self.cliques = [self.cliques[i] for i in sorted(kept)]
+
+    def _build_neighbors(self):
+        """literal -> set of conflicting literals (via shared
+        cliques); a literal is (col, complemented)."""
+        self._nbr: dict = {}
+        for cols, comp in self.cliques:
+            ls = list(zip(cols.tolist(), comp.tolist()))
+            for a in ls:
+                st_ = self._nbr.setdefault(a, set())
+                for b_ in ls:
+                    if b_ != a:
+                        st_.add(b_)
+
+    def extend(self, cols: np.ndarray, comp: np.ndarray,
+               x: np.ndarray, max_extra: int = 10):
+        """Greedy clique extension: add literals conflicting with
+        EVERY current member, highest fractional value first
+        (reference clique extension in separation)."""
+        if not getattr(self, "_nbr", None):
+            return cols, comp
+        members = list(zip(cols.tolist(), comp.tolist()))
+        common = None
+        for lit in members:
+            nb = self._nbr.get(lit)
+            if not nb:
+                return cols, comp
+            common = set(nb) if common is None else (common & nb)
+            if not common:
+                return cols, comp
+        common -= set(members)
+        if not common:
+            return cols, comp
+        def litval(l):
+            j, c = l
+            return 1.0 - float(x[j]) if c else float(x[j])
+        added = []
+        for lit in sorted(common, key=litval, reverse=True):
+            if all(lit in self._nbr.get(ml, ()) for ml in
+                   members + added):
+                added.append(lit)
+                if len(added) >= max_extra:
+                    break
+        if not added:
+            return cols, comp
+        cols2 = np.concatenate([cols,
+                                np.array([l[0] for l in added],
+                                         dtype=cols.dtype)])
+        comp2 = np.concatenate([comp,
+                                np.array([l[1] for l in added],
+                                         dtype=bool)])
+        return cols2, comp2
 
     def separate(self, x: np.ndarray, tol: float = 1e-5,
                  max_cuts: int = 50) -> List[Cut]:
@@ -862,6 +934,7 @@ class CliqueTable:
             lit = np.where(comp, 1.0 - x[cols], x[cols])
             viol = float(lit.sum()) - 1.0
             if viol > tol:
+                cols, comp = self.extend(cols, comp, x)
                 # sum_{!comp} x + sum_{comp} (1-x) <= 1
                 vals = np.where(comp, -1.0, 1.0)
                 rhs = 1.0 - float(comp.sum())

@@ -313,3 +313,47 @@ def test_cmir_vub_substitution_fixed_charge():
                         p = np.array([x1, x2, y1, y2])
                         assert dense @ p <= c.rhs + 1e-6, (c, p)
     assert best_viol > 1e-3, "cut must actually cut off x*"
+
+
+def test_clique_table_merging_and_extension():
+    """CliqueTable merging absorbs dominated cliques; extension grows
+    a violated clique by literals conflicting with every member
+    (reference HighsCliqueTable merging/extension)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from highs_tpu.solvers.mip.cuts import CliqueTable
+
+    # rows: {0,1,2} pairwise + the pair rows {0,3},{1,3},{2,3}:
+    # extension should grow {0,1,2} to {0,1,2,3}; the pair cliques are
+    # dominated by the triangle + extension
+    rows = [
+        [0, 1, 2],
+        [0, 3],
+        [1, 3],
+        [2, 3],
+        [0, 1],  # dominated by [0,1,2]
+    ]
+    data, ri, ci = [], [], []
+    for r, cols in enumerate(rows):
+        for c in cols:
+            ri.append(r)
+            ci.append(c)
+            data.append(1.0)
+    A = sp.csr_matrix((data, (ri, ci)), shape=(len(rows), 4))
+    ru = np.ones(len(rows))
+    rl = np.full(len(rows), -np.inf)
+    lo = np.zeros(4)
+    up = np.ones(4)
+    is_int = np.ones(4, dtype=bool)
+    tab = CliqueTable(A, rl, ru, lo, up, is_int)
+    # merging dropped the dominated [0,1] row
+    assert all(len(c) >= 2 for c, _ in tab.cliques)
+    sizes = sorted(len(c) for c, _ in tab.cliques)
+    assert [0, 1] not in [sorted(c.tolist()) for c, _ in tab.cliques]
+    # fractional point violating the triangle: extension adds var 3
+    x = np.array([0.45, 0.45, 0.45, 0.4])
+    cuts = tab.separate(x)
+    assert cuts
+    best = max(cuts, key=lambda c: len(c.cols))
+    assert set(best.cols.tolist()) == {0, 1, 2, 3}
+    assert best.rhs == 1.0
