@@ -80,8 +80,53 @@ def _parse_value(tok: str, allow_nan: bool = False) -> float:
     return v
 
 
-def read_mps(path: str) -> HighsModel:
-    """Parse a (possibly gzipped) free-format MPS file into a HighsModel."""
+_FIXED_SPANS = ((1, 3), (4, 12), (14, 22), (24, 36), (39, 47),
+                (49, 61))
+_NAME_MANGLE = "\x01"
+
+
+def _fixed_to_free_lines(lines):
+    """Re-tokenize classic fixed-column MPS (reference HMPSIO.cpp
+    field positions 2-3 / 5-12 / 15-22 / 25-36 / 40-47 / 50-61) into
+    free-format tokens.  Names containing spaces survive as single
+    tokens via a sentinel mangle that read_mps strips afterwards."""
+    out = []
+    for raw in lines:
+        line = raw.rstrip("\n")
+        if not line or line[0] in "*$":
+            out.append(raw)
+            continue
+        if line[0] not in " \t":
+            out.append(raw)  # section header
+            continue
+        fields = []
+        for k, (a, b) in enumerate(_FIXED_SPANS):
+            if len(line) <= a:
+                break
+            end = len(line) if k == len(_FIXED_SPANS) - 1 else b
+            tok = line[a:end].strip()
+            if tok:
+                fields.append(tok.replace(" ", _NAME_MANGLE))
+        out.append(" " + " ".join(fields) + "\n" if fields else "\n")
+    return out
+
+
+def read_mps(path: str, fixed: bool = False) -> HighsModel:
+    """Parse a (possibly gzipped) MPS file into a HighsModel.
+
+    Free format by default; ``fixed=True`` re-tokenizes by the classic
+    fixed column positions (reference HMPSIO.cpp) so names with
+    embedded spaces parse.  A free-format parse error falls back to
+    the fixed reader automatically (reference Filereader behavior)."""
+    if not fixed:
+        try:
+            return _read_mps_any(path, fixed=False)
+        except MpsParseError:
+            return _read_mps_any(path, fixed=True)
+    return _read_mps_any(path, fixed=True)
+
+
+def _read_mps_any(path: str, fixed: bool) -> HighsModel:
     model_name = ""
     objective_name = ""
     sense = ObjSense.kMinimize
@@ -133,6 +178,8 @@ def read_mps(path: str) -> HighsModel:
         lines = f.readlines()
     finally:
         f.close()
+    if fixed:
+        lines = _fixed_to_free_lines(lines)
 
     section = None
     section_arg = None  # e.g. QCMATRIX row name
@@ -535,6 +582,13 @@ def read_mps(path: str) -> HighsModel:
             value=qm.data.astype(np.float64))
 
     model = HighsModel(lp=lp, hessian=hessian)
+    if fixed:
+        # strip the fixed-mode name mangle (spaces inside names)
+        lp.model_name = lp.model_name.replace(_NAME_MANGLE, " ")
+        lp.col_names = [nm.replace(_NAME_MANGLE, " ")
+                        for nm in lp.col_names]
+        lp.row_names = [nm.replace(_NAME_MANGLE, " ")
+                        for nm in lp.row_names]
     return model
 
 

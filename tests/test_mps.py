@@ -241,3 +241,53 @@ def test_nan_and_garbage_reference_behavior(instances_dir, name, expect):
     else:
         assert h.getModelStatus() == HighsModelStatus.kOptimal
         assert abs(h.getObjectiveValue() - expect) < 1e-6 * abs(expect)
+
+
+def test_fixed_format_mps_space_names(tmp_path):
+    """True fixed-column MPS mode (reference HMPSIO.cpp): names with
+    embedded spaces parse from the classic field positions; the
+    free-format reader falls back to it automatically on parse
+    errors."""
+    def fld(f2="", f3="", f4="", f5="", f6="", f1=""):
+        line = list(" " * 61)
+
+        def put(s, start):
+            for i, ch in enumerate(s):
+                line[start - 1 + i] = ch
+        put(f1, 2)
+        put(f2, 5)
+        put(f3, 15)
+        put(f4, 25)
+        put(f5, 40)
+        put(f6, 50)
+        return "".join(line).rstrip()
+
+    rows = [
+        "NAME          FIXTEST",
+        "ROWS",
+        fld(f1="N", f2="COST"),
+        fld(f1="L", f2="LIM ONE"),
+        "COLUMNS",
+        fld(f2="X ONE", f3="COST", f4="1.0", f5="LIM ONE", f6="1.0"),
+        fld(f2="Y", f3="COST", f4="2.0", f5="LIM ONE", f6="1.0"),
+        "RHS",
+        fld(f2="RHS", f3="LIM ONE", f4="4.0"),
+        "ENDATA",
+    ]
+    p = tmp_path / "fixtest.mps"
+    p.write_text("\n".join(rows) + "\n")
+    from highs_tpu.io.mps import read_mps
+    lp = read_mps(str(p), fixed=True).lp
+    assert "X ONE" in lp.col_names
+    assert "LIM ONE" in lp.row_names
+    assert lp.num_col == 2 and lp.num_row == 1
+    # automatic fallback: default call also succeeds (free parser
+    # errors on the spaced value field, fixed mode absorbs it)
+    lp2 = read_mps(str(p)).lp
+    assert lp2.num_col == 2
+
+
+def test_free_reader_still_handles_reference_instances(instances_dir):
+    from highs_tpu.io.mps import read_mps
+    lp = read_mps(str(instances_dir / "afiro.mps")).lp
+    assert lp.num_col == 32 and lp.num_row == 27
