@@ -1302,14 +1302,20 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         time/move box down for in-tree retries (a full root-sized FJ
         per retry starves the node loop)."""
         from .feasibility_jump import feasibility_jump
-        # time-boxed per mip_heuristic_effort (reference option)
-        budget = effort * max(2.0, options.mip_heuristic_effort *
-                              min(options.time_limit, 600.0))
+        # time-boxed per mip_heuristic_effort (reference option),
+        # scaled to the instance: a 2s jump on a 500-column model
+        # costs more than solving it
+        size_cap = max(0.1, 2e-6 * lp.num_nz + 2e-4 * lp.num_col)
+        budget = effort * min(
+            max(2.0, options.mip_heuristic_effort *
+                min(options.time_limit, 600.0)),
+            size_cap)
         xfj = feasibility_jump(
             a_csr, lp.row_lower, lp.row_upper, lo, up,
             sense * lp.col_cost, is_int | is_semi,
             x0=x_start, feastol=feastol, seed=seed,
-            max_moves=int(30000 * effort),
+            max_moves=int(min(30000 * effort,
+                              5000 + 100 * lp.num_col)),
             time_budget=budget)
         if xfj is None:
             return False
