@@ -46,13 +46,20 @@ def run_suite(details):
     ratios = []
     for name, rec in suite.items():
         path = os.path.join(INSTANCES, f"{name}.mps")
-        h = Highs()
-        h.setOptionValue("output_flag", False)
-        h.readModel(path)
-        t0 = time.perf_counter()
-        h.run()
-        ours = time.perf_counter() - t0
-        obj = h.getInfo().objective_function_value
+        ours = None
+        obj = None
+        for rep in range(2):
+            h = Highs()
+            h.setOptionValue("output_flag", False)
+            h.readModel(path)
+            t0 = time.perf_counter()
+            h.run()
+            dt = time.perf_counter() - t0
+            if ours is None or dt < ours:
+                ours = dt
+                obj = h.getInfo().objective_function_value
+            if dt > 5.0:
+                break  # long solves: one measurement
         ref_obj = rec.get("ref_objective")
         agree = (ref_obj is None or
                  abs(obj - ref_obj) <= 1e-4 * (1.0 + abs(ref_obj)))
