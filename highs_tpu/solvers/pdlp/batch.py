@@ -33,15 +33,18 @@ from .scaling import scale_problem
 from .wrapper import PdlpRunInfo, _bucket
 
 
-@partial(jax.jit, static_argnames=("n_steps", "gamma"))
+@partial(jax.jit, static_argnames=("gamma",))
 def batched_pdhg_block(problem: PdhgProblem, state: PdhgState,
-                       n_steps: int, gamma: float):
-    """Vmapped inner block: every leaf has a leading batch dimension."""
+                       n_steps, gamma: float):
+    """Vmapped inner block: every leaf has a leading batch dimension.
+    ``n_steps`` is traced so the block-size ramp reuses one compile."""
+    import jax.numpy as jnp
+    nn = jnp.asarray(n_steps, jnp.int32)
 
     def one(problem, state):
         def body(_, s):
             return _halpern_step(problem, s, gamma)
-        state = jax.lax.fori_loop(0, n_steps, body, state)
+        state = jax.lax.fori_loop(0, nn, body, state)
         return state, _compute_metrics(problem, state)
 
     return jax.vmap(one)(problem, state)

@@ -249,18 +249,22 @@ def _compute_metrics(problem: PdhgProblem, state: PdhgState) -> PdhgMetrics:
         inf_primal_ray_res=inf_primal_ray_res)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "gamma"))
-def pdhg_block(problem: PdhgProblem, state: PdhgState, n_steps: int,
+@partial(jax.jit, static_argnames=("gamma",))
+def pdhg_block(problem: PdhgProblem, state: PdhgState, n_steps,
                gamma: float, step_op=None):
     """Run n_steps inner steps fully on device, then compute metrics.
 
     The TPU analogue of the reference's CUDA-graph-captured 40-step block
-    (pdhg.cc:610-632): no host synchronization inside.
+    (pdhg.cc:610-632): no host synchronization inside.  ``n_steps`` is
+    a TRACED scalar so the deterministic block-size ramp reuses ONE
+    compiled program for every size (a fresh compile per doubling cost
+    ~10s each over a tunneled device link).
     """
     def body(_, s):
         return _halpern_step(problem, s, gamma, step_op)
 
-    state = jax.lax.fori_loop(0, n_steps, body, state)
+    state = jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32),
+                              body, state)
     metrics = _compute_metrics(problem, state)
     return state, metrics
 
@@ -292,16 +296,17 @@ def _avg_pdhg_step(problem: PdhgProblem, state: PdhgState,
         aty=aty_new, k=state.k + 1)
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
+@jax.jit
 def pdhg_block_avg(problem: PdhgProblem, state: PdhgState,
-                   n_steps: int, step_op=None):
+                   n_steps, step_op=None):
     """Average-iterate device block: n_steps plain PDHG steps, then
     metrics at BOTH the current and the average iterate (cuPDLP-C
     checks both and restarts to the better, cupdlp_restart.c)."""
     def body(_, st):
         return _avg_pdhg_step(problem, st, step_op)
 
-    state = jax.lax.fori_loop(0, n_steps, body, state)
+    state = jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32),
+                              body, state)
     kf = jnp.maximum(state.k.astype(state.x.dtype), 1.0)
     x_avg = state.x_anchor / kf
     y_avg = state.y_anchor / kf
