@@ -1951,8 +1951,8 @@ int hx_dual_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
                            col_up, row_lo, row_up);
   set_basis_from(*e, basis_in);
   int iters = 0;
-  const int res = engine_solve(*e, tol_p, tol_d, max_iter, time_limit_s,
-                               &iters, kInf);
+  const int res = engine_solve_phase1(*e, tol_p, tol_d, max_iter,
+                                      time_limit_s, &iters, kInf);
   export_solution(*e, x_out, y_out, z_out, basis_out);
   *iter_out = iters;
   *status_out = res;
