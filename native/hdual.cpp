@@ -1951,8 +1951,37 @@ int hx_dual_solve(int m, int n, const int64_t* Ap, const int32_t* Ai,
                            col_up, row_lo, row_up);
   set_basis_from(*e, basis_in);
   int iters = 0;
-  const int res = engine_solve_phase1(*e, tol_p, tol_d, max_iter,
-                                      time_limit_s, &iters, kInf);
+  // Cost perturbation for the cold general-LP solve (reference
+  // HEkkDual cost perturbation): a tiny status-aligned jitter breaks
+  // dual-degenerate ties that otherwise cycle (stair) or mis-certify
+  // (greenbea).  Removed afterwards; a clean warm re-solve restores
+  // the true optimum in a handful of pivots.
+  std::vector<double> c_save(e->cost);
+  uint64_t rs = 0x9e3779b97f4a7c15ULL;
+  for (int j = 0; j < e->nv; ++j) {
+    rs ^= rs << 13;
+    rs ^= rs >> 7;
+    rs ^= rs << 17;
+    const double r01 = (double)(rs & 0xffffff) / (double)0x1000000;
+    const double mag =
+        1e-7 * (std::fabs(e->cost[j]) + 1e-3) * (0.5 + r01);
+    if (e->stat[j] == kLower)
+      e->cost[j] += mag;
+    else if (e->stat[j] == kUpper)
+      e->cost[j] -= mag;
+  }
+  int res = engine_solve_phase1(*e, tol_p, tol_d, max_iter,
+                                time_limit_s, &iters, kInf);
+  e->cost = c_save;
+  e->d_valid = false;
+  if (res == kOptimal || res == kInfeasible || res == kIterLimit) {
+    // clean re-solve from the final basis with the true costs
+    int it2 = 0;
+    const int res2 = engine_solve_phase1(
+        *e, tol_p, tol_d, max_iter, time_limit_s, &it2, kInf);
+    iters += it2;
+    res = res2;
+  }
   export_solution(*e, x_out, y_out, z_out, basis_out);
   *iter_out = iters;
   *status_out = res;
