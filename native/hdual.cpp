@@ -577,8 +577,29 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         }
         continue;
       }
+      // certificate sanity before declaring infeasible: the violated
+      // row must be meaningfully infeasible, and no entering
+      // candidate may exist even at a much smaller pivot threshold
+      // (a 1e-9 cutoff can hide legitimate tiny pivots on degenerate
+      // instances and turn a stall into a false certificate)
+      if (std::fabs(delta) < 1e3 * ptol_of(e, jl, tol_p)) {
+        *iters_out = iters;
+        return kIterLimit;  // phantom infeasibility: inconclusive
+      }
+      bool tiny_candidate = false;
+      for (int32_t j : e.arow_ix) {
+        if (e.stat[j] == kBasic) continue;
+        const double aj = e.arow[j];
+        if (std::fabs(aj) < 1e-12 || std::fabs(aj) >= 1e-9) continue;
+        if (e.up[j] - e.lo[j] <= 0.0) continue;
+        bool in_f = false;
+        if (e.stat[j] == kLower) in_f = (s * aj > 0.0);
+        else if (e.stat[j] == kUpper) in_f = (s * aj < 0.0);
+        else if (e.stat[j] == kZero) in_f = true;
+        if (in_f) { tiny_candidate = true; break; }
+      }
       *iters_out = iters;
-      return kInfeasible;
+      return tiny_candidate ? kIterLimit : kInfeasible;
     }
     std::sort(bps.begin(), bps.end(),
               [](const BP& a, const BP& b) { return a.ratio < b.ratio; });
