@@ -1395,6 +1395,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     [np.asarray(g, np.int32) for g in sym_gens])
                     if sym_gens else None))
         except Exception:
+            import os as _os9
+            if _os9.environ.get("HX_NATIVE_DEBUG"):
+                import traceback
+                traceback.print_exc()
             return None  # caller falls back to the recursive path
         info.mip_node_count += nn_s
         info.iterations += it_s
@@ -1429,11 +1433,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # proven optimality inside its box — but cap by instance
             # size so tiny models don't burn 20k-node heuristics
             _nb = min(40 * node_budget,
-                      max(3000, 60 * int(is_int.sum())))
+                      max(2000, 30 * int(is_int.sum())))
             got = native_submip(
                 lo3, up3, source, _nb,
-                max(0.5, min(remaining0 * 0.25,
-                             2.0 + 20.0 * options.mip_heuristic_effort)))
+                max(0.3, min(remaining0 * 0.1,
+                             0.5 + 20.0 * options.mip_heuristic_effort)))
             if got is not None:
                 return got
         sub = lp.copy()
