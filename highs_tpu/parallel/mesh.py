@@ -92,7 +92,8 @@ def shard_pdhg(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS):
         inv_row_scale=put(problem.inv_row_scale, row),
         inv_col_scale=put(problem.inv_col_scale, rep),
         norm_b=put(problem.norm_b, rep),
-        norm_c=put(problem.norm_c, rep))
+        norm_c=put(problem.norm_c, rep),
+        y_lo=(None if problem.y_lo is None else put(problem.y_lo, row)))
     state = state._replace(
         x=put(state.x, rep), y=put(state.y, row),
         x_pd=put(state.x_pd, rep), y_pd=put(state.y_pd, row),
@@ -149,7 +150,8 @@ def shard_pdhg_2d(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS,
         inv_row_scale=put(problem.inv_row_scale, row),
         inv_col_scale=put(problem.inv_col_scale, col),
         norm_b=put(problem.norm_b, rep),
-        norm_c=put(problem.norm_c, rep))
+        norm_c=put(problem.norm_c, rep),
+        y_lo=(None if problem.y_lo is None else put(problem.y_lo, row)))
     state = state._replace(
         x=put(state.x, col), y=put(state.y, row),
         x_pd=put(state.x_pd, col), y_pd=put(state.y_pd, row),

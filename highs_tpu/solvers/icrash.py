@@ -49,7 +49,9 @@ def run_icrash(lp: HighsLp, options: HighsOptions, log=None) -> ICrashInfo:
     t0 = time.perf_counter()
     info = ICrashInfo(starting_weight=options.icrash_starting_weight)
     n, m = lp.num_col, lp.num_row
-    dtype = jnp.float64 if options.tpu_dtype == "float64" else jnp.float32
+    from .pdlp.wrapper import _resolve_dtype
+    dtype = (jnp.float64 if _resolve_dtype(options, None) == "float64"
+             else jnp.float32)
 
     a = lp.a_matrix.to_scipy().tocsr()
     a_dense = jnp.asarray(a.toarray(), dtype=dtype) if n * m and \

@@ -81,7 +81,9 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
     """Solve a batch of LPs with one vmapped PDHG program."""
     t_start = time.perf_counter()
     b = len(lps)
-    dtype = jnp.float64 if options.tpu_dtype == "float64" else jnp.float32
+    from .wrapper import _resolve_dtype
+    dtype = (jnp.float64 if _resolve_dtype(options, None) == "float64"
+             else jnp.float32)
 
     stds = [preprocess_lp(lp) for lp in lps]
     n_pad = _bucket(max(s.num_col for s in stds))

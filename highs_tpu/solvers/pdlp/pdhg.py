@@ -55,6 +55,11 @@ class PdhgProblem(NamedTuple):
     inv_col_scale: jax.Array  # 1/Dc diagonal
     norm_b: jax.Array  # scalar: ||unscaled b||_2
     norm_c: jax.Array  # scalar: ||unscaled c||_2
+    # Dual lower bound on inequality rows (default None = 0).  Used by
+    # the shifted-iterate refinement rounds (wrapper._refine_pdlp): the
+    # delta-problem's dual must keep y_base + dy in the cone, i.e.
+    # dy >= -y_base on inequality rows.
+    y_lo: Optional[jax.Array] = None
 
 
 class PdhgState(NamedTuple):
@@ -117,6 +122,13 @@ class PdhgSettings:
     # (cuPDLP-C, cupdlp_solver.c PDHG_Solve + cupdlp_restart.c
     # GetRestartIterate) — the two option values "hipdlp" and "pdlp"
     mode: str = "halpern"
+    # Refinement-round behavior (wrapper._refine_pdlp): a delta-round
+    # terminates on primal+dual residuals alone (the true gap is only
+    # computable on the host, which re-checks in f64 between rounds)
+    # and must not trigger infeasibility detection (the shifted problem
+    # has tiny rhs/cost by construction).
+    ignore_gap: bool = False
+    detect_infeasibility: bool = True
     # step-size strategy (reference pdlp_step_size_strategy;
     # cupdlp_step.c fixed/adaptive/Malitsky-Pock).  The Halpern mode is
     # natively fixed-step; "adaptive" and "malitsky_pock" re-estimate
@@ -163,7 +175,9 @@ def _halpern_step(problem: PdhgProblem, state: PdhgState,
 
     ax_r = op.mv(x_r.astype(op_dt)).astype(x_r.dtype)
     y_raw = state.y + sigma * (problem.b - ax_r)
-    y_pd = jnp.where(problem.is_eq > 0, y_raw, jnp.maximum(y_raw, 0.0))
+    y_floor = 0.0 if problem.y_lo is None else problem.y_lo
+    y_pd = jnp.where(problem.is_eq > 0, y_raw,
+                     jnp.maximum(y_raw, y_floor))
     y_r = 2.0 * y_pd - state.y
 
     kf = state.k.astype(x_pd.dtype)
@@ -287,7 +301,9 @@ def _avg_pdhg_step(problem: PdhgProblem, state: PdhgState,
     x_r = 2.0 * x_pd - state.x
     ax_r = op.mv(x_r.astype(op_dt)).astype(x_r.dtype)
     y_raw = state.y + sigma * (problem.b - ax_r)
-    y_pd = jnp.where(problem.is_eq > 0, y_raw, jnp.maximum(y_raw, 0.0))
+    y_floor = 0.0 if problem.y_lo is None else problem.y_lo
+    y_pd = jnp.where(problem.is_eq > 0, y_raw,
+                     jnp.maximum(y_raw, y_floor))
     aty_new = op.rmv(y_pd.astype(op_dt)).astype(y_pd.dtype)
     return state._replace(
         x=x_pd, y=y_pd, x_pd=x_pd, y_pd=y_pd,
@@ -577,13 +593,17 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if log is not None:
             log(total_iters, pobj, dobj, rel_p, rel_d, rel_gap)
 
-        if rel_p < eps and rel_d < eps and rel_gap < eps:
+        if rel_p < eps and rel_d < eps and (settings.ignore_gap or
+                                            rel_gap < eps):
             status = HighsModelStatus.kOptimal
             break
 
         # --- stall-adaptive reflection damping ---------------------------
         if gamma > 0.9:
-            merit = max(rel_p, rel_d, rel_gap)
+            # with ignore_gap the gap is f32-summation-noise-floored
+            # (~sqrt(n)*eps_f32 relative) and must not count as a stall
+            merit = (max(rel_p, rel_d) if settings.ignore_gap
+                     else max(rel_p, rel_d, rel_gap))
             if merit_best is None or merit < merit_best * (1 - 1e-3):
                 merit_best = min(merit, merit_best or merit)
                 merit_stall = 0
@@ -610,26 +630,27 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                     aty=problem.k_op.rmv(state.y))
 
         # --- infeasibility detection via certificate rays ---------------
-        ray_obj = float(mlast.inf_dual_ray_obj)
-        ray_res = float(mlast.inf_dual_ray_res)
-        if (float(mlast.dy_norm) > 1e-8 and ray_obj > 1e-6 and
-                ray_res < 1e-8 * max(1.0, ray_obj) and rel_p > eps):
-            infeas_hits += 1
-            if infeas_hits >= 3:
-                status = HighsModelStatus.kInfeasible
-                break
-        else:
-            infeas_hits = 0
-        pray_obj = float(mlast.inf_primal_ray_obj)
-        pray_res = float(mlast.inf_primal_ray_res)
-        if (float(mlast.dx_norm) > 1e-8 and pray_obj < -1e-6 and
-                pray_res < 1e-8 * max(1.0, -pray_obj)):
-            unbounded_hits += 1
-            if unbounded_hits >= 3:
-                status = HighsModelStatus.kUnbounded
-                break
-        else:
-            unbounded_hits = 0
+        if settings.detect_infeasibility:
+            ray_obj = float(mlast.inf_dual_ray_obj)
+            ray_res = float(mlast.inf_dual_ray_res)
+            if (float(mlast.dy_norm) > 1e-8 and ray_obj > 1e-6 and
+                    ray_res < 1e-8 * max(1.0, ray_obj) and rel_p > eps):
+                infeas_hits += 1
+                if infeas_hits >= 3:
+                    status = HighsModelStatus.kInfeasible
+                    break
+            else:
+                infeas_hits = 0
+            pray_obj = float(mlast.inf_primal_ray_obj)
+            pray_res = float(mlast.inf_primal_ray_res)
+            if (float(mlast.dx_norm) > 1e-8 and pray_obj < -1e-6 and
+                    pray_res < 1e-8 * max(1.0, -pray_obj)):
+                unbounded_hits += 1
+                if unbounded_hits >= 3:
+                    status = HighsModelStatus.kUnbounded
+                    break
+            else:
+                unbounded_hits = 0
 
         if total_iters >= settings.iteration_limit:
             status = HighsModelStatus.kIterationLimit

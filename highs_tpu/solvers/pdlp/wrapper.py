@@ -76,7 +76,12 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
 
     Tiny problems run on the CPU backend: every 40-step device block
     ends in a scalar readback, and below MXU-payoff size the
-    accelerator round-trip latency dominates the matvecs."""
+    accelerator round-trip latency dominates the matvecs.
+
+    The device dtype resolves per backend ("choose": f64 on CPU, f32 on
+    accelerators — TPU v5e has no f64 ALU and XLA-emulated f64 measured
+    13x slower per step).  f32 solves reach f64-grade KKT through
+    shifted-iterate refinement rounds (see _solve_lp_pdlp_impl)."""
     if lp.num_row * max(1, lp.num_col) <= 1_000_000:
         try:
             cpu = jax.devices("cpu")[0]
@@ -85,15 +90,30 @@ def solve_lp_pdlp(lp: HighsLp, options: HighsOptions,
         if cpu is not None and jax.default_backend() != "cpu":
             with jax.default_device(cpu):
                 return _solve_lp_pdlp_impl(lp, options, x0=x0, y0=y0,
-                                           log_callback=log_callback)
+                                           log_callback=log_callback,
+                                           force_dtype="float64")
     return _solve_lp_pdlp_impl(lp, options, x0=x0, y0=y0,
                                log_callback=log_callback)
+
+
+def _resolve_dtype(options: HighsOptions, force_dtype: Optional[str]):
+    """Resolve tpu_dtype 'choose' by backend; an explicit user setting
+    always wins over the caller's routing hint."""
+    opt = options.tpu_dtype
+    if opt == "choose":
+        if force_dtype is not None:
+            opt = force_dtype
+        else:
+            opt = ("float64" if jax.default_backend() == "cpu"
+                   else "float32")
+    return opt
 
 
 def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                         x0: Optional[np.ndarray] = None,
                         y0: Optional[np.ndarray] = None,
-                        log_callback=None
+                        log_callback=None,
+                        force_dtype: Optional[str] = None
                         ) -> Tuple[HighsModelStatus, HighsSolution,
                                    PdlpRunInfo]:
     info = PdlpRunInfo()
@@ -107,7 +127,8 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         return status, sol, info
 
     std = preprocess_lp(lp)
-    dtype = jnp.float64 if options.tpu_dtype == "float64" else jnp.float32
+    dtype_name = _resolve_dtype(options, force_dtype)
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
 
     scaled_a, scales = scale_problem(
         std.a, mode=options.pdlp_scaling_mode,
@@ -186,7 +207,7 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         time_limit=_budget,
         check_interval=options.tpu_check_interval,
         restart_strategy=options.pdlp_restart_strategy,
-        dtype=options.tpu_dtype,
+        dtype=dtype_name,
         checkpoint_file=options.pdlp_checkpoint_file,
         checkpoint_interval=options.pdlp_checkpoint_interval,
         step_dtype=options.tpu_step_dtype,
@@ -227,29 +248,183 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         if shape is not None:
             mesh = make_mesh(shape)
 
+    eps = settings.eps_optimal
+    # f32 device solves floor around ~1e-6 relative KKT; tighter targets
+    # are reached by shifted-iterate refinement rounds below.
+    f32_floor = 2e-6
+    refine = dtype == jnp.float32 and eps < f32_floor
+    if refine:
+        # the cold round stops on residuals alone: the f32 on-device
+        # gap is floored at ~sqrt(n)*eps_f32 relative by summation
+        # noise, while the refinement rounds measure the true gap in
+        # f64 on the host between rounds
+        settings.eps_optimal = max(eps, f32_floor)
+        settings.ignore_gap = True
+
+    import time as _tm
+    t_all = _tm.perf_counter()
     result = solve_pdhg(problem, n_pad, m_pad, settings,
                         x0=x0_s, y0=y0_s, offset=std.offset,
                         mesh=mesh, log=log_callback)
-
-    info.status = result.status
-    info.iterations = result.iterations
-    info.rel_gap = result.rel_gap
-    info.solve_time = result.solve_time
-    info.restarts = result.restarts
-    # objective back in the original sense
-    info.primal_obj = std.sense_mult * result.primal_obj
-    info.dual_obj = std.sense_mult * result.dual_obj
+    total_iterations = result.iterations
+    total_restarts = result.restarts
 
     if result.status in (HighsModelStatus.kInfeasible,
                          HighsModelStatus.kUnbounded):
+        info.status = result.status
+        info.iterations = total_iterations
+        info.rel_gap = result.rel_gap
+        info.solve_time = result.solve_time
+        info.restarts = total_restarts
+        info.primal_obj = std.sense_mult * result.primal_obj
+        info.dual_obj = std.sense_mult * result.dual_obj
         return result.status, HighsSolution(), info
 
+    status = result.status
+    if refine and result.status == HighsModelStatus.kOptimal:
+        # ----- shifted-iterate refinement (f32 device -> f64 KKT) -----
+        # The accumulated iterate (x_bar, y_bar) lives on the host in
+        # f64 SCALED standard-form coordinates.  Each round solves the
+        # EXACT rewrite of the original problem in delta variables
+        #   x = x_bar + dx, y = y_bar + dy:
+        #   b_eff = b - K x_bar, c_eff = c - K' y_bar,
+        #   bounds l - x_bar <= dx <= u - x_bar, dual cone dy >= -y_bar
+        # on inequality rows.  The shifted data is TINY (~ current
+        # residual), so f32 represents it to ~1e-7 RELATIVE of the
+        # shift, i.e. ~1e-7 * cur_kkt absolute — each round gains ~3-4
+        # digits of true KKT.  Keeping problem.norm_b/norm_c at the
+        # ORIGINAL norms makes the device convergence check measure the
+        # TRUE relative residuals directly.  (The same role as the
+        # reference's f64 path; no reference analogue — HiGHS never
+        # runs on f32 hardware.)
+        inv_col_p = padc(1.0 / dc, 1.0)
+        inv_row_p = padr(1.0 / dr, 1.0)
+        dc_p = padc(dc, 1.0)
+        dr_p = padr(dr, 1.0)
+        b_p = padr(b_s, 0.0)
+        c_p = padc(c_s, 0.0)
+        lo_p = padc(lo_s, 0.0)
+        up_p = padc(up_s, 0.0)
+        lo_fin_p = padc(lo_fin, 1.0) > 0
+        up_fin_p = padc(up_fin, 1.0) > 0
+        is_eq_p = padr(is_eq, 1.0) > 0
+        k_host = scaled_pad  # padded scaled CSR, f64
+        norm_b = float(np.linalg.norm(std.b))
+        norm_c = float(np.linalg.norm(std.c))
+        big_f = float(big)
+
+        def kkt(x_bar, y_bar):
+            r = b_p - k_host @ x_bar
+            r_eff = np.where(is_eq_p, r, np.maximum(r, 0.0))
+            rel_p = np.linalg.norm(r_eff * inv_row_p) / (1.0 + norm_b)
+            z = c_p - k_host.T @ y_bar
+            z_pos = np.where(lo_fin_p, np.maximum(z, 0.0), 0.0)
+            z_neg = np.where(up_fin_p, np.minimum(z, 0.0), 0.0)
+            rel_d = (np.linalg.norm((z - z_pos - z_neg) * inv_col_p) /
+                     (1.0 + norm_c))
+            pobj = float(c_p @ x_bar) + std.offset
+            lo_safe = np.where(lo_fin_p, lo_p, 0.0)
+            up_safe = np.where(up_fin_p, up_p, 0.0)
+            dobj = (float(b_p @ y_bar) + float(lo_safe @ z_pos) +
+                    float(up_safe @ z_neg) + std.offset)
+            gap = abs(pobj - dobj) / (1.0 + abs(pobj) + abs(dobj))
+            return rel_p, rel_d, gap, pobj, dobj, z
+
+        # scaled standard-form accumulators from the cold round
+        x_bar = np.asarray(result.x, np.float64) * inv_col_p
+        y_bar = np.asarray(result.y, np.float64) * inv_row_p
+        rel_p, rel_d, gap, pobj, dobj, z_bar = kkt(x_bar, y_bar)
+        import os as _os
+        _dbg = _os.environ.get("HIGHS_TPU_DEBUG_REFINE")
+        if _dbg:
+            print(f"[refine] cold: iters={total_iterations} "
+                  f"p={rel_p:.2e} d={rel_d:.2e} g={gap:.2e}",
+                  flush=True)
+        rounds = 0
+        while (max(rel_p, rel_d, gap) > eps and rounds < 4 and
+               _tm.perf_counter() - t_all < settings.time_limit):
+            cur = max(rel_p, rel_d, gap)
+            b_eff = b_p - k_host @ x_bar
+            c_eff = c_p - k_host.T @ y_bar
+            with np.errstate(invalid="ignore"):
+                lo_eff = np.where(np.isfinite(lo_p), lo_p - x_bar,
+                                  -big_f)
+                up_eff = np.where(np.isfinite(up_p), up_p - x_bar,
+                                  big_f)
+            y_lo_eff = np.where(is_eq_p, 0.0, -y_bar)
+            rproblem = problem._replace(
+                b=jnp.asarray(b_eff, dtype=dtype),
+                c=jnp.asarray(c_eff, dtype=dtype),
+                lo=jnp.asarray(lo_eff, dtype=dtype),
+                up=jnp.asarray(up_eff, dtype=dtype),
+                y_lo=jnp.asarray(y_lo_eff, dtype=dtype))
+            # the delta-round terminates on residuals; the true gap
+            # (host f64) follows the complementarity error, so drive
+            # residuals ~300x below the user's eps to pull the gap
+            # under it.  The delta-space f32 floor is ~1e-6 * cur, far
+            # below any of these targets.
+            rsettings = dataclasses.replace(
+                settings,
+                eps_optimal=max(min(cur * 1e-4, eps * 0.03), 1e-9),
+                ignore_gap=True,
+                detect_infeasibility=False,
+                checkpoint_file="",
+                time_limit=max(
+                    1.0, settings.time_limit -
+                    (_tm.perf_counter() - t_all)))
+            rres = solve_pdhg(rproblem, n_pad, m_pad, rsettings,
+                              offset=0.0, mesh=mesh, log=log_callback)
+            total_iterations += rres.iterations
+            total_restarts += rres.restarts
+            dx = np.asarray(rres.x, np.float64) * inv_col_p
+            dy = np.asarray(rres.y, np.float64) * inv_row_p
+            x_bar = np.clip(x_bar + dx,
+                            np.where(np.isfinite(lo_p), lo_p, -np.inf),
+                            np.where(np.isfinite(up_p), up_p, np.inf))
+            y_new = y_bar + dy
+            y_bar = np.where(is_eq_p, y_new, np.maximum(y_new, 0.0))
+            new_p, new_d, new_gap, pobj, dobj, z_bar = kkt(x_bar, y_bar)
+            rounds += 1
+            if _dbg:
+                print(f"[refine] round {rounds}: iters={rres.iterations} "
+                      f"status={rres.status} target={rsettings.eps_optimal:.1e} "
+                      f"p={new_p:.2e} d={new_d:.2e} g={new_gap:.2e}",
+                      flush=True)
+            if max(new_p, new_d, new_gap) >= 0.9 * cur:
+                rel_p, rel_d, gap = new_p, new_d, new_gap
+                break  # no progress: stop refining
+            rel_p, rel_d, gap = new_p, new_d, new_gap
+        status = (HighsModelStatus.kOptimal
+                  if max(rel_p, rel_d, gap) <= eps else
+                  (rres.status if rounds and rres.status !=
+                   HighsModelStatus.kOptimal else
+                   HighsModelStatus.kIterationLimit)
+                  if rounds else result.status)
+        x_uns = x_bar * dc_p
+        y_uns = y_bar * dr_p
+        z_uns = z_bar / dc_p
+        info.rel_gap = gap
+        info.primal_obj = std.sense_mult * pobj
+        info.dual_obj = std.sense_mult * dobj
+    else:
+        x_uns = np.asarray(result.x, np.float64)
+        y_uns = np.asarray(result.y, np.float64)
+        z_uns = np.asarray(result.z, np.float64)
+        info.rel_gap = result.rel_gap
+        info.primal_obj = std.sense_mult * result.primal_obj
+        info.dual_obj = std.sense_mult * result.dual_obj
+
+    info.status = status
+    info.iterations = total_iterations
+    info.solve_time = _tm.perf_counter() - t_all
+    info.restarts = total_restarts
+
     col_value, row_dual, col_dual = recover_solution(
-        std, result.x[:n_std], result.y[:m_std], result.z[:n_std])
+        std, x_uns[:n_std], y_uns[:m_std], z_uns[:n_std])
     row_value = (lp.a_matrix.to_scipy() @ col_value if lp.num_row
                  else np.zeros(0))
     sol = HighsSolution(
         value_valid=True, dual_valid=True,
         col_value=col_value, col_dual=col_dual,
         row_value=row_value, row_dual=row_dual)
-    return result.status, sol, info
+    return status, sol, info
