@@ -50,31 +50,84 @@ class _ColorTable:
         return out
 
 
-def _refine(a_csc, a_csr, col_color, row_color, table, max_rounds=30):
-    """WL-style color refinement with coefficient-labeled edges."""
+_HASH_P = np.uint64(1099511628211)      # FNV-ish odd multiplier
+_HASH_Q = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio mixer
+
+
+def _mix(h):
+    """64-bit avalanche mix (splitmix64 finalizer), vectorized."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _side_hash(row_of, indices, coef_id, other_color, own_color, nn):
+    """Commutative multiset hash of each row's (other_color, coeff)
+    pairs — one vectorized WL step with NO sorting: the per-entry pair
+    hashes are avalanche-mixed then summed per row, so entry order
+    cannot matter.  Collisions only create candidate permutations that
+    the verification step rejects; soundness never depends on the
+    hash."""
+    if len(indices) == 0:
+        return _mix(own_color.astype(np.uint64, copy=False))
+    with np.errstate(over="ignore"):
+        pair = _mix(other_color[indices] * _HASH_Q + coef_id)
+        row_hash = np.zeros(nn, dtype=np.uint64)
+        np.add.at(row_hash, row_of, pair)
+        row_hash = _mix(row_hash * _HASH_Q +
+                        own_color.astype(np.uint64, copy=False))
+    return row_hash
+
+
+def _refine(a_csc, a_csr, col_color, row_color, table=None,
+            max_rounds=30, coef_ids=None):
+    """WL-style color refinement with coefficient-labeled edges.
+
+    Colors ARE the raw 64-bit hashes (no dense relabeling): two cells
+    correspond across independently refined partitions iff their hash
+    values are equal, which keeps the u/v branches of an
+    individualization content-aligned with zero bookkeeping.  Collisions
+    only yield candidates that verification rejects."""
     m, n = a_csr.shape
+    if coef_ids is None:
+        coef_ids = _coef_ids(a_csc, a_csr)
+    csr_coef, csc_coef, row_of_csr, row_of_csc = coef_ids
+    col_color = col_color.astype(np.uint64, copy=False)
+    row_color = row_color.astype(np.uint64, copy=False)
+    n_col_cells = len(np.unique(col_color))
+    n_row_cells = len(np.unique(row_color))
     for _ in range(max_rounds):
-        # rows take multiset of (col_color, coeff)
-        new_row_keys = []
-        for i in range(m):
-            s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
-            sig = sorted(zip(col_color[a_csr.indices[s:e]].tolist(),
-                             a_csr.data[s:e].tolist()))
-            new_row_keys.append((int(row_color[i]), tuple(sig)))
-        new_row = table(new_row_keys)
-        new_col_keys = []
-        for j in range(n):
-            s, e = a_csc.indptr[j], a_csc.indptr[j + 1]
-            sig = sorted(zip(new_row[a_csc.indices[s:e]].tolist(),
-                             a_csc.data[s:e].tolist()))
-            new_col_keys.append((int(col_color[j]), tuple(sig)))
-        new_col = table(new_col_keys)
-        if (len(set(new_col.tolist())) == len(set(col_color.tolist()))
-                and len(set(new_row.tolist())) ==
-                len(set(row_color.tolist()))):
-            return new_col, new_row
+        new_row = _side_hash(row_of_csr, a_csr.indices, csr_coef,
+                             col_color, row_color, m)
+        new_col = _side_hash(row_of_csc, a_csc.indices, csc_coef,
+                             new_row, col_color, n)
+        nc, nr = len(np.unique(new_col)), len(np.unique(new_row))
         col_color, row_color = new_col, new_row
+        if nc == n_col_cells and nr == n_row_cells:
+            return col_color, row_color
+        n_col_cells, n_row_cells = nc, nr
     return col_color, row_color
+
+
+def _coef_ids(a_csc, a_csr):
+    """Per-entry coefficient hash ids + per-entry row/col ids for both
+    orientations (the sparsity-dependent parts of the WL step,
+    precomputed once per detect_symmetry call)."""
+    uniq, inv_csr = np.unique(a_csr.data, return_inverse=True)
+    inv_csc = np.searchsorted(uniq, a_csc.data)
+    m, n = a_csr.shape
+    row_of_csr = np.repeat(np.arange(m, dtype=np.int64),
+                           np.diff(a_csr.indptr))
+    row_of_csc = np.repeat(np.arange(n, dtype=np.int64),
+                           np.diff(a_csc.indptr))
+    return (_mix(inv_csr.astype(np.uint64)),
+            _mix(inv_csc.astype(np.uint64)),
+            row_of_csr, row_of_csc)
 
 
 def _hash_rows(keys):
@@ -163,8 +216,9 @@ def detect_symmetry(lp, max_generators: int = 16,
     row_color = table(
         [(round(float(lp.row_lower[i]), 12),
           round(float(lp.row_upper[i]), 12)) for i in range(lp.num_row)])
+    coef_ids = _coef_ids(a_csc, a_csr)
     col_color, row_color = _refine(a_csc, a_csr, col_color, row_color,
-                                   table)
+                                   table, coef_ids=coef_ids)
 
     generators: List[np.ndarray] = []
     cells = {}
@@ -173,11 +227,11 @@ def detect_symmetry(lp, max_generators: int = 16,
     big_cells = [c for c in cells.values() if len(c) >= 2]
 
     def individualize(base_color, j, depth):
-        # the marker key is shared via `table`, so individualizing at
-        # the same depth in both branches yields the SAME color id —
-        # keeping the two partitions content-aligned
+        # the marker depends only on `depth`, so individualizing at the
+        # same depth in both branches yields the SAME color — keeping
+        # the two partitions content-aligned
         c = base_color.copy()
-        c[j] = table([("individualized", depth)])[0]
+        c[j] = _mix(np.asarray([depth + 0x51ED], np.uint64))[0]
         return c
 
     def candidate(u, v):
@@ -186,35 +240,36 @@ def detect_symmetry(lp, max_generators: int = 16,
         until discrete; returns an aligned permutation or None."""
         cu = individualize(col_color, u, 0)
         cv = individualize(col_color, v, 0)
-        cu, _ = _refine(a_csc, a_csr, cu, row_color, table)
-        cv, _ = _refine(a_csc, a_csr, cv, row_color, table)
+        cu, _ = _refine(a_csc, a_csr, cu, row_color,
+                        coef_ids=coef_ids)
+        cv, _ = _refine(a_csc, a_csr, cv, row_color,
+                        coef_ids=coef_ids)
         for depth in range(1, n + 1):
             if time.perf_counter() - t0 > time_budget:
                 return None  # budget is a hard deadline, even mid-pair
-            by_u = {}
-            for j in range(n):
-                by_u.setdefault(int(cu[j]), []).append(j)
-            by_v = {}
-            for j in range(n):
-                by_v.setdefault(int(cv[j]), []).append(j)
-            if set(by_u) != set(by_v):
+            colors_u, inv_u, cnt_u = np.unique(
+                cu, return_inverse=True, return_counts=True)
+            colors_v, inv_v, cnt_v = np.unique(
+                cv, return_inverse=True, return_counts=True)
+            if not (len(colors_u) == len(colors_v) and
+                    np.array_equal(colors_u, colors_v) and
+                    np.array_equal(cnt_u, cnt_v)):
                 return None
-            multi = sorted(c for c, js in by_u.items() if len(js) > 1)
-            if not multi:
+            if cnt_u.max() == 1:
+                # discrete and aligned: sort both by color value
                 perm = np.empty(n, dtype=np.int64)
-                for color, js in by_u.items():
-                    vs = by_v[color]
-                    if len(vs) != 1:
-                        return None
-                    perm[js[0]] = vs[0]
+                perm[np.argsort(cu, kind="stable")] = \
+                    np.argsort(cv, kind="stable")
                 return perm
-            c0 = multi[0]
-            if len(by_u[c0]) != len(by_v[c0]):
-                return None
-            cu = individualize(cu, by_u[c0][0], depth)
-            cv = individualize(cv, by_v[c0][0], depth)
-            cu, _ = _refine(a_csc, a_csr, cu, row_color, table)
-            cv, _ = _refine(a_csc, a_csr, cv, row_color, table)
+            c0 = int(np.argmax(cnt_u > 1))  # first multi cell by color
+            ju = int(np.argmax(inv_u == c0))
+            jv = int(np.argmax(inv_v == c0))
+            cu = individualize(cu, ju, depth)
+            cv = individualize(cv, jv, depth)
+            cu, _ = _refine(a_csc, a_csr, cu, row_color,
+                            coef_ids=coef_ids)
+            cv, _ = _refine(a_csc, a_csr, cv, row_color,
+                            coef_ids=coef_ids)
         return None
 
     for cell in big_cells:
@@ -222,6 +277,7 @@ def detect_symmetry(lp, max_generators: int = 16,
                 time.perf_counter() - t0 > time_budget:
             break
         u = cell[0]
+        fails = 0
         for v in cell[1:]:
             if time.perf_counter() - t0 > time_budget or \
                     len(generators) >= max_generators:
@@ -230,6 +286,15 @@ def detect_symmetry(lp, max_generators: int = 16,
             if perm is not None and _verify_automorphism(lp, a_csr,
                                                          perm):
                 generators.append(perm)
+                fails = 0
+            else:
+                # a cell whose first pairs fail is usually asymmetric
+                # throughout — stop burning budget on it (reference
+                # bounds its search the same way via stabilizer
+                # pruning, HighsSymmetry.cpp)
+                fails += 1
+                if fails >= 3:
+                    break
     return generators
 
 

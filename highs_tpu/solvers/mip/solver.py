@@ -961,7 +961,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 np.any(new_up < root_up_p):
             root_lo_p, root_up_p = new_lo, new_up
             feasible, root_bound, root_x, root_basis = solve_node_lp(
-                root_lo_p, root_up_p)
+                root_lo_p, root_up_p, warm_basis=root_basis)
             if not feasible or root_x is None:
                 info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
@@ -1000,8 +1000,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if log is not None:
                 log(f"MIP objective clique partition: "
                     f"{len(keep_cr)} cover-clique rows")
+            warm_cr = None
+            if root_basis is not None:
+                # new clique-row logicals start basic (slack rows)
+                warm_cr = np.concatenate(
+                    [root_basis, np.ones(len(keep_cr), dtype=np.int8)])
             feasible, root_bound, root_x, root_basis = solve_node_lp(
-                root_lo_p, root_up_p)
+                root_lo_p, root_up_p, warm_basis=warm_cr)
             root_z = last_duals["z"]
             if not feasible or root_x is None:
                 info.status = HighsModelStatus.kInfeasible
@@ -1015,8 +1020,15 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
         _max_rounds = 30 if _sep_sub == 0 else 8
         mixing_active = [True]
+        cut_age = np.zeros(_Relax.num_cut_rows, dtype=int)
         for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
+                break
+            # relaxation-growth cap (reference: cut pool size limits +
+            # row aging keep the LP lean): once the cut rows exceed
+            # ~4x the original row count, more separation rounds cost
+            # more in re-solve time than the bound gains are worth
+            if _Relax.num_cut_rows > max(500, 4 * lp.num_row):
                 break
             _sep_scope = _clk("separation")
             _sep_scope.__enter__()
@@ -1198,8 +1210,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     log(f"MIP root cuts: kept "
                         f"{_Relax.num_cut_rows} active, dropped "
                         f"{dropped} slack")
+                warm_drop = None
+                if root_basis is not None and \
+                        len(root_basis) == lp.num_col + len(keep):
+                    # keep surviving rows' logical statuses; the
+                    # factorization repairs any rank mismatch
+                    warm_drop = np.concatenate(
+                        [root_basis[:lp.num_col],
+                         root_basis[lp.num_col:][keep]])
                 feasible, root_bound, root_x, root_basis = \
-                    solve_node_lp(root_lo_p, root_up_p)
+                    solve_node_lp(root_lo_p, root_up_p,
+                                  warm_basis=warm_drop)
                 root_z = last_duals["z"]
         if _Relax.num_cut_rows:
             # stronger propagation with cut rows included
@@ -1284,8 +1305,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                       _Relax.row_upper, is_int,
                                       feastol)
                     prop.gen = 2
+                    warm2 = None
+                    if root_basis is not None:
+                        warm2 = np.concatenate(
+                            [root_basis,
+                             np.ones(len(keep2), dtype=np.int8)])
                     feasible, root_bound, root_x, root_basis = \
-                        solve_node_lp(root_lo_p, root_up_p)
+                        solve_node_lp(root_lo_p, root_up_p,
+                                      warm_basis=warm2)
                     root_z = last_duals["z"]
                     if log is not None and math.isfinite(root_bound):
                         log(f"MIP root bound after clique rows: "

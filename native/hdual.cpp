@@ -883,6 +883,51 @@ int engine_solve_phase1(Engine& e, double tol_p, double tol_d,
   return res;
 }
 
+// Stall escalation: a solve that burns an abnormal iteration budget
+// without concluding is almost always cycling on dual-degenerate ties.
+// The reference dual simplex perturbs costs up front (HEkkDual cost
+// perturbation) and removes them at the end; here the perturbation is
+// applied lazily — only after a plain solve has demonstrably stalled —
+// so hot MIP node re-solves (tens of pivots) stay exact and pay
+// nothing.
+int engine_solve_escalated(Engine& e, double tol_p, double tol_d,
+                           int max_iter, double time_limit_s,
+                           int* iters_out, double obj_cut) {
+  const int cap =
+      (int)std::min<int64_t>(max_iter, 2000 + 8LL * (int64_t)e.m);
+  int it1 = 0;
+  int res = engine_solve_phase1(e, tol_p, tol_d, cap, time_limit_s,
+                                &it1, obj_cut);
+  *iters_out = it1;
+  if (res != kIterLimit || it1 < cap) return res;  // concluded or timed
+  std::vector<double> c_save(e.cost);
+  uint64_t rs = 0x2545F4914F6CDD1DULL;
+  for (int j = 0; j < e.nv; ++j) {
+    rs ^= rs << 13; rs ^= rs >> 7; rs ^= rs << 17;
+    const double r01 = (double)(rs & 0xffffff) / (double)0x1000000;
+    const double mag =
+        1e-7 * (std::fabs(e.cost[j]) + 1e-3) * (0.5 + r01);
+    if (e.stat[j] == kLower) e.cost[j] += mag;
+    else if (e.stat[j] == kUpper) e.cost[j] -= mag;
+  }
+  e.d_valid = false;
+  int it2 = 0;
+  // no objective cutoff while perturbed: the perturbed objective is
+  // not the true one, so pruning on it would be invalid
+  res = engine_solve_phase1(e, tol_p, tol_d, max_iter, time_limit_s,
+                            &it2, kInf);
+  *iters_out += it2;
+  e.cost = c_save;
+  e.d_valid = false;
+  if (res != kOptimal && res != kInfeasible && res != kIterLimit)
+    return res;
+  int it3 = 0;
+  res = engine_solve_phase1(e, tol_p, tol_d, cap, time_limit_s, &it3,
+                            obj_cut);
+  *iters_out += it3;
+  return res;
+}
+
 void export_solution(const Engine& e, double* x_out, double* y_out,
                      double* z_out, int8_t* basis_out) {
   // final duals from the maintained d (refreshed at refactors)
@@ -1313,7 +1358,7 @@ int hx_dual_solve_h(void* h, double tol_p, double tol_d, int max_iter,
                     int* iters_out) {
   Engine& e = *static_cast<Engine*>(h);
   int iters = 0;
-  const int res = engine_solve_phase1(
+  const int res = engine_solve_escalated(
       e, tol_p, tol_d, max_iter, time_limit_s, &iters,
       obj_cut >= kInf ? kInf : obj_cut);
   if (x_out) export_solution(e, x_out, y_out, z_out, basis_out);
@@ -1659,16 +1704,16 @@ int hx_mip_solve(
     if (remaining <= 0.0) { status = 2; break; }
     int iters = 0;
     auto tl0 = tick();
-    int res = engine_solve_phase1(e, tol_p, tol_d, 100000, remaining,
-                                  &iters, prune_limit());
+    int res = engine_solve_escalated(e, tol_p, tol_d, 100000, remaining,
+                                     &iters, prune_limit());
     if (timing_dbg) t_lp += tsec(tl0, tick());
     lp_iters += iters;
     if (res == kNeedPrimal || res == kSingular) {
       // retry once from the all-logical basis before giving up
       set_basis_from(e, nullptr);
-      res = engine_solve_phase1(e, tol_p, tol_d, 100000,
-                                time_limit_s - elapsed(), &iters,
-                                prune_limit());
+      res = engine_solve_escalated(e, tol_p, tol_d, 100000,
+                                   time_limit_s - elapsed(), &iters,
+                                   prune_limit());
       lp_iters += iters;
     }
     engine_live = false;
