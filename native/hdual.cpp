@@ -69,27 +69,41 @@ enum Result : int {
 };
 
 // ---------------------------------------------------------------------------
-// Sparse left-looking LU with product-form eta updates (same scheme as
-// hsimplex.cpp's kernel; kept local so the two engines stay independent).
+// Sparse left-looking LU with FORREST-TOMLIN updates (role of the
+// reference HFactor's updateFT, util/HFactor.h:490): replacing a basis
+// column updates U in place via a spike column + one sparse row eta,
+// so solves stay at ~nnz(LU) instead of dragging a growing
+// product-form eta chain through every FTRAN/BTRAN.
+//
+// U is held BOTH column-wise (Ucol: needed by the triangular solves)
+// and row-wise (Urow: needed by the update's row elimination), over an
+// EVOLVING elimination order `order` (kof = inverse).  Row etas collect
+// the update's elimination multipliers and apply between the L-part
+// and the U-part of each solve.
 struct LU {
   int m = 0;
   std::vector<int> Lstart, Lrow;
   std::vector<double> Lval;
-  std::vector<int> Ustart, Upos;
-  std::vector<double> Uval, Upiv;
-  std::vector<int> pivrow;  // processing position -> original row
-  std::vector<int> qcol;    // processing position -> basis position
-  struct Eta {
-    int p;
-    double piv;
-    std::vector<int> idx;
-    std::vector<double> val;
+  std::vector<double> Upiv;
+  std::vector<int> pivrow;  // position -> original row
+  std::vector<int> qcol;    // position -> basis position
+  std::vector<int> posq;    // basis position -> position (inverse)
+  // dynamic U: entries strictly above the diagonal in `order` terms
+  std::vector<std::vector<std::pair<int, double>>> Ucol;  // (rowpos, v)
+  std::vector<std::vector<std::pair<int, double>>> Urow;  // (colpos, v)
+  std::vector<int> order;  // elimination order: k-th eliminated position
+  std::vector<int> kof;    // position -> index in order
+  struct RowEta {
+    int t;  // target position
+    std::vector<std::pair<int, double>> terms;  // (source pos, mult)
   };
-  std::vector<Eta> etas;
+  std::vector<RowEta> etas;
+  int64_t eta_nnz = 0;  // total stored eta entries since last factor
   void clear() {
     Lstart.assign(1, 0); Lrow.clear(); Lval.clear();
-    Ustart.assign(1, 0); Upos.clear(); Uval.clear(); Upiv.clear();
-    pivrow.clear(); qcol.clear(); etas.clear();
+    Upiv.clear(); pivrow.clear(); qcol.clear(); posq.clear();
+    Ucol.clear(); Urow.clear(); order.clear(); kof.clear();
+    etas.clear(); eta_nnz = 0;
   }
 };
 
@@ -122,6 +136,9 @@ struct Engine {
   bool d_valid = false;
   // scratch
   std::vector<double> wrow, wcol, wm, rho, tau, acol, fvec;
+  std::vector<double> unitv, rho_copy, dxb, spike;
+  std::vector<double> ft_acc;
+  std::vector<char> ft_in;
   std::vector<double> arow;     // priced pivot row over variables
   std::vector<int32_t> arow_ix; // touched entries of arow
   int64_t iters_total = 0;
@@ -151,13 +168,13 @@ bool factor_once(Engine& e, int* fail_pos) {
   LU& lu = e.lu;
   lu.m = m;
   lu.clear();
-  std::vector<int> order(m), nnz(m);
+  std::vector<int> colorder(m), nnz(m);
   for (int p = 0; p < m; ++p) {
-    order[p] = p;
+    colorder[p] = p;
     int j = e.basic[p];
     nnz[p] = (j < e.n) ? int(e.Ap[j + 1] - e.Ap[j]) : 1;
   }
-  std::stable_sort(order.begin(), order.end(),
+  std::stable_sort(colorder.begin(), colorder.end(),
                    [&](int a, int b) { return nnz[a] < nnz[b]; });
   std::vector<double> work(m, 0.0);
   std::vector<int> touched;
@@ -167,11 +184,13 @@ bool factor_once(Engine& e, int* fail_pos) {
   lu.pivrow.resize(m);
   lu.qcol.resize(m);
   lu.Upiv.resize(m);
+  lu.Ucol.assign(m, {});
+  lu.Urow.assign(m, {});
   auto touch = [&](int r) {
     if (!intouch[r]) { intouch[r] = 1; touched.push_back(r); }
   };
   for (int pos = 0; pos < m; ++pos) {
-    const int p = order[pos];
+    const int p = colorder[pos];
     const int j = e.basic[p];
     lu.qcol[pos] = p;
     touched.clear();
@@ -196,11 +215,10 @@ bool factor_once(Engine& e, int* fail_pos) {
     for (int r : touched) {
       const int pos2 = rowassigned[r];
       if (pos2 >= 0 && work[r] != 0.0) {
-        lu.Upos.push_back(pos2);
-        lu.Uval.push_back(work[r]);
+        lu.Ucol[pos].push_back({pos2, work[r]});
+        lu.Urow[pos2].push_back({pos, work[r]});
       }
     }
-    lu.Ustart.push_back(int(lu.Upos.size()));
     int piv = -1;
     double best = 1e-9;
     for (int r : touched) {
@@ -227,6 +245,14 @@ bool factor_once(Engine& e, int* fail_pos) {
     }
     lu.Lstart.push_back(int(lu.Lrow.size()));
     for (int r : touched) { work[r] = 0.0; intouch[r] = 0; }
+  }
+  lu.order.resize(m);
+  lu.kof.resize(m);
+  lu.posq.resize(m);
+  for (int pos = 0; pos < m; ++pos) {
+    lu.order[pos] = pos;
+    lu.kof[pos] = pos;
+    lu.posq[lu.qcol[pos]] = pos;
   }
   return true;
 }
@@ -258,11 +284,15 @@ bool factor(Engine& e) {
   return false;
 }
 
-// base FTRAN: x (basis-position indexed) solving B0 x = b (row indexed,
-// consumed)
-void ftran_base(Engine& e, double* b, double* x) {
+// FTRAN pipeline with FT updates:  B = L~ M^{-1} U  (M = product of
+// the unit row-eta eliminations), so  B^{-1}b = U^{-1} M (L-part of b).
+// `spike_out` (optional, position-indexed) captures the vector AFTER
+// the L-part and row etas but BEFORE the U back-substitution — exactly
+// the Forrest-Tomlin spike of a would-be basis change to this column.
+void ftran_full(Engine& e, double* b, double* x, double* spike_out) {
   const LU& lu = e.lu;
   const int m = lu.m;
+  // L part (fixed factor-time order is valid: L is never updated)
   for (int pos = 0; pos < m; ++pos) {
     const double t = b[lu.pivrow[pos]];
     if (t == 0.0) continue;
@@ -272,27 +302,44 @@ void ftran_base(Engine& e, double* b, double* x) {
   std::vector<double>& acc = e.wm;
   acc.resize(m);
   for (int pos = 0; pos < m; ++pos) acc[pos] = b[lu.pivrow[pos]];
-  for (int pos = m - 1; pos >= 0; --pos) {
+  // row etas in creation order: acc[t] -= sum mult_k * acc[k]
+  for (const auto& et : lu.etas) {
+    double s = acc[et.t];
+    for (const auto& kv : et.terms) s -= kv.second * acc[kv.first];
+    acc[et.t] = s;
+  }
+  if (spike_out)
+    for (int pos = 0; pos < m; ++pos) spike_out[pos] = acc[pos];
+  // U back substitution over the CURRENT elimination order
+  for (int k = m - 1; k >= 0; --k) {
+    const int pos = lu.order[k];
     const double xv = acc[pos] / lu.Upiv[pos];
     x[lu.qcol[pos]] = xv;
     if (xv == 0.0) continue;
-    for (int k = lu.Ustart[pos]; k < lu.Ustart[pos + 1]; ++k)
-      acc[lu.Upos[k]] -= lu.Uval[k] * xv;
+    for (const auto& rv : lu.Ucol[pos]) acc[rv.first] -= rv.second * xv;
   }
 }
 
-// base BTRAN: y (row indexed) solving B0' y = eb (basis-position indexed)
-void btran_base(Engine& e, const double* eb, double* y) {
+// y = B^{-T} eb for eb over basis positions; y over rows
+void btran_vec(Engine& e, const double* eb, double* y) {
   const LU& lu = e.lu;
   const int m = lu.m;
   std::vector<double>& z = e.wm;
   z.resize(m);
-  for (int pos = 0; pos < m; ++pos) {
+  // U' forward solve over the current elimination order
+  for (int k = 0; k < m; ++k) {
+    const int pos = lu.order[k];
     double s = eb[lu.qcol[pos]];
-    for (int k = lu.Ustart[pos]; k < lu.Ustart[pos + 1]; ++k)
-      s -= lu.Uval[k] * z[lu.Upos[k]];
+    for (const auto& rv : lu.Ucol[pos]) s -= rv.second * z[rv.first];
     z[pos] = s / lu.Upiv[pos];
   }
+  // row-eta transposes in reverse creation order
+  for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
+    const double zt = z[it->t];
+    if (zt != 0.0)
+      for (const auto& kv : it->terms) z[kv.first] -= kv.second * zt;
+  }
+  // L' back solve (fixed factor-time order)
   for (int i = 0; i < m; ++i) y[i] = 0.0;
   for (int pos = 0; pos < m; ++pos) y[lu.pivrow[pos]] = z[pos];
   for (int pos = m - 1; pos >= 0; --pos) {
@@ -303,46 +350,22 @@ void btran_base(Engine& e, const double* eb, double* y) {
   }
 }
 
-void etas_ftran(const Engine& e, double* x) {
-  for (const auto& et : e.lu.etas) {
-    const double xp = x[et.p] / et.piv;
-    x[et.p] = xp;
-    if (xp == 0.0) continue;
-    for (size_t k = 0; k < et.idx.size(); ++k)
-      x[et.idx[k]] -= et.val[k] * xp;
-  }
-}
-
-void etas_btran(const Engine& e, double* v) {
-  for (auto it = e.lu.etas.rbegin(); it != e.lu.etas.rend(); ++it) {
-    double s = v[it->p];
-    for (size_t k = 0; k < it->idx.size(); ++k)
-      s -= it->val[k] * v[it->idx[k]];
-    v[it->p] = s / it->piv;
-  }
-}
-
-// alpha = B^{-1} W_j over basis positions
-void ftran_col(Engine& e, int j, double* alpha) {
+// alpha = B^{-1} W_j over basis positions (optionally capturing the
+// FT spike for a subsequent basis change on this column)
+void ftran_col_spike(Engine& e, int j, double* alpha, double* spike) {
   std::vector<double>& col = e.wcol;
   col.assign(e.m, 0.0);
   e.axpy_col(j, 1.0, col.data());
-  ftran_base(e, col.data(), alpha);
-  etas_ftran(e, alpha);
+  ftran_full(e, col.data(), alpha, spike);
+}
+
+void ftran_col(Engine& e, int j, double* alpha) {
+  ftran_col_spike(e, j, alpha, nullptr);
 }
 
 // alpha = B^{-1} v for a dense row-indexed v (consumed)
 void ftran_vec(Engine& e, double* v, double* alpha) {
-  ftran_base(e, v, alpha);
-  etas_ftran(e, alpha);
-}
-
-// y = B^{-T} eb for eb over basis positions; y over rows
-void btran_vec(Engine& e, const double* eb, double* y) {
-  std::vector<double>& w = e.wrow;
-  w.assign(eb, eb + e.m);
-  etas_btran(e, w.data());
-  btran_base(e, w.data(), y);
+  ftran_full(e, v, alpha, nullptr);
 }
 
 // recompute x_B from the nonbasic values (one base solve)
@@ -372,20 +395,92 @@ void compute_duals(Engine& e) {
                                    : e.cost[j] - e.dot_col(j, y.data());
 }
 
-// PF eta push after position p receives the column with FTRAN image
-// alpha (pivot alpha[p]) — HFactor's PF update form (HFactor.h:492-503)
-void push_eta(Engine& e, int p, const double* alpha) {
-  LU::Eta et;
-  et.p = p;
-  et.piv = alpha[p];
-  for (int r = 0; r < e.m; ++r) {
-    if (r == p) continue;
-    if (std::fabs(alpha[r]) > 1e-14) {
-      et.idx.push_back(r);
-      et.val.push_back(alpha[r]);
+// Forrest-Tomlin basis-change update (reference HFactor updateFT,
+// util/HFactor.h:490): basis slot `slot_r` receives the column whose
+// FT spike (position-indexed, captured by ftran_col_spike) is given.
+// Returns false when the implied new pivot is numerically unsafe —
+// the caller refactorizes instead (same recourse the reference takes).
+bool ft_update(Engine& e, int slot_r, const double* spike) {
+  LU& lu = e.lu;
+  const int m = lu.m;
+  const int t = lu.posq[slot_r];
+  // 1. detach the old column t from the row lists
+  for (const auto& rv : lu.Ucol[t]) {
+    auto& row = lu.Urow[rv.first];
+    for (size_t k = 0; k < row.size(); ++k)
+      if (row[k].first == t) { row[k] = row.back(); row.pop_back(); break; }
+  }
+  lu.Ucol[t].clear();
+  // 2. move t to the end of the elimination order
+  const int kt = lu.kof[t];
+  for (int k = kt; k + 1 < m; ++k) {
+    lu.order[k] = lu.order[k + 1];
+    lu.kof[lu.order[k]] = k;
+  }
+  lu.order[m - 1] = t;
+  lu.kof[t] = m - 1;
+  // 3. eliminate the old row t (its entries now sit below the
+  //    diagonal) with a sparse accumulator processed in elimination
+  //    order; multipliers become one row eta
+  double diag = spike[t];
+  double smax = std::fabs(diag);
+  std::vector<double>& acc = e.ft_acc;
+  std::vector<char>& inacc = e.ft_in;
+  if ((int)acc.size() != m) { acc.assign(m, 0.0); inacc.assign(m, 0); }
+  std::priority_queue<std::pair<int, int>,
+                      std::vector<std::pair<int, int>>,
+                      std::greater<std::pair<int, int>>> heap;
+  for (const auto& cv : lu.Urow[t]) {
+    // row t is eliminated: its entries leave the U columns too (they
+    // would sit below the diagonal after the reorder)
+    auto& col = lu.Ucol[cv.first];
+    for (size_t k = 0; k < col.size(); ++k)
+      if (col[k].first == t) { col[k] = col.back(); col.pop_back(); break; }
+    acc[cv.first] = cv.second;
+    if (!inacc[cv.first]) { inacc[cv.first] = 1;
+      heap.push({lu.kof[cv.first], cv.first}); }
+  }
+  lu.Urow[t].clear();
+  LU::RowEta eta;
+  eta.t = t;
+  while (!heap.empty()) {
+    const int cpos = heap.top().second;
+    heap.pop();
+    if (!inacc[cpos]) continue;
+    inacc[cpos] = 0;
+    const double v = acc[cpos];
+    acc[cpos] = 0.0;
+    if (v == 0.0) continue;
+    const double mult = v / lu.Upiv[cpos];
+    if (std::fabs(mult) <= 1e-14) continue;
+    eta.terms.push_back({cpos, mult});
+    diag -= mult * spike[cpos];
+    for (const auto& cv : lu.Urow[cpos]) {
+      acc[cv.first] -= mult * cv.second;
+      if (!inacc[cv.first]) { inacc[cv.first] = 1;
+        heap.push({lu.kof[cv.first], cv.first}); }
     }
   }
-  e.lu.etas.push_back(std::move(et));
+  // 4. install the spike as the new column t (all other entries are
+  //    above the diagonal now that t is eliminated last)
+  for (int pos = 0; pos < m; ++pos) {
+    if (pos == t) continue;
+    const double v = spike[pos];
+    if (std::fabs(v) > 1e-14) {
+      smax = std::max(smax, std::fabs(v));
+      lu.Ucol[t].push_back({pos, v});
+      lu.Urow[pos].push_back({t, v});
+    }
+  }
+  // 5. stability: an unsafe new pivot poisons every later solve
+  if (!(std::fabs(diag) > 1e-9 && std::fabs(diag) > 1e-7 * smax))
+    return false;
+  lu.Upiv[t] = diag;
+  if (!eta.terms.empty()) {
+    lu.eta_nnz += (int64_t)eta.terms.size();
+    lu.etas.push_back(std::move(eta));
+  }
+  return true;
 }
 
 double ptol_of(const Engine& e, int j, double tol_p) {
@@ -420,6 +515,47 @@ bool restore_dual_feasibility(Engine& e, double tol_d) {
   if (flipped) compute_basics(e);
   return true;
 }
+
+// dev-only section clocks for the dual loop (HX_TIMING=1), the role of
+// the reference's SimplexTimer/FactorTimer clock sets
+struct LoopClocks {
+  double chuzr = 0, btran = 0, price = 0, chuzc = 0, ftran = 0,
+         dse = 0, primal = 0, factor = 0, etc = 0;
+  int64_t iters = 0, factors = 0;
+  int64_t rho_nnz = 0, acol_nnz = 0, eta_cnt = 0;
+  bool on = false;
+  ~LoopClocks() {
+    if (on && iters)
+      fprintf(stderr,
+              "[hx_dual clocks] iters=%lld factors=%lld chuzr=%.3f "
+              "btran=%.3f price=%.3f chuzc=%.3f ftran=%.3f dse=%.3f "
+              "primal=%.3f factor=%.3f etc=%.3f rho_nnz/it=%.0f "
+              "acol_nnz/it=%.0f etas/it=%.1f\n",
+              (long long)iters, (long long)factors, chuzr, btran, price,
+              chuzc, ftran, dse, primal, factor, etc,
+              (double)rho_nnz / iters, (double)acol_nnz / iters,
+              (double)eta_cnt / iters);
+  }
+};
+static LoopClocks g_clk;
+static struct ClkInit {
+  ClkInit() { g_clk.on = getenv("HX_TIMING") != nullptr; }
+} g_clk_init;
+static inline double clk_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+#define CLK(field, stmt)                      \
+  do {                                        \
+    if (g_clk.on) {                           \
+      const double t0_ = clk_now();           \
+      stmt;                                   \
+      g_clk.field += clk_now() - t0_;         \
+    } else {                                  \
+      stmt;                                   \
+    }                                         \
+  } while (0)
 
 // The dual simplex main loop.  Assumes factored basis, fresh x_B and d.
 int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
@@ -467,6 +603,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     int rr = -1;
     double best_score = 0.0;
     double delta = 0.0;   // x_jb - violated bound (sign tells direction)
+    const double t_chuzr0 = g_clk.on ? clk_now() : 0.0;
     for (int p = 0; p < m; ++p) {
       const int jb = e.basic[p];
       const double v = e.xval[jb];
@@ -483,6 +620,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         }
       }
     }
+    if (g_clk.on) g_clk.chuzr += clk_now() - t_chuzr0;
     if (rr < 0) {
       // primal feasible: optimality additionally requires dual
       // feasibility of the final point.  Verify both on a fresh
@@ -523,14 +661,15 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     const double s = (delta < 0.0) ? -1.0 : 1.0;  // sign of delta
 
     // ---- BTRAN: rho = B^{-T} e_rr --------------------------------------
-    std::vector<double>& eb = e.wm;
-    // (wm is clobbered by btran internals; use a local unit vector)
-    std::vector<double> unit(m, 0.0);
-    unit[rr] = 1.0;
-    btran_vec(e, unit.data(), e.rho.data());
-    (void)eb;
+    // (wm is clobbered by btran internals; keep a persistent unit
+    // scratch - a heap alloc + O(m) memset per iteration otherwise)
+    if ((int)e.unitv.size() != m) e.unitv.assign(m, 0.0);
+    e.unitv[rr] = 1.0;
+    CLK(btran, btran_vec(e, e.unitv.data(), e.rho.data()));
+    e.unitv[rr] = 0.0;
 
     // ---- PRICE: pivot row over nonbasic variables via CSR --------------
+    const double t_price0 = g_clk.on ? clk_now() : 0.0;
     for (int32_t ix : e.arow_ix) e.arow[ix] = 0.0;
     e.arow_ix.clear();
     for (int i = 0; i < m; ++i) {
@@ -546,9 +685,15 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
       e.arow[jlog] -= ri;
     }
 
+    if (g_clk.on) {
+      g_clk.price += clk_now() - t_price0;
+      for (int i = 0; i < m; ++i) if (e.rho[i] != 0.0) ++g_clk.rho_nnz;
+      g_clk.eta_cnt += (int64_t)e.lu.etas.size();
+    }
     // ---- CHUZC: BFRT + Harris two-pass ---------------------------------
     // candidates F: nonbasic j whose reduced cost would degrade as the
     // dual step grows; ratio |d_j / alpha_j|
+    const double t_chuzc0 = g_clk.on ? clk_now() : 0.0;
     bps.clear();
     double flip_slope = std::fabs(delta);  // remaining primal infeas.
     for (int32_t j : e.arow_ix) {
@@ -601,45 +746,60 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
       *iters_out = iters;
       return tiny_candidate ? kIterLimit : kInfeasible;
     }
-    std::sort(bps.begin(), bps.end(),
-              [](const BP& a, const BP& b) { return a.ratio < b.ratio; });
+    // min-heap on ratio: the BFRT walk consumes breakpoints in ratio
+    // order but typically stops after a handful of flips, so a heap
+    // (O(k + t log k)) replaces the former full sort (O(k log k))
+    auto bp_gt = [](const BP& a, const BP& b) { return a.ratio > b.ratio; };
+    std::make_heap(bps.begin(), bps.end(), bp_gt);
 
     // BFRT walk: flip boxed breakpoints while the leaving variable
     // remains infeasible after accounting for their flips
     int q = -1;
-    size_t k_enter = 0;
+    double q_ratio = 0.0, q_aabs = 0.0;
     std::vector<int> flips;
-    for (size_t k = 0; k < bps.size(); ++k) {
-      const int j = bps[k].j;
+    size_t heap_sz = bps.size();
+    while (heap_sz > 0) {
+      const BP top = bps.front();
+      const int j = top.j;
       const double range = e.up[j] - e.lo[j];
       const double consumed = std::fabs(e.arow[j]) * range;
       const bool boxed = (e.lo[j] > -kInf) && (e.up[j] < kInf) &&
                          e.stat[j] != kZero;
       if (boxed && flip_slope - consumed > 10.0 * ptol_of(e, jl, tol_p)
-          && k + 1 < bps.size()) {
+          && heap_sz > 1) {
         flip_slope -= consumed;
         flips.push_back(j);
+        std::pop_heap(bps.begin(), bps.begin() + heap_sz, bp_gt);
+        --heap_sz;
         continue;
       }
       q = j;
-      k_enter = k;
+      q_ratio = top.ratio;
+      q_aabs = top.aabs;
+      std::pop_heap(bps.begin(), bps.begin() + heap_sz, bp_gt);
+      --heap_sz;
       break;
     }
-    if (q < 0) { q = bps.back().j; k_enter = bps.size() - 1; }
+    if (q < 0) {
+      const BP top = bps.front();
+      q = top.j; q_ratio = top.ratio; q_aabs = top.aabs;
+      heap_sz = 0;
+    }
     // Harris pass 2 inside the tolerance window: among breakpoints with
     // ratio <= ratio_sel + reltol, take the largest |alpha| (stability)
     {
-      const double win = bps[k_enter].ratio +
-                         tol_d / std::max(bps[k_enter].aabs, 1e-4);
-      double best_a = bps[k_enter].aabs;
-      for (size_t k = k_enter + 1; k < bps.size(); ++k) {
-        if (bps[k].ratio > win) break;
-        if (bps[k].aabs > best_a) {
-          best_a = bps[k].aabs;
-          q = bps[k].j;
+      const double win = q_ratio + tol_d / std::max(q_aabs, 1e-4);
+      double best_a = q_aabs;
+      while (heap_sz > 0 && bps.front().ratio <= win) {
+        if (bps.front().aabs > best_a) {
+          best_a = bps.front().aabs;
+          q = bps.front().j;
         }
+        std::pop_heap(bps.begin(), bps.begin() + heap_sz, bp_gt);
+        --heap_sz;
       }
     }
+    if (g_clk.on) g_clk.chuzc += clk_now() - t_chuzc0;
     const double apq_row = e.arow[q];
     if (std::fabs(apq_row) < 1e-9) {
       if (!factor(e)) { *iters_out = iters; return kSingular; }
@@ -668,13 +828,17 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         e.xval[j] += dx;
         e.axpy_col(j, dx, e.fvec.data());
       }
-      std::vector<double> dxb(m);
-      ftran_vec(e, e.fvec.data(), dxb.data());
-      for (int p = 0; p < m; ++p) e.xval[e.basic[p]] -= dxb[p];
+      e.dxb.resize(m);
+      ftran_vec(e, e.fvec.data(), e.dxb.data());
+      for (int p = 0; p < m; ++p) e.xval[e.basic[p]] -= e.dxb[p];
     }
 
-    // ---- FTRAN entering column -----------------------------------------
-    ftran_col(e, q, e.acol.data());
+    // ---- FTRAN entering column (captures the FT spike) -----------------
+    e.spike.resize(m);
+    CLK(ftran, ftran_col_spike(e, q, e.acol.data(), e.spike.data()));
+    if (g_clk.on)
+      for (int p2 = 0; p2 < m; ++p2)
+        if (e.acol[p2] != 0.0) ++g_clk.acol_nnz;
     const double apq = e.acol[rr];
     if (std::fabs(apq) < 1e-9 ||
         std::fabs(apq - apq_row) >
@@ -694,8 +858,10 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     // ---- DSE weight update (Forrest–Goldfarb; HEkkDual parity) ---------
     // tau = B^{-1} rho
     {
-      std::vector<double> rho_copy(e.rho);
-      ftran_vec(e, rho_copy.data(), e.tau.data());
+      const double t_dse0 = g_clk.on ? clk_now() : 0.0;
+      e.rho_copy = e.rho;
+      ftran_vec(e, e.rho_copy.data(), e.tau.data());
+      if (g_clk.on) g_clk.dse += clk_now() - t_dse0;
     }
     const double w_r = std::max(e.dse[rr], 1e-10);
     const double new_w_enter = w_r / (apq * apq);
@@ -712,7 +878,9 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     // ---- primal step -----------------------------------------------------
     const double delta_now = e.xval[jl] - target;  // after flips
     const double theta_p = delta_now / apq;
+    const double t_pr0 = g_clk.on ? clk_now() : 0.0;
     for (int p = 0; p < m; ++p) e.xval[e.basic[p]] -= theta_p * e.acol[p];
+    if (g_clk.on) g_clk.primal += clk_now() - t_pr0;
     const double xq_new = e.xval[q] + theta_p;
     // leaving goes to its violated bound; entering becomes basic
     e.stat[jl] = (target == e.lo[jl] && e.lo[jl] > -kInf) ? kLower : kUpper;
@@ -724,9 +892,30 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     e.xval[q] = xq_new;
     ++iters;
     ++e.iters_total;
+    ++g_clk.iters;
 
     // ---- factorization update -------------------------------------------
-    if (std::fabs(apq) < 1e-7 || ++e.since_refactor >= 64) {
+    // Adaptive reinversion on ETA MASS, not a fixed pivot count: the
+    // product-form chain's solve cost is its stored nonzeros, so
+    // refactor as soon as applying the chain costs more than ~2 fresh
+    // LU solves (reference HFactor avoids the growth altogether with
+    // Forrest-Tomlin updates; the mass rule gets most of that win).
+    int64_t u_nnz = 0;
+    for (const auto& c : e.lu.Ucol) u_nnz += (int64_t)c.size();
+    const int64_t lu_nnz = (int64_t)e.lu.Lrow.size() + u_nnz + e.m;
+    if (std::fabs(apq) < 1e-7 || ++e.since_refactor >= 100 ||
+        e.lu.eta_nnz > std::max<int64_t>(lu_nnz, 2LL * e.m)) {
+      const double t_f0 = g_clk.on ? clk_now() : 0.0;
+      if (!factor(e)) { *iters_out = iters; return kSingular; }
+      compute_basics(e);
+      compute_duals(e);
+      if (g_clk.on) { g_clk.factor += clk_now() - t_f0; ++g_clk.factors; }
+      if (!restore_dual_feasibility(e, 10.0 * tol_d)) {
+        *iters_out = iters;
+        return kNeedPrimal;
+      }
+    } else if (!ft_update(e, rr, e.spike.data())) {
+      // FT pivot unsafe: fall back to a fresh factorization
       if (!factor(e)) { *iters_out = iters; return kSingular; }
       compute_basics(e);
       compute_duals(e);
@@ -734,8 +923,6 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         *iters_out = iters;
         return kNeedPrimal;
       }
-    } else {
-      push_eta(e, rr, e.acol.data());
     }
     if ((iters & 511) == 0) verify = 0;  // allow later re-verification
   }
