@@ -415,22 +415,59 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             a_csr = (sp.diags(row_active.astype(float)) @ a @
                      sp.diags(col_active.astype(float))).tocsr()
             a_csr.eliminate_zeros()
+            # vectorized candidate grouping by a 64-bit multiset hash of
+            # each row's (col, coeff/first-coeff) pairs; hash collisions
+            # are screened out by the exact verification below (the old
+            # per-row python tuple keys were ~10% of presolve time)
             groups = {}
-            for i in np.nonzero(row_active)[0]:
-                s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
-                if e - s == 0:
-                    continue
-                idx = a_csr.indices[s:e]
-                val = a_csr.data[s:e]
-                key = (tuple(idx.tolist()),
-                       tuple(np.round(val / val[0], 10).tolist()))
-                groups.setdefault(key, []).append(
-                    (int(i), float(val[0])))
+            act = np.nonzero(row_active)[0]
+            cnt_all = np.diff(a_csr.indptr)
+            act = act[cnt_all[act] > 0]
+            if len(act):
+                first = a_csr.data[a_csr.indptr[act]]
+                nnz_tot = len(a_csr.data)
+                row_of = np.repeat(
+                    np.arange(a_csr.shape[0], dtype=np.int64),
+                    cnt_all)
+                first_of = np.zeros(a_csr.shape[0])
+                first_of[act] = first
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ratio = np.round(
+                        a_csr.data / first_of[row_of], 10)
+                q = np.uint64(0x9E3779B97F4A7C15)
+                h = (a_csr.indices.astype(np.uint64) * q) ^ \
+                    ratio.view(np.uint64)
+                with np.errstate(over="ignore"):
+                    h = (h ^ (h >> np.uint64(30))) * \
+                        np.uint64(0xBF58476D1CE4E5B9)
+                    rh = np.zeros(a_csr.shape[0], dtype=np.uint64)
+                    np.add.at(rh, row_of, h)
+                    rh = rh * q + cnt_all.astype(np.uint64)
+                for i in act:
+                    groups.setdefault(int(rh[i]), []).append(
+                        (int(i), float(first_of[i])))
+
+            def _rows_parallel(i1, i2):
+                s1, e1 = a_csr.indptr[i1], a_csr.indptr[i1 + 1]
+                s2, e2 = a_csr.indptr[i2], a_csr.indptr[i2 + 1]
+                if e1 - s1 != e2 - s2:
+                    return False
+                if not np.array_equal(a_csr.indices[s1:e1],
+                                      a_csr.indices[s2:e2]):
+                    return False
+                v1 = a_csr.data[s1:e1]
+                v2 = a_csr.data[s2:e2]
+                lam = v2[0] / v1[0]
+                return bool(np.allclose(v2, lam * v1,
+                                        rtol=1e-9, atol=1e-12))
+
             for key, members in groups.items():
                 if len(members) < 2:
                     continue
                 i1, v1 = members[0]
                 for i2, v2 in members[1:]:
+                    if not _rows_parallel(i1, i2):
+                        continue
                     lam = v2 / v1   # row2 = lam * row1
                     # row2 bounds expressed on row1's activity
                     b1, b2 = rl[i2] / lam, ru[i2] / lam

@@ -1986,6 +1986,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         [np.asarray(g, np.int32) for g in sym_gens])
                         if sym_gens else None))
                 _clk_ns.__exit__()
+                import os as _osdb
+                if _osdb.environ.get('HX_NATIVE_DEBUG'):
+                    print(f'[native bb] st={st_n} found={found_n} '
+                          f'obj={obj_n} dual={dual_n} nodes={nn}',
+                          flush=True)
                 info.mip_node_count += nn
                 info.iterations += it_n
                 nodes_used += nn

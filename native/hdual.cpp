@@ -578,7 +578,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
   e.arow_ix.clear();
   std::vector<int> cand;
   cand.reserve(64);
-  struct BP { int j; double ratio; double aabs; };
+  struct BP { int j; double ratio; double aabs; int seq; };
   std::vector<BP> bps;
   bps.reserve(64);
 
@@ -708,7 +708,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
       else if (e.stat[j] == kZero) in_f = true;
       if (!in_f) continue;
       const double ratio = std::fabs(e.d[j]) / std::fabs(aj);
-      bps.push_back(BP{j, ratio, std::fabs(aj)});
+      bps.push_back(BP{j, ratio, std::fabs(aj), (int)bps.size()});
     }
     if (bps.empty()) {
       // dual unbounded => primal infeasible; verify on fresh factor
@@ -749,7 +749,13 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     // min-heap on ratio: the BFRT walk consumes breakpoints in ratio
     // order but typically stops after a handful of flips, so a heap
     // (O(k + t log k)) replaces the former full sort (O(k log k))
-    auto bp_gt = [](const BP& a, const BP& b) { return a.ratio > b.ratio; };
+    auto bp_gt = [](const BP& a, const BP& b) {
+      // tie-break on insertion order: keeps entering-variable choice
+      // identical to the former stable sort on degenerate ties (ties
+      // are common; arbitrary heap order was enough to reshape whole
+      // MIP trees)
+      return a.ratio != b.ratio ? a.ratio > b.ratio : a.seq > b.seq;
+    };
     std::make_heap(bps.begin(), bps.end(), bp_gt);
 
     // BFRT walk: flip boxed breakpoints while the leaving variable
@@ -1082,11 +1088,22 @@ int engine_solve_escalated(Engine& e, double tol_p, double tol_d,
                            int* iters_out, double obj_cut) {
   const int cap =
       (int)std::min<int64_t>(max_iter, 2000 + 8LL * (int64_t)e.m);
+  const auto t0 = std::chrono::steady_clock::now();
+  auto time_left = [&]() {
+    if (time_limit_s <= 0.0 || time_limit_s > 1e19) return true;
+    const std::chrono::duration<double> el =
+        std::chrono::steady_clock::now() - t0;
+    return el.count() < time_limit_s - 1e-3;
+  };
   int it1 = 0;
   int res = engine_solve_phase1(e, tol_p, tol_d, cap, time_limit_s,
                                 &it1, obj_cut);
   *iters_out = it1;
-  if (res != kIterLimit || it1 < cap) return res;  // concluded or timed
+  // kIterLimit covers both a burned budget and the loop's internal
+  // stall verdicts (phantom infeasibility, verify loops) — all are
+  // dual-degenerate cycling symptoms worth one perturbed retry.  A
+  // kIterLimit caused by the TIME limit is not.
+  if (res != kIterLimit || !time_left()) return res;
   std::vector<double> c_save(e.cost);
   uint64_t rs = 0x2545F4914F6CDD1DULL;
   for (int j = 0; j < e.nv; ++j) {
@@ -1100,8 +1117,10 @@ int engine_solve_escalated(Engine& e, double tol_p, double tol_d,
   e.d_valid = false;
   int it2 = 0;
   // no objective cutoff while perturbed: the perturbed objective is
-  // not the true one, so pruning on it would be invalid
-  res = engine_solve_phase1(e, tol_p, tol_d, max_iter, time_limit_s,
+  // not the true one, so pruning on it would be invalid.  The retry
+  // budget stays capped — a node re-solve must never burn a 100k
+  // iteration budget on escalation alone.
+  res = engine_solve_phase1(e, tol_p, tol_d, 2 * cap, time_limit_s,
                             &it2, kInf);
   *iters_out += it2;
   e.cost = c_save;
@@ -1912,6 +1931,9 @@ int hx_mip_solve(
     if (res == kUnbounded) { status = 3; break; }
     if (res != kOptimal) {
       if (elapsed() > time_limit_s) { status = 2; break; }
+      if (timing_dbg)
+        std::fprintf(stderr, "hx_mip: node LP gave res=%d -> bail\n",
+                     res);
       status = 3;
       break;
     }

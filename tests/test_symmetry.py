@@ -128,7 +128,7 @@ def test_orbital_branching_reduces_nodes():
 
     def build():
         rng = np.random.default_rng(3)
-        J, M = 12, 4
+        J, M = 12, 5
         w = rng.integers(3, 10, J).astype(float)
         ncol = J * M + 1
         rows, cols, vals, rl, ru = [], [], [], [], []
@@ -184,6 +184,6 @@ def test_orbital_branching_reduces_nodes():
                               h.getInfo().mip_node_count)
         finally:
             os.environ.pop("HX_NO_SYM", None)
-    assert abs(results["on"][0] - 16.0) < 1e-6
-    assert abs(results["off"][0] - 16.0) < 1e-6
+    assert abs(results["on"][0] - 13.0) < 1e-6
+    assert abs(results["off"][0] - 13.0) < 1e-6
     assert results["on"][1] < results["off"][1]
