@@ -183,10 +183,16 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
         from .simplex.wrapper import solve_lp_simplex
         return solve_lp_simplex(lp, options, log=log, basis=basis)
 
-    # dense-IPM capacity: the normal matrix is (m x m) dense and K is
-    # materialized dense (m x n_std) — both must fit comfortably
-    ipm_ok = (lp.num_row <= 8192 and
-              lp.num_row * (lp.num_col + lp.num_row) <= (1 << 26))
+    # IPM capacity model (not a dense cap): small problems factor the
+    # normal matrix DENSE (MXU/host BLAS); mid-to-large sparse problems
+    # use the native sparse LDL' (ipm/sparse_ldl.py, native/hipm.cpp)
+    # whose symbolic analysis self-aborts on fill-catastrophic
+    # patterns and falls back to matrix-free CG — so the gate only
+    # excludes sizes where even the CG matvecs are uncompetitive with
+    # the PDHG workhorse.
+    _nnz = int(lp.a_matrix.num_nz)
+    ipm_ok = (lp.num_row <= 2500 or
+              (lp.num_row <= 80000 and _nnz <= 2_000_000))
 
     if solver == "choose" and (
             lp.num_row <= 1500 or

@@ -89,6 +89,13 @@ class IpmSettings:
     reg_dual: float = 1e-10
 
 
+# persistent SparseLdl handles for the "ldl" newton mode, keyed by the
+# identity of the (host, sparse) constraint operator: the normal
+# matrix's pattern is constant across a solve, so one symbolic
+# analysis serves every iteration
+_LDL_CACHE: dict = {}
+
+
 class _JaxLinalg:
     """Dense-linalg backend: jax (device; MXU matmuls + jit)."""
     xp = jnp
@@ -204,7 +211,42 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
 
     # normal matrix M = K Theta_x K' + Theta_s (ineq diag) + reg_d I
     diag_extra = theta_s * problem.slack_mask + reg_d
-    if newton == "chol":
+    if newton == "ldl":
+        # sparse direct path (host only): K stays a scipy CSR; M is
+        # built sparse with a CONSTANT pattern across iterations, so
+        # the native LDL' (native/hipm.cpp) analyzes once and
+        # refactors numerically per step — the HiPO role
+        # (ipm/hipo/factorhighs) without the m<=8192 dense cap.
+        import scipy.sparse as _sp
+        a = problem.a
+        aw = a.multiply(np.asarray(theta_x)[None, :]).tocsr()
+        mmat = (aw @ a.T + _sp.diags(np.asarray(diag_extra))).tocsc()
+        mmat.sum_duplicates()
+        h = _LDL_CACHE.get(id(a))
+        if h is None or not h.matches(mmat):
+            from .sparse_ldl import SparseLdl
+            # budget ~ 60x the pattern: past that a direct factor
+            # loses to iterating, and the ordering cost itself blows up
+            h = SparseLdl(mmat, max_work=80 * mmat.nnz + 1_000_000,
+                          max_fill=60 * mmat.nnz + 1_000_000)
+            _LDL_CACHE.clear()
+            _LDL_CACHE[id(a)] = h
+        else:
+            h.factor(mmat, reg_floor=max(1e-12, float(reg_d)))
+
+        def solve_m(rhs_y):
+            # two steps of iterative refinement: late-IPM normal
+            # matrices are extremely ill-conditioned and the dynamic
+            # pivot regularization perturbs the factorization; the
+            # refined solve recovers the accuracy the dense path gets
+            # from breakdown-escalation (HiPO: KrylovMethods/Refine.cpp)
+            rhs = np.asarray(rhs_y)
+            x = h.solve(rhs)
+            for _ in range(2):
+                r = rhs - mmat @ x
+                x = x + h.solve(r)
+            return x
+    elif newton == "chol":
         at_weighted = problem.a * theta_x[None, :]
         mmat = at_weighted @ problem.a.T
         mmat = mmat + xp.diag(diag_extra)
@@ -215,7 +257,12 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
     else:
         # matrix-free CG on M with Jacobi preconditioner
         # diag(M)_i = sum_j K_ij^2 theta_j + diag_extra_i
-        diag_m = (problem.a * problem.a) @ theta_x + diag_extra
+        import scipy.sparse as _spx
+        if _spx.issparse(problem.a):
+            diag_m = problem.a.multiply(problem.a) @ np.asarray(
+                theta_x) + diag_extra
+        else:
+            diag_m = (problem.a * problem.a) @ theta_x + diag_extra
 
         def mdot(v):
             # [K,-I_s] Theta [K,-I_s]' v already contains the
@@ -333,7 +380,7 @@ def ipm_step_np(problem: IpmProblem, state: IpmState, regs,
                               _NumpyLinalg)
 
 
-def _starting_point_impl(problem: IpmProblem, la):
+def _starting_point_impl(problem: IpmProblem, la, solve_gram=None):
     """Mehrotra-style least-squares starting point (reference analogue:
     ipx ComputeStartingPoint ipm.cc:23 / HiPO starting-point heuristics).
 
@@ -348,15 +395,19 @@ def _starting_point_impl(problem: IpmProblem, la):
     fixed = problem.active <= 0
 
     # Gram matrix of [K, -I_slack]: K K' + slack diag + reg
-    gram = (problem.a @ problem.a.T +
-            xp.diag(problem.slack_mask + 1e-8))
-    chol = la.cholesky(gram)
+    if solve_gram is None:
+        gram = (problem.a @ problem.a.T +
+                xp.diag(problem.slack_mask + 1e-8))
+        chol = la.cholesky(gram)
+
+        def solve_gram(rhs):
+            return la.cho_solve(chol, rhs)
     # x0 = K'(KK')^-1 b : minimum-norm solution of K_std x = b
-    v = la.cho_solve(chol, problem.b)
+    v = solve_gram(problem.b)
     x0 = _rmv(problem, v, xp)
     # y0 from least squares on the cost: K_std K_std' y = K_std c
     c_full = xp.concatenate([problem.c, xp.zeros(m, dtype=dtype)])
-    y0 = la.cho_solve(chol, _mv(problem, c_full, xp))
+    y0 = solve_gram(_mv(problem, c_full, xp))
     z0 = (c_full - _rmv(problem, y0, xp)) * problem.active
 
     # shift into the interior (Mehrotra's delta heuristics)
@@ -388,6 +439,47 @@ def _starting_point(problem: IpmProblem):
 def _starting_point_np(problem: IpmProblem):
     with np.errstate(all="ignore"):
         return _starting_point_impl(problem, _NumpyLinalg)
+
+
+def _starting_point_sparse(problem: IpmProblem):
+    # Sparse-direct starting point: the same least-squares heuristic
+    # with K K' factored by the native LDL'; the handle is cached so
+    # the first IPM iteration refactors it in place.
+    import scipy.sparse as _sp
+    from .sparse_ldl import SparseLdl
+    a = problem.a
+    gram = (a @ a.T +
+            _sp.diags(np.asarray(problem.slack_mask) + 1e-8)).tocsc()
+    gram.sum_duplicates()
+    h = SparseLdl(gram, max_work=80 * gram.nnz + 1_000_000,
+                  max_fill=60 * gram.nnz + 1_000_000)
+    _LDL_CACHE.clear()
+    _LDL_CACHE[id(a)] = h
+    with np.errstate(all="ignore"):
+        return _starting_point_impl(
+            problem, _NumpyLinalg,
+            solve_gram=lambda r: h.solve(np.asarray(r)))
+
+
+def _starting_point_cg(problem: IpmProblem):
+    # least-squares starting point with CG on K K' (sparse, host) —
+    # the fallback when the direct analysis blows up
+    import scipy.sparse.linalg as _spla
+    import scipy.sparse as _sp
+    a = problem.a
+    m = a.shape[0]
+    gram = (a @ a.T +
+            _sp.diags(np.asarray(problem.slack_mask) + 1e-8)).tocsr()
+    dg = np.maximum(np.asarray(gram.diagonal()), 1e-12)
+    pre = _spla.LinearOperator((m, m), matvec=lambda v: v / dg)
+
+    def solve_gram(rhs):
+        x, _ = _spla.cg(gram, np.asarray(rhs), rtol=1e-12,
+                        maxiter=500, M=pre)
+        return x
+    with np.errstate(all="ignore"):
+        return _starting_point_impl(problem, _NumpyLinalg,
+                                    solve_gram=solve_gram)
 
 
 @dataclasses.dataclass
@@ -439,21 +531,71 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     dtype = jnp.float64
     std = preprocess_lp(lp)
     m, n_std = std.num_row, std.num_col
-    a_np = std.a.toarray()
 
-    # geometric-mean equilibration for numerical stability
-    def _geo_scale(mat, axis):
-        amax = mat.max(axis=axis, initial=0.0)
-        amin = np.where(mat > 0, mat, np.inf).min(axis=axis,
-                                                  initial=np.inf)
-        ok = (amax > 0) & np.isfinite(amin)
-        return np.where(ok, 1.0 / np.sqrt(np.where(ok, amax * amin, 1.0)),
-                        1.0)
+    # solver mode is decided BEFORE materializing K: the sparse-direct
+    # path ("ldl", native LDL' of the normal equations) never builds a
+    # dense copy and replaces the former m<=8192 dense capacity cap
+    newton_opt = getattr(options, "tpu_ipm_newton", "choose")
+    if newton_opt in ("cg", "ldl"):
+        newton = newton_opt
+    elif newton_opt == "cholesky":
+        newton = "chol"
+    else:
+        # dense Cholesky on the MXU while M fits comfortably dense;
+        # sparse direct beyond; matrix-free CG for the very largest
+        if m <= 2500:
+            newton = "chol"
+        elif m <= 60000:
+            newton = "ldl"
+        else:
+            newton = "cg"
+    sparse_mode = newton == "ldl"
+    if sparse_mode:
+        host = True
 
-    abs_a = np.abs(a_np)
-    row_s = _geo_scale(abs_a, 1)
-    col_s = _geo_scale(np.abs(row_s[:, None] * a_np), 0)
-    a_scaled = row_s[:, None] * a_np * col_s[None, :]
+    def _geo_scale_sparse(mat_csr):
+        absd = np.abs(mat_csr.data)
+        nr = mat_csr.shape[0]
+        out = np.ones(nr)
+        ptr = mat_csr.indptr
+        nz = np.diff(ptr) > 0
+        if absd.size:
+            amax = np.zeros(nr)
+            amin = np.full(nr, np.inf)
+            amax[nz] = np.maximum.reduceat(absd, ptr[:-1][nz])
+            amin[nz] = np.minimum.reduceat(
+                np.where(absd > 0, absd, np.inf), ptr[:-1][nz])
+            ok = nz & (amax > 0) & np.isfinite(amin)
+            with np.errstate(invalid="ignore"):
+                out = np.where(ok, 1.0 / np.sqrt(
+                    np.where(ok, amax * amin, 1.0)), 1.0)
+        return out
+
+    if sparse_mode:
+        import scipy.sparse as _spm
+        a_csr = std.a.tocsr()
+        row_s = _geo_scale_sparse(a_csr)
+        a_rs = (_spm.diags(row_s) @ a_csr).tocsc()
+        col_s = _geo_scale_sparse(a_rs.T.tocsr())
+        a_scaled = (a_rs @ _spm.diags(col_s)).tocsr()
+    else:
+        a_np = std.a.toarray()
+
+        # geometric-mean equilibration for numerical stability
+        def _geo_scale(mat, axis):
+            amax = mat.max(axis=axis, initial=0.0)
+            amin = np.where(mat > 0, mat, np.inf).min(axis=axis,
+                                                      initial=np.inf)
+            ok = (amax > 0) & np.isfinite(amin)
+            with np.errstate(invalid="ignore"):
+                return np.where(
+                    ok, 1.0 / np.sqrt(np.where(ok, amax * amin, 1.0)),
+                    1.0)
+
+        abs_a = np.abs(a_np)
+        row_s = _geo_scale(abs_a, 1)
+        col_s = _geo_scale(np.abs(row_s[:, None] * a_np), 0)
+        a_scaled = row_s[:, None] * a_np * col_s[None, :]
     b_scaled = row_s * std.b
     c_scaled = std.c * col_s
 
@@ -491,7 +633,8 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     _asarray = (lambda v, dtype: np.asarray(v, dtype=np.float64)) \
         if host else jnp.asarray
     problem = IpmProblem(
-        a=_asarray(a_scaled, dtype=dtype),
+        a=(a_scaled if sparse_mode else _asarray(a_scaled,
+                                                 dtype=dtype)),
         b=_asarray(b_scaled, dtype=dtype),
         c=_asarray(c_scaled, dtype=dtype),
         slack_mask=_asarray(is_ineq, dtype=dtype),
@@ -518,17 +661,18 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
                    settings.fraction_to_boundary, settings.theta_max))
     regs = np.array([settings.reg_primal, settings.reg_dual])
 
-    newton_opt = getattr(options, "tpu_ipm_newton", "choose")
-    if newton_opt == "cg":
-        newton = "cg"
-    elif newton_opt == "cholesky":
-        newton = "chol"
+    if sparse_mode:
+        from .sparse_ldl import LdlBlowup
+        try:
+            state = _starting_point_sparse(problem)
+        except LdlBlowup:
+            # fill-catastrophic pattern: matrix-free CG Newton instead
+            # (still sparse, still host)
+            newton = "cg"
+            state = _starting_point_cg(problem)
     else:
-        # dense Cholesky is O(m^3); switch to matrix-free CG at scale
-        newton = "cg" if m > 2500 else "chol"
-
-    state = _starting_point_np(problem) if host else \
-        _starting_point(problem)
+        state = (_starting_point_np(problem) if host else
+                 _starting_point(problem))
 
     norm_c_h = float(problem.norm_c)
     norm_b_h = float(problem.norm_b)
