@@ -114,7 +114,10 @@ def run_tpu_pdhg(details):
         a_matrix=HighsSparseMatrix.from_scipy(A), sense=1)
     opts = HighsOptions()
     opts.solver = "hipdlp"
-    opts.time_limit = 120.0
+    # the reference anchor reached optimal in 126.2s on CPU; give the
+    # TPU run a comparable window (time-to-optimal is the honest
+    # comparison; the anchor's 356 iter/s rate is also recorded)
+    opts.time_limit = 300.0
     opts.output_flag = False
     t0 = time.perf_counter()
     st, sol, info = solve_lp_pdlp(lp, opts)
@@ -128,6 +131,8 @@ def run_tpu_pdhg(details):
         "iterations": int(iters),
         "iters_per_s": round(iters / dt, 1),
         "spmv_gflops_per_chip": round(gflops, 3),
+        "time_vs_cpu_anchor": round(126.19 / dt, 3),
+        "rel_gap": float(getattr(info, "rel_gap", float("nan"))),
         "objective": info.primal_obj,
         "ref_anchor": {
             "iters_per_s_cpu": 356.0,
@@ -153,7 +158,7 @@ def main():
             raise _Alarm()
 
         signal.signal(signal.SIGALRM, _raise)
-        signal.alarm(300)
+        signal.alarm(560)
         try:
             run_tpu_pdhg(details)
         finally:
