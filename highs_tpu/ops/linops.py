@@ -277,6 +277,8 @@ def linop_dtype(op) -> jnp.dtype:
         return op.a.data.dtype
     if isinstance(op, (EllMatrix, PanelEllMatrix)):
         return op.val.dtype
+    if hasattr(op, "value_dtype"):   # RowShardedOp (parallel/shard_ops)
+        return op.value_dtype()
     return jnp.float32
 
 
@@ -294,6 +296,8 @@ def cast_linop(op, dtype):
             val=op.val.astype(dtype), val_t=op.val_t.astype(dtype),
             tail_val=op.tail_val.astype(dtype),
             tail_val_t=op.tail_val_t.astype(dtype))
+    if hasattr(op, "astype_values"):  # RowShardedOp
+        return op.astype_values(dtype)
     return None
 
 

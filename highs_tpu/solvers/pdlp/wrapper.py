@@ -167,6 +167,17 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         return np.concatenate([v, np.full(m_pad - m_std, fill, dtype=v.dtype)])
 
     import scipy.sparse as _sp
+    mesh = None
+    mesh_shape_opt = options.tpu_mesh_shape
+    if mesh_shape_opt:
+        from ...parallel.mesh import make_mesh, parse_mesh_shape
+        shape = parse_mesh_shape(mesh_shape_opt)
+        if shape is not None:
+            mesh = make_mesh(shape)
+            # row padding must also divide evenly across the mesh
+            d_mesh = int(np.prod(shape))
+            unit = 128 * d_mesh
+            m_pad = ((m_pad + unit - 1) // unit) * unit
     scaled_pad = _sp.csr_matrix((scaled_a.data, scaled_a.indices,
                                  np.concatenate([
                                      scaled_a.indptr,
@@ -174,8 +185,23 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                                              scaled_a.indptr[-1],
                                              dtype=scaled_a.indptr.dtype)])),
                                 shape=(m_pad, n_pad))
-    k_op = linops.from_scipy(scaled_pad, fmt=options.tpu_matrix_format,
-                             dtype=dtype)
+    _fmt_opt = options.tpu_matrix_format
+    if mesh is not None and (
+            _fmt_opt in ("ell", "panelell", "blockcsr") or
+            (_fmt_opt == "choose" and
+             m_pad * n_pad * jnp.dtype(dtype).itemsize > (256 << 20))):
+        # multi-chip sparse path: per-device row blocks with local
+        # transpose tables (parallel/shard_ops.py) — nothing replicated
+        from ...parallel.shard_ops import make_row_sharded
+        fmt = options.tpu_matrix_format
+        if fmt == "choose":
+            fmt = "panelell" if jax.default_backend() != "cpu" else "ell"
+        k_op, _ = make_row_sharded(scaled_pad, mesh,
+                                   "rows", fmt=fmt, dtype=dtype)
+    else:
+        k_op = linops.from_scipy(scaled_pad,
+                                 fmt=options.tpu_matrix_format,
+                                 dtype=dtype)
 
     problem = PdhgProblem(
         k_op=k_op,
@@ -239,14 +265,6 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         y_std[std.row_new_idx] = y0 * np.where(
             std.row_class == 2, -1.0, 1.0) * std.sense_mult
         y0_s = padr(y_std / dr, 0.0)
-
-    mesh = None
-    mesh_shape_opt = options.tpu_mesh_shape
-    if mesh_shape_opt:
-        from ...parallel.mesh import make_mesh, parse_mesh_shape
-        shape = parse_mesh_shape(mesh_shape_opt)
-        if shape is not None:
-            mesh = make_mesh(shape)
 
     eps = settings.eps_optimal
     # f32 device solves floor around ~1e-6 relative KKT; tighter targets
