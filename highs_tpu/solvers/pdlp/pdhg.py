@@ -129,6 +129,16 @@ class PdhgSettings:
     # has tiny rhs/cost by construction).
     ignore_gap: bool = False
     detect_infeasibility: bool = True
+    # optional host-side convergence oracle called after each device
+    # convergence check with the raw (scaled) PDHG iterates; returning
+    # True terminates with kOptimal.  The refinement rounds use it to
+    # stop exactly when the TRUE f64 KKT of the accumulated iterate
+    # clears the user's tolerance instead of overshooting a guessed
+    # residual target.
+    host_check: object = None
+    # residual level at which the oracle starts being consulted (the
+    # USER tolerance; the round's own eps_optimal is typically deeper)
+    host_check_gate: float = 0.0
     # step-size strategy (reference pdlp_step_size_strategy;
     # cupdlp_step.c fixed/adaptive/Malitsky-Pock).  The Halpern mode is
     # natively fixed-step; "adaptive" and "malitsky_pock" re-estimate
@@ -597,6 +607,16 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                                             rel_gap < eps):
             status = HighsModelStatus.kOptimal
             break
+        if settings.host_check is not None and \
+                rel_p < max(eps, settings.host_check_gate) and \
+                rel_d < max(eps, settings.host_check_gate):
+            if avg_mode and avg_xy is not None:
+                hc = settings.host_check(avg_xy[0], avg_xy[1])
+            else:
+                hc = settings.host_check(state.x_pd, state.y_pd)
+            if hc:
+                status = HighsModelStatus.kOptimal
+                break
 
         # --- stall-adaptive reflection damping ---------------------------
         if gamma > 0.9:

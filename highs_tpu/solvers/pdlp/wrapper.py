@@ -383,11 +383,27 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
             # outer f64 check demand more only if that round fell
             # short.  The delta-space f32 floor is ~1e-6 * cur, far
             # below any of these targets.
+            def _host_check(xd, yd, _xb=x_bar, _yb=y_bar):
+                # xd/yd are the RAW scaled delta iterates (same
+                # coordinates as x_bar/y_bar) — no unscaling here
+                dxh = np.asarray(xd, np.float64)
+                dyh = np.asarray(yd, np.float64)
+                xc = np.clip(_xb + dxh,
+                             np.where(np.isfinite(lo_p), lo_p, -np.inf),
+                             np.where(np.isfinite(up_p), up_p, np.inf))
+                yn = _yb + dyh
+                yc = np.where(is_eq_p, yn, np.maximum(yn, 0.0))
+                hp, hd, hg, _, _, _ = kkt(xc, yc)
+                return max(hp, hd, hg) <= eps
             rsettings = dataclasses.replace(
                 settings,
+                # deep residual target, but the host oracle stops the
+                # round the moment the true f64 KKT clears eps
                 eps_optimal=max(min(cur * 3e-3, eps * 0.3), 1e-9),
                 ignore_gap=True,
                 detect_infeasibility=False,
+                host_check=_host_check,
+                host_check_gate=eps,
                 checkpoint_file="",
                 time_limit=max(
                     1.0, settings.time_limit -
