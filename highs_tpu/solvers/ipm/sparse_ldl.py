@@ -51,6 +51,10 @@ def get_lib():
     lib.hx_ldl_factor.restype = ctypes.c_int
     lib.hx_ldl_factor.argtypes = [ctypes.c_void_p, i64p, i32p, f64p,
                                   ctypes.c_double]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.hx_ldl_factor_signed.restype = ctypes.c_int
+    lib.hx_ldl_factor_signed.argtypes = [ctypes.c_void_p, i64p, i32p,
+                                         f64p, ctypes.c_double, i8p]
     lib.hx_ldl_solve.argtypes = [ctypes.c_void_p, f64p]
     lib.hx_ldl_lnnz.restype = ctypes.c_int64
     lib.hx_ldl_lnnz.argtypes = [ctypes.c_void_p]
@@ -102,6 +106,16 @@ class SparseLdl:
         ax = np.ascontiguousarray(mat.data, dtype=np.float64)
         return int(self._lib.hx_ldl_factor(self._h, self._ap, self._ai,
                                            ax, reg_floor))
+
+    def factor_signed(self, mat: sp.csc_matrix, signs: np.ndarray,
+                      reg_floor: float = 1e-12) -> int:
+        """Signed refactorization for QUASI-DEFINITE matrices
+        (saddle KKT systems): `signs[i]` is the expected pivot sign of
+        original index i (+1 Hessian block, -1 constraint block)."""
+        ax = np.ascontiguousarray(mat.data, dtype=np.float64)
+        sg = np.ascontiguousarray(signs, dtype=np.int8)
+        return int(self._lib.hx_ldl_factor_signed(
+            self._h, self._ap, self._ai, ax, reg_floor, sg))
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         x = np.ascontiguousarray(b, dtype=np.float64).copy()

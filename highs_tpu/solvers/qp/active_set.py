@@ -77,14 +77,21 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
     max_iter = min(options.qp_iteration_limit, 100000)
 
     a_csc = lp.a_matrix.to_scipy().tocsc()
-    q = (model.hessian.to_scipy_full().toarray()
-         if model.hessian is not None and model.hessian.dim
-         else np.zeros((n, n)))
-    if q.shape[0] < n:  # Hessian may cover a leading sub-block
-        qq = np.zeros((n, n))
-        qq[:q.shape[0], :q.shape[1]] = q
-        q = qq
-    q = sense * 0.5 * (q + q.T)  # symmetrize; sense folds into Q and c
+    # Q and A stay SPARSE end to end (reference QUASS keeps its own
+    # sparse LU over them, qpsolver/factor.hpp; the former dense
+    # materialization was the r02 parity gap)
+    if model.hessian is not None and model.hessian.dim:
+        q0 = model.hessian.to_scipy_full().tocsc()
+        if q0.shape[0] < n:
+            q0 = sp.csc_matrix(
+                (q0.data, q0.indices, np.concatenate(
+                    [q0.indptr,
+                     np.full(n - q0.shape[0], q0.indptr[-1],
+                             dtype=q0.indptr.dtype)])), shape=(n, n))
+    else:
+        q0 = sp.csc_matrix((n, n))
+    q = (sense * 0.5) * (q0 + q0.T)  # symmetrize; sense folds into Q
+    q = q.tocsc()
     c = sense * np.asarray(lp.col_cost, dtype=np.float64)
 
     nv = n + m
@@ -92,9 +99,8 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
     up_v = np.concatenate([lp.col_upper, lp.row_upper])
 
     # combined equality system  [A -I] v = 0
-    a_eq = (sp.hstack([a_csc, -sp.identity(m)]).tocsr() if m
-            else sp.csr_matrix((0, nv)))
-    a_eq_d = a_eq.toarray() if m else np.zeros((0, nv))
+    a_eq = (sp.hstack([a_csc, -sp.identity(m)]).tocsc() if m
+            else sp.csc_matrix((0, nv)))
 
     v, _basis, p1_iters = _phase1_start(
         a_csc, lo_v, up_v, n, m,
@@ -131,32 +137,61 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
         return g
 
     def kkt_direction(free_idx, g, v_cur):
-        """Solve  [Q_FF+regI  A_F'; A_F  0] [d_F; lam] = [-g_F; 0]."""
+        """Solve  [Q_FF+regI  A_F'; A_F  -deltaI] [d_F; lam] = [-g_F; r]
+        as a SPARSE quasi-definite system via the native signed LDL'
+        (native/hipm.cpp hx_ldl_factor_signed) — the role of the
+        reference QUASS's own LU (qpsolver/factor.hpp) without
+        densifying Q or A."""
+        from ..ipm.sparse_ldl import LdlBlowup, SparseLdl
         nf = len(free_idx)
         kdim = nf + m
-        K = np.zeros((kdim, kdim))
-        qf = q[np.ix_(free_idx[free_idx < n], free_idx[free_idx < n])]
-        # embed Q block (only x-part has curvature)
         xmask = free_idx < n
         xi = np.nonzero(xmask)[0]
-        K[np.ix_(xi, xi)] = qf
-        K[:nf, :nf] += reg * np.eye(nf)
-        if m:
-            af = a_eq_d[:, free_idx]
-            K[:nf, nf:] = af.T
-            K[nf:, :nf] = af
+        fx = free_idx[xmask]
+        q_ff = q[fx][:, fx] if len(fx) else sp.csc_matrix((0, 0))
+        qblk = sp.coo_matrix(
+            (q_ff.tocoo().data,
+             (xi[q_ff.tocoo().row], xi[q_ff.tocoo().col])),
+            shape=(nf, nf)).tocsc()
+        rr = max(reg, 1e-10)
+        dd = max(reg, 1e-10)
+        af = a_eq[:, free_idx] if m else sp.csc_matrix((0, nf))
+        K = sp.bmat(
+            [[qblk + rr * sp.identity(nf), af.T],
+             [af, -dd * sp.identity(m) if m else None]],
+            format="csc") if m else (qblk +
+                                     rr * sp.identity(nf)).tocsc()
+        K.sum_duplicates()
         rhs = np.zeros(kdim)
         rhs[:nf] = -g[free_idx]
         if m:
             # constraint residual correction: restores A v - s = 0 when
             # a hot-started active set moved v off the equality manifold
-            rhs[nf:] = -(a_eq_d @ v_cur)
+            rhs[nf:] = -(a_eq @ v_cur)
+        signs = np.concatenate([np.ones(nf, np.int8),
+                                -np.ones(m, np.int8)])
         try:
-            sol = np.linalg.solve(K, rhs)
-        except np.linalg.LinAlgError:
-            sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+            h = SparseLdl.__new__(SparseLdl)
+            from ..ipm import sparse_ldl as _L
+            h._lib = _L.get_lib()
+            h.n = kdim
+            h._ap = np.ascontiguousarray(K.indptr, np.int64)
+            h._ai = np.ascontiguousarray(K.indices, np.int32)
+            h._h = h._lib.hx_ldl_analyze_capped(
+                kdim, h._ap, h._ai, 120 * K.nnz + 1_000_000,
+                80 * K.nnz + 1_000_000)
+            if not h._h:
+                raise LdlBlowup("qp kkt analysis blowup")
+            h.factor_signed(K, signs, reg_floor=1e-13)
+            sol = h.solve(rhs)
+            # one refinement step: the -deltaI regularization and any
+            # bumped pivots perturb the factorization
+            sol = sol + h.solve(rhs - K @ sol)
+            h.close()
+        except Exception:
+            sol, *_ = np.linalg.lstsq(K.toarray(), rhs, rcond=None)
         if not np.all(np.isfinite(sol)):
-            sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+            sol, *_ = np.linalg.lstsq(K.toarray(), rhs, rcond=None)
         # the block system solves (Q+regI)d + A'lam_raw = -g, so the
         # conventional multiplier (g - A'lam = 0 at stationarity on the
         # free set) is -lam_raw
@@ -164,6 +199,13 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
 
     status = HighsModelStatus.kNotset
     lam = np.zeros(m)
+    # Devex reference weights (reference qpsolver/devexpricing.hpp):
+    # release candidate maximizes mu^2 / w; weights updated from the
+    # released variable's step component, reset to 1 past 1e7
+    devex_w = np.ones(nv)
+    last_released = -1
+    nullspace_limit = int(getattr(options, "qp_nullspace_limit", 4000)
+                          or 4000)
     for it in range(max_iter):
         if time.perf_counter() - t0 > options.time_limit:
             status = HighsModelStatus.kTimeLimit
@@ -171,6 +213,15 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
         info.iterations += 1
         g = grad(v)
         free_idx = np.nonzero(active == 0)[0]
+        if len(free_idx) > nullspace_limit:
+            # reference: QpModelStatus::kLargeNullspace
+            # (quass.cpp:364) — the null-space method is the wrong
+            # tool once the reduced space gets this big
+            if log is not None:
+                log(f"QP ASM: nullspace dimension {len(free_idx)} "
+                    f"exceeds qp_nullspace_limit {nullspace_limit}")
+            status = HighsModelStatus.kUnknown
+            break
         if len(free_idx):
             d_f, lam = kkt_direction(free_idx, g, v)
             d = np.zeros(nv)
@@ -186,16 +237,20 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
         dnorm = float(np.linalg.norm(d, ord=np.inf))
         if dnorm <= 1e-11 * (1.0 + float(np.linalg.norm(v, ord=np.inf))):
             # stationary on the active set: price multipliers
-            mu = g - (a_eq_d.T @ lam if m else 0.0)
+            mu = g - (a_eq.T @ lam if m else 0.0)
             # release rule: at lower needs mu >= 0, at upper mu <= 0
             viol_lo = (active == -1) & (mu < -dualtol) & (lo_v < up_v)
             viol_up = (active == 1) & (mu > dualtol) & (lo_v < up_v)
             viol = np.where(viol_lo, -mu, 0.0) + np.where(viol_up, mu, 0.0)
-            j = int(np.argmax(viol))
-            if viol[j] <= dualtol:
+            if not np.any(viol > dualtol):
                 status = HighsModelStatus.kOptimal
                 break
-            active[j] = 0  # release (Dantzig: most negative multiplier)
+            # Devex: maximize mu^2 / weight among admissible violations
+            score = np.where(viol > dualtol,
+                             viol * viol / devex_w, 0.0)
+            j = int(np.argmax(score))
+            active[j] = 0
+            last_released = j
             continue
 
         # ratio test: largest alpha <= 1 keeping bounds
@@ -228,6 +283,19 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
             # cap by the ratio test
             alpha = min(1.0, alpha_max)
 
+        # Devex weight update from the released variable's step
+        # component (devexpricing.hpp update_weights: the pivot
+        # element analogue is d[last_released])
+        if last_released >= 0:
+            dp = d[last_released]
+            if abs(dp) > 1e-12:
+                wp = devex_w[last_released]
+                ratio = (d * d) / (dp * dp)
+                devex_w = devex_w + ratio * (wp * wp)
+                devex_w[last_released] = wp / (dp * dp)
+                devex_w[devex_w > 1e7] = 1.0
+            last_released = -1
+
         v = v + alpha * d
         if alpha >= alpha_max - 1e-13 and math.isfinite(alpha_max):
             # activate the blocking bound
@@ -253,7 +321,7 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
 
     # duals: row duals = lam (for Ax - s = 0), reduced costs mu on x
     g = grad(v)
-    mu = g - (a_eq_d.T @ lam if m else 0.0)
+    mu = g - (a_eq.T @ lam if m else 0.0)
     sol = HighsSolution(
         value_valid=True, dual_valid=True,
         col_value=x.copy(),

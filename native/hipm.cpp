@@ -396,6 +396,82 @@ int hx_ldl_factor(void* hv, const int64_t* Ap, const int32_t* Ai,
   return h->n_reg;
 }
 
+// As hx_ldl_factor but for QUASI-DEFINITE systems (Vanderbei): the
+// caller supplies the expected pivot SIGN per (original) index — +1
+// for the primal/Hessian block, -1 for the constraint block.  Signed
+// LDL' of a quasi-definite matrix exists for any ordering; pivots that
+// cross zero are bumped toward their expected sign (the QP
+// regularization role of qpsolver/factor.hpp).
+int hx_ldl_factor_signed(void* hv, const int64_t* Ap, const int32_t* Ai,
+                         const double* Ax, double reg_floor,
+                         const int8_t* sign) {
+  LdlHandle* h = static_cast<LdlHandle*>(hv);
+  const int n = h->n;
+  std::vector<double>& y = h->y;
+  std::vector<double> uval(h->Up[n], 0.0);
+  for (int j = 0; j < n; ++j) {
+    const int pj = h->iperm[j];
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      const int pi = h->iperm[Ai[p]];
+      if (pi > pj) continue;
+      const int32_t* b = h->Ui.data() + h->Up[pj];
+      const int32_t* e = h->Ui.data() + h->Up[pj + 1];
+      const int32_t* it = std::lower_bound(b, e, pi);
+      uval[h->Up[pj] + (it - b)] += Ax[p];
+    }
+  }
+  std::vector<double> diag0(n, 0.0);
+  for (int j = 0; j < n; ++j)
+    for (int64_t p = h->Up[j]; p < h->Up[j + 1]; ++p)
+      if (h->Ui[p] == j) diag0[j] = std::fabs(uval[p]);
+  std::vector<int64_t> lnz(n, 0);
+  std::vector<int32_t>& flag = h->flag;
+  std::vector<int32_t>& pattern = h->pattern;
+  std::fill(flag.begin(), flag.end(), -1);
+  h->n_reg = 0;
+  for (int j = 0; j < n; ++j) {
+    int top = n;
+    flag[j] = j;
+    y[j] = 0.0;
+    for (int64_t p = h->Up[j]; p < h->Up[j + 1]; ++p) {
+      const int i0 = h->Ui[p];
+      y[i0] += uval[p];
+      if (i0 == j) continue;
+      int len = 0, i = i0;
+      while (flag[i] != j) {
+        pattern[len++] = i;
+        flag[i] = j;
+        i = h->parent[i];
+      }
+      while (len > 0) pattern[--top] = pattern[--len];
+    }
+    double dj = y[j];
+    y[j] = 0.0;
+    for (int t = top; t < n; ++t) {
+      const int i = pattern[t];
+      const double yi = y[i];
+      y[i] = 0.0;
+      const int64_t p0 = h->Lp[i], p1 = h->Lp[i] + lnz[i];
+      for (int64_t p = p0; p < p1; ++p)
+        y[h->Li[p]] -= h->Lx[p] * yi;
+      const double lji = yi / h->D[i];
+      dj -= lji * yi;
+      h->Li[h->Lp[i] + lnz[i]] = j;
+      h->Lx[h->Lp[i] + lnz[i]] = lji;
+      ++lnz[i];
+    }
+    const double sj = (sign && sign[h->perm[j]] < 0) ? -1.0 : 1.0;
+    const double floor_j =
+        std::max(reg_floor * std::max(diag0[j], 1e-300), 1e-300);
+    if (!(sj * dj > floor_j)) {
+      dj = sj * floor_j;
+      ++h->n_reg;
+    }
+    h->D[j] = dj;
+  }
+  return h->n_reg;
+}
+
 // x := M^{-1} b using the factorization (b overwritten)
 void hx_ldl_solve(void* hv, double* b) {
   LdlHandle* h = static_cast<LdlHandle*>(hv);

@@ -115,3 +115,67 @@ def test_asm_hot_start_reuses_active_set(instances_dir):
         h.getModel(), opts, active_in=active)
     assert st == HighsModelStatus.kOptimal
     assert abs(info2.primal_obj - (-6.45)) < 1e-6
+
+
+def test_qp_sparse_large_separable():
+    """A 1200-variable separable QP stays sparse end to end (the dense
+    r02 path materialized Q and [A -I]): min 1/2||x - a||^2 subject to
+    sum x = 1 has the closed form x = a + (1 - sum a)/n."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from highs_tpu.constants import HighsModelStatus
+    from highs_tpu.models.lp import (HighsHessian, HighsLp,
+                                     HighsModel, HighsSparseMatrix)
+    from highs_tpu.options import HighsOptions
+    from highs_tpu.solvers.qp.active_set import solve_qp_active_set
+
+    n = 1200
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal(n) * 0.01  # small: no bound activates
+    lp = HighsLp(
+        num_col=n, num_row=1, col_cost=-a,
+        col_lower=np.full(n, -10.0), col_upper=np.full(n, 10.0),
+        row_lower=np.ones(1), row_upper=np.ones(1),
+        a_matrix=HighsSparseMatrix.from_scipy(
+            sp.csc_matrix(np.ones((1, n)))), sense=1)
+    import numpy as _np
+    hess = HighsHessian(
+        dim=n, start=_np.arange(n + 1, dtype=_np.int64),
+        index=_np.arange(n, dtype=_np.int64),
+        value=_np.ones(n))
+    model = HighsModel(lp=lp, hessian=hess)
+    st, sol, info = solve_qp_active_set(model, HighsOptions())
+    assert st == HighsModelStatus.kOptimal
+    x_exp = a + (1.0 - a.sum()) / n
+    assert np.allclose(sol.col_value, x_exp, atol=1e-6)
+
+
+def test_qp_nullspace_limit():
+    import numpy as np
+    import scipy.sparse as sp
+
+    from highs_tpu.constants import HighsModelStatus
+    from highs_tpu.models.lp import (HighsHessian, HighsLp,
+                                     HighsModel, HighsSparseMatrix)
+    from highs_tpu.options import HighsOptions
+    from highs_tpu.solvers.qp.active_set import solve_qp_active_set
+
+    n = 60
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal(n)
+    lp = HighsLp(
+        num_col=n, num_row=1, col_cost=-a,
+        col_lower=np.full(n, -10.0), col_upper=np.full(n, 10.0),
+        row_lower=np.ones(1), row_upper=np.ones(1),
+        a_matrix=HighsSparseMatrix.from_scipy(
+            sp.csc_matrix(np.ones((1, n)))), sense=1)
+    import numpy as _np
+    model = HighsModel(lp=lp, hessian=HighsHessian(
+        dim=n, start=_np.arange(n + 1, dtype=_np.int64),
+        index=_np.arange(n, dtype=_np.int64), value=_np.ones(n)))
+    opts = HighsOptions()
+    opts.qp_nullspace_limit = 5
+    st, sol, info = solve_qp_active_set(model, opts)
+    # reference behavior: QpModelStatus::kLargeNullspace (quass.cpp:364)
+    assert st == HighsModelStatus.kUnknown
