@@ -352,6 +352,14 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         if getattr(lp_info, "basis", None) is not None:
             self._basis = lp_info.basis
         self._fill_info_lp(lp, lp_info)
+        if self._options.highs_debug_level > 0:
+            # reference HighsDebug/HighsSolutionDebug layer: optional
+            # post-solve consistency checks, free when the level is 0
+            from .utils.debug import debug_check_lp_solution
+            debug_check_lp_solution(
+                lp, self._solution,
+                self._basis if self._basis.valid else None,
+                self._options, status, log=self._log)
         return HighsStatus.kOk
 
     def _call_solve_qp(self) -> HighsStatus:

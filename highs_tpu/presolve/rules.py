@@ -915,7 +915,19 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
         col_bs = [BS.kNonbasic] * n
         row_bs = [BS.kBasic] * m
         for local, orig in enumerate(pr.keep_cols):
-            col_bs[int(orig)] = reduced_basis.col_status[local]
+            st = reduced_basis.col_status[local]
+            # presolve may have TIGHTENED this column's bounds: a
+            # nonbasic-at-bound status of the reduced LP can point at a
+            # bound that is infinite in the original — remap to basic
+            # (the variable rests at an interior value there)
+            oj = int(orig)
+            if st == BS.kLower and not np.isfinite(
+                    original_lp.col_lower[oj]):
+                st = BS.kBasic
+            elif st == BS.kUpper and not np.isfinite(
+                    original_lp.col_upper[oj]):
+                st = BS.kBasic
+            col_bs[oj] = st
         for local, orig in enumerate(pr.keep_rows):
             row_bs[int(orig)] = reduced_basis.row_status[local]
 

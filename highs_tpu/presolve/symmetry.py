@@ -332,3 +332,125 @@ def symmetry_breaking_rows(generators: List[np.ndarray], n: int
             seen.add(pair)
             rows.append(pair)
     return rows
+
+
+def detect_packing_orbitopes(lp, generators):
+    """Detect packing/partitioning orbitopes from verified generators
+    (reference HighsSymmetry.h:58-126 orbitope machinery).
+
+    An orbitope here is a p x q grid of binary variables whose columns
+    are linked by involution generators (disjoint 2-cycles aligning two
+    equal tuples) forming a connected chain — the group restricted to
+    the grid then contains the full symmetric group on columns — and
+    whose every row-tuple lies in a packing row (sum of the tuple with
+    coefficient 1 bounded above by 1; partitioning rows qualify too).
+
+    Returns a list of (rows x cols) int arrays of variable indices."""
+    n = lp.num_col
+    integ = (np.asarray(lp.integrality) if len(lp.integrality) == n
+             else np.zeros(n, dtype=np.uint8))
+    binary = ((integ == 1) & (np.asarray(lp.col_lower) >= -1e-9) &
+              (np.asarray(lp.col_upper) <= 1.0 + 1e-9))
+
+    # involution generators -> column-pair links
+    links = []  # (tupleA, tupleB) aligned by pairing
+    for g in generators:
+        g = np.asarray(g)
+        moved = np.nonzero(g != np.arange(n))[0]
+        if len(moved) == 0 or not np.all(g[g[moved]] == moved):
+            continue
+        if not np.all(binary[moved]):
+            continue
+        a_side = moved[moved < g[moved]]
+        pairs = sorted((int(a), int(g[a])) for a in a_side)
+        links.append(([p[0] for p in pairs], [p[1] for p in pairs]))
+
+    # chain columns: map each tuple (as frozenset) to a column id
+    orbitopes = []
+    used = set()
+    for start in range(len(links)):
+        a0, b0 = links[start]
+        if start in used or len(a0) < 2:
+            continue
+        # rows are ordered by tuple A's sorted order
+        cols = [list(a0), list(b0)]
+        tentative = {start}
+        grown = True
+        seen_cols = {frozenset(a0), frozenset(b0)}
+        while grown:
+            grown = False
+            last = cols[-1]
+            pos = {v: i for i, v in enumerate(last)}
+            for li in range(len(links)):
+                if li in used or li in tentative:
+                    continue
+                a, b = links[li]
+                nxt = None
+                if set(a) == set(last):
+                    nxt = [None] * len(last)
+                    for va, vb in zip(a, b):
+                        nxt[pos[va]] = vb
+                elif set(b) == set(last):
+                    nxt = [None] * len(last)
+                    for vb, va in zip(b, a):
+                        nxt[pos[vb]] = va
+                if nxt is None:
+                    continue
+                key = frozenset(nxt)
+                if key in seen_cols:
+                    # duplicate link (maps back onto an existing
+                    # column): consume it without growing the chain
+                    tentative.add(li)
+                    continue
+                seen_cols.add(key)
+                cols.append(nxt)
+                tentative.add(li)
+                grown = True
+                break
+        if len(cols) < 2:
+            used.add(start)
+            continue
+        grid = np.asarray(cols).T  # (rows p, cols q)
+        if len(set(grid.ravel().tolist())) != grid.size:
+            continue
+        # packing-row verification per grid row
+        a_csr = lp.a_matrix.to_scipy().tocsr()
+        ru = np.asarray(lp.row_upper)
+        ok = True
+        for r in range(grid.shape[0]):
+            tset = set(int(v) for v in grid[r])
+            found = False
+            for i in range(lp.num_row):
+                s, e = a_csr.indptr[i], a_csr.indptr[i + 1]
+                supp = a_csr.indices[s:e]
+                if not tset.issubset(set(int(c) for c in supp)):
+                    continue
+                vals = a_csr.data[s:e]
+                if ru[i] <= 1.0 + 1e-9 and np.all(vals >= -1e-9) and \
+                        np.all(np.abs(
+                            vals[np.isin(supp, list(tset))] - 1.0)
+                            <= 1e-9) and np.all(binary[supp]):
+                    found = True
+                    break
+            if not found:
+                ok = False
+                break
+        if ok:
+            orbitopes.append(grid)
+            used |= tentative  # links consumed only on success
+        else:
+            used.add(start)  # failed chains release their other links
+    return orbitopes
+
+
+def orbitope_fixings(orbitopes, n):
+    """Staircase fixings of the lex-max representative (Kaibel-Pfetsch
+    packing/partitioning orbitope): x[r, c] = 0 for c > r.  Returns the
+    variable indices to fix at zero."""
+    fix = []
+    for grid in orbitopes:
+        p, q = grid.shape
+        for r in range(min(p, q - 1)):
+            for c_ in range(r + 1, q):
+                fix.append(int(grid[r, c_]))
+    return sorted(set(fix))

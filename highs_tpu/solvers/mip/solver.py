@@ -224,6 +224,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     # symmetry-breaking rows + orbit-wide bound sharing) -----------------
     sym_orbit = None
     sym_gens = None
+    orbitope_fix_cols: list = []
     _sub_level_early = int(getattr(options, "_sub_mip_level", 0))
     import os as _os_sym
     if options.mip_detect_symmetry and bool(is_int.any()) and \
@@ -235,6 +236,31 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         gens = detect_symmetry(
             lp, max_generators=16,
             time_budget=min(2.0, 0.05 * options.time_limit))
+        if gens:
+            # packing/partitioning orbitopes (reference
+            # HighsSymmetry.h:58-126): staircase-fix the lex-max
+            # representative at the root.  Generators touching fixed
+            # variables are dropped from orbital branching — composing
+            # both symmetry cuts on the same group can cut every
+            # optimum.
+            from ...presolve.symmetry import (detect_packing_orbitopes,
+                                              orbitope_fixings)
+            try:
+                _otopes = detect_packing_orbitopes(lp, gens)
+            except Exception:
+                _otopes = []
+            _ofix = orbitope_fixings(_otopes, lp.num_col)
+            if _ofix:
+                orbitope_fix_cols.extend(_ofix)
+                _fixset = set(_ofix)
+                gens = [g for g in gens
+                        if not any(int(j) in _fixset or
+                                   int(g[j]) in _fixset
+                                   for j in np.nonzero(
+                                       g != np.arange(lp.num_col))[0])]
+                if log is not None:
+                    log(f"MIP symmetry: {len(_otopes)} packing "
+                        f"orbitope(s), {len(_ofix)} lex fixings")
         if gens:
             sym_orbit = orbits(gens, lp.num_col)
             # the native search uses ORBITAL BRANCHING from the raw
@@ -833,6 +859,18 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         info.status = HighsModelStatus.kInfeasible
         info.solve_time = time.perf_counter() - t0
         return info.status, HighsSolution(), info
+
+    if orbitope_fix_cols:
+        # packing-orbitope staircase fixings (lex-max representative,
+        # Kaibel-Pfetsch; reference HighsSymmetry orbitope machinery):
+        # optimum-preserving zero-fixings applied to the root box
+        root_up_p = root_up_p.copy()
+        root_up_p[orbitope_fix_cols] = np.minimum(
+            root_up_p[orbitope_fix_cols],
+            root_lo_p[orbitope_fix_cols])
+        if log is not None:
+            log(f"MIP orbitope fixings applied: "
+                f"{len(orbitope_fix_cols)} columns at lower bound")
 
     # ---- coefficient strengthening (reference: HPresolve coefficient
     # tightening) on the RELAXATION only: big-M rows like x - M y <= 0

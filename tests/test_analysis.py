@@ -343,3 +343,33 @@ def test_iis_strategies(instances_dir):
         if strategy & 4:
             assert len(iis.col_bound) == len(iis.col_index)
     assert base_rows
+
+
+def test_highs_debug_level_checks(instances_dir):
+    """highs_debug_level-gated consistency layer (reference
+    HighsDebug.cpp / HighsSolutionDebug.cpp / HEkkDebug role): a clean
+    optimal solve at level 3 produces no findings; a corrupted solution
+    is flagged at level 2."""
+    from conftest import instance_path
+    from highs_tpu import Highs, HighsModelStatus
+    from highs_tpu.utils.debug import debug_check_lp_solution
+
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("highs_debug_level", 3)
+    h.readModel(instance_path("afiro.mps"))
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    findings = debug_check_lp_solution(
+        h._model.lp, h._solution,
+        h._basis if h._basis.valid else None, h._options,
+        h.getModelStatus())
+    assert findings == []
+
+    # corrupt the primal solution: level-2 census must notice
+    bad = h._solution
+    bad.col_value = bad.col_value + 100.0
+    h.setOptionValue("highs_debug_level", 2)
+    findings = debug_check_lp_solution(
+        h._model.lp, bad, None, h._options, h.getModelStatus())
+    assert findings

@@ -179,3 +179,48 @@ def test_pdlp_average_iterate_engine(instances_dir):
         obj = h.getInfo().objective_function_value
         assert abs(obj - ref) / max(1.0, abs(ref)) < 1e-4, (solver,
                                                            inst, obj)
+
+
+def test_dispatch_boundaries_solve_correctly():
+    """The 'choose' routing thresholds (dispatch.py capacity model)
+    must hand off cleanly at their boundaries: instances just below and
+    above the simplex/IPM gates all reach the same optimum."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from highs_tpu.constants import HighsModelStatus
+    from highs_tpu.models.lp import HighsLp, HighsSparseMatrix
+    from highs_tpu.options import HighsOptions
+    from highs_tpu.solvers.dispatch import solve_lp
+
+    rng = np.random.default_rng(8)
+
+    def make(m):
+        n = m
+        a = (sp.random(m, n, density=min(0.05, 20 / m),
+                       random_state=rng, format="csc") +
+             sp.identity(m) * 3.0).tocsc()
+        xstar = rng.uniform(0, 1, n)
+        b = a @ xstar
+        return HighsLp(
+            num_col=n, num_row=m, col_cost=rng.uniform(0.5, 1.5, n),
+            col_lower=np.zeros(n), col_upper=np.full(n, 2.0),
+            row_lower=np.asarray(b).ravel(),
+            row_upper=np.asarray(b).ravel(),
+            a_matrix=HighsSparseMatrix.from_scipy(a), sense=1)
+
+    # boundary sizes around the simplex gate (1500 rows) — both sides
+    # must solve; the exact engine choice is the capacity model's call
+    objs = {}
+    for m in (1499, 1501):
+        lp = make(m)
+        st, sol, info = solve_lp(lp, HighsOptions(), presolve=False)
+        assert st == HighsModelStatus.kOptimal, m
+        objs[m] = float(lp.col_cost @ sol.col_value)
+        # sanity vs a forced-simplex solve
+        o = HighsOptions()
+        o.solver = "simplex"
+        st2, sol2, _ = solve_lp(lp, o, presolve=False)
+        assert st2 == HighsModelStatus.kOptimal
+        ref = float(lp.col_cost @ sol2.col_value)
+        assert abs(objs[m] - ref) <= 1e-5 * (1 + abs(ref)), m

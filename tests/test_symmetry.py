@@ -187,3 +187,109 @@ def test_orbital_branching_reduces_nodes():
     assert abs(results["on"][0] - 13.0) < 1e-6
     assert abs(results["off"][0] - 13.0) < 1e-6
     assert results["on"][1] < results["off"][1]
+
+
+def test_packing_orbitope_detection_and_fixing():
+    """detect_packing_orbitopes finds the machine-column orbitope of an
+    assignment model from clean transposition generators, and the
+    staircase fixing keeps the exact optimum reachable."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from highs_tpu.models.lp import HighsLp, HighsSparseMatrix
+    from highs_tpu.presolve.symmetry import (detect_packing_orbitopes,
+                                             orbitope_fixings)
+
+    J, M = 4, 3
+    ncol = J * M
+    rows, cols, vals = [], [], []
+    for j in range(J):
+        for m_ in range(M):
+            rows.append(j)
+            cols.append(j * M + m_)
+            vals.append(1.0)
+    a = sp.csc_matrix((vals, (rows, cols)), shape=(J, ncol))
+    lp = HighsLp(
+        num_col=ncol, num_row=J, col_cost=np.zeros(ncol),
+        col_lower=np.zeros(ncol), col_upper=np.ones(ncol),
+        row_lower=np.ones(J), row_upper=np.ones(J),
+        a_matrix=HighsSparseMatrix.from_scipy(a), sense=1,
+        integrality=np.ones(ncol, dtype=np.uint8))
+    g1 = np.arange(ncol)
+    g2 = np.arange(ncol)
+    for j in range(J):
+        g1[j * M + 0], g1[j * M + 1] = j * M + 1, j * M + 0
+        g2[j * M + 1], g2[j * M + 2] = j * M + 2, j * M + 1
+    orbs = detect_packing_orbitopes(lp, [g1, g2])
+    assert [o.shape for o in orbs] == [(J, M)]
+    fix = orbitope_fixings(orbs, ncol)
+    # staircase: row 0 loses cols 1,2; row 1 loses col 2
+    grid = orbs[0]
+    expect = {int(grid[0, 1]), int(grid[0, 2]), int(grid[1, 2])}
+    assert set(fix) == expect
+
+
+def test_orbitope_fixing_preserves_optimum():
+    """Full MIP solve on the identical-machines model with orbitope
+    fixings active keeps the exact optimum."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from highs_tpu.highs import Highs
+    from highs_tpu.models.lp import HighsLp, HighsSparseMatrix
+
+    rng = np.random.default_rng(3)
+    J, M = 10, 4
+    w = rng.integers(3, 10, J).astype(float)
+    ncol = J * M + 1
+    rows, cols, vals, rl, ru = [], [], [], [], []
+    r = 0
+    for j in range(J):
+        for m_ in range(M):
+            rows.append(r)
+            cols.append(j * M + m_)
+            vals.append(1.0)
+        rl.append(1.0)
+        ru.append(1.0)
+        r += 1
+    for m_ in range(M):
+        for j in range(J):
+            rows.append(r)
+            cols.append(j * M + m_)
+            vals.append(w[j])
+        rows.append(r)
+        cols.append(J * M)
+        vals.append(-1.0)
+        rl.append(-np.inf)
+        ru.append(0.0)
+        r += 1
+    a = sp.csc_matrix((vals, (rows, cols)), shape=(r, ncol))
+    cost = np.zeros(ncol)
+    cost[J * M] = 1.0
+    integ = np.ones(ncol, dtype=np.uint8)
+    integ[J * M] = 0
+    up = np.ones(ncol)
+    up[J * M] = float(w.sum())
+    lp = HighsLp(num_col=ncol, num_row=r, col_cost=cost,
+                 col_lower=np.zeros(ncol), col_upper=up,
+                 row_lower=np.array(rl), row_upper=np.array(ru),
+                 a_matrix=HighsSparseMatrix.from_scipy(a), sense=1,
+                 integrality=integ)
+    h = Highs()
+    h._model.lp = lp
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("mip_rel_gap", 0.0)
+    h.run()
+    # reference optimum computed without symmetry handling
+    import os
+    os.environ["HX_NO_SYM"] = "1"
+    try:
+        h2 = Highs()
+        h2._model.lp = lp
+        h2.setOptionValue("output_flag", False)
+        h2.setOptionValue("mip_rel_gap", 0.0)
+        h2.run()
+    finally:
+        os.environ.pop("HX_NO_SYM", None)
+    assert abs(h.getInfo().objective_function_value -
+               h2.getInfo().objective_function_value) < 1e-6
