@@ -749,12 +749,15 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     // min-heap on ratio: the BFRT walk consumes breakpoints in ratio
     // order but typically stops after a handful of flips, so a heap
     // (O(k + t log k)) replaces the former full sort (O(k log k))
+    static const bool chuzc_arb =
+        getenv("HX_CHUZC_ARBITRARY_TIES") != nullptr;
     auto bp_gt = [](const BP& a, const BP& b) {
       // tie-break on insertion order: keeps entering-variable choice
       // identical to the former stable sort on degenerate ties (ties
       // are common; arbitrary heap order was enough to reshape whole
       // MIP trees)
-      return a.ratio != b.ratio ? a.ratio > b.ratio : a.seq > b.seq;
+      if (a.ratio != b.ratio) return a.ratio > b.ratio;
+      return chuzc_arb ? false : a.seq > b.seq;
     };
     std::make_heap(bps.begin(), bps.end(), bp_gt);
 
