@@ -115,8 +115,9 @@ class PanelEllMatrix(NamedTuple):
     column lives in, then select the lane c%128 with an on-the-fly
     iota==lane compare (pure VPU work that XLA fuses).  Measured on the
     50k x 50k / 5e5-nnz flagship: 3.0 ms/matvec vs 9.4 ms for the
-    element-gather ELL (both f32).  The ELL width is capped at the p97
-    row count; longer rows spill to a sorted-COO tail folded in with one
+    element-gather ELL (both f32).  The ELL width is capped at the p92
+    row count (measured optimum on the 50k flagship: 2.98 vs 3.23
+    ms/matvec at p97); longer rows spill to a sorted-COO tail folded in with one
     segment_sum.  Cf. the cuSPARSE CSR role in the reference GPU PDLP
     (highs/pdlp/cupdlp/cuda/); this layout is the TPU answer to the same
     SpMV contract."""
@@ -167,7 +168,7 @@ class PanelEllMatrix(NamedTuple):
                           self.tail_val_t, y.shape[0])
 
 
-def _panel_ell_half(csr: sp.csr_matrix, dtype, width_pct: float = 97.0):
+def _panel_ell_half(csr: sp.csr_matrix, dtype, width_pct: float = 92.0):
     """(panel, lane, val, tail_seg, tail_col, tail_val) for one side.
 
     Requires csr.shape[1] % 128 == 0 (the caller pads)."""
