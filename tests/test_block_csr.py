@@ -29,10 +29,9 @@ def test_spmv_matches_dense(shape):
 
 def test_empty_block_rows():
     # matrix with entirely empty block-rows
-    a = sp.csr_matrix((512, 512))
-    a[0, 0] = 3.0
-    a[400, 100] = -2.0
-    op = from_scipy_block_csr(a.tocsr(), dtype=jnp.float64)
+    a = sp.csr_matrix(([3.0, -2.0], ([0, 400], [0, 100])),
+                      shape=(512, 512))
+    op = from_scipy_block_csr(a, dtype=jnp.float64)
     x = np.ones(op.shape[1])
     y = np.asarray(op.mv(jnp.asarray(x)))
     assert y[0] == 3.0
