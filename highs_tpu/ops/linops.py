@@ -177,7 +177,12 @@ def _panel_ell_half(csr: sp.csr_matrix, dtype, width_pct: float = 92.0):
     if nr == 0 or cnt.max(initial=0) == 0:
         w = 1
     else:
-        w = max(1, int(np.percentile(cnt, width_pct)))
+        # percentile over REAL (nonempty) rows only: power-of-two
+        # bucketing / 128-multiple mesh padding can make up to ~half
+        # the rows all-zero padding, which would deflate the width and
+        # spill real nonzeros into the slower COO tail
+        real = cnt[cnt > 0]
+        w = max(1, int(np.percentile(real, width_pct)))
     panel = np.zeros((nr, w), np.int32)
     lane = np.zeros((nr, w), np.int32)
     val = np.zeros((nr, w), np.float64)

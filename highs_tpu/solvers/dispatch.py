@@ -191,7 +191,13 @@ def _solve_core(lp: HighsLp, options: HighsOptions, solver: str, log,
     # excludes sizes where even the CG matvecs are uncompetitive with
     # the PDHG workhorse.
     _nnz = int(lp.a_matrix.num_nz)
-    ipm_ok = (lp.num_row <= 2500 or
+    # the m<=2500 band may factor the normal matrix DENSE, so it must
+    # also bound the dense working-set bytes (a 2500-row x 5M-col LP
+    # would otherwise materialize a ~100GB array); wider/larger
+    # problems stay sparse end-to-end (ldl / sparse CG) so only nnz
+    # matters there
+    ipm_ok = ((lp.num_row <= 2500 and
+               lp.num_row * (lp.num_col + lp.num_row) <= (1 << 26)) or
               (lp.num_row <= 80000 and _nnz <= 2_000_000))
 
     if solver == "choose" and (

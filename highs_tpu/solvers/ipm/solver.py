@@ -536,6 +536,10 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     # path ("ldl", native LDL' of the normal equations) never builds a
     # dense copy and replaces the former m<=8192 dense capacity cap
     newton_opt = getattr(options, "tpu_ipm_newton", "choose")
+    # a dense copy of K is m x (n_std) f64; cap the dense working set
+    # so a wide (2500 x 5M) or very tall LP never materializes a
+    # multi-GB array on the default path
+    dense_ok = m * max(1, n_std) <= 50_000_000
     if newton_opt in ("cg", "ldl"):
         newton = newton_opt
     elif newton_opt == "cholesky":
@@ -543,13 +547,16 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
     else:
         # dense Cholesky on the MXU while M fits comfortably dense;
         # sparse direct beyond; matrix-free CG for the very largest
-        if m <= 2500:
+        if m <= 2500 and dense_ok:
             newton = "chol"
         elif m <= 60000:
             newton = "ldl"
         else:
             newton = "cg"
-    sparse_mode = newton == "ldl"
+    # "sparse_mode" = K stays a scipy sparse matrix end to end; the
+    # CG path's matvecs and Jacobi diagonal both support sparse K, so
+    # large CG solves never densify either
+    sparse_mode = newton == "ldl" or (newton == "cg" and not dense_ok)
     if sparse_mode:
         host = True
 
@@ -663,13 +670,16 @@ def _solve_lp_ipm_impl(lp: HighsLp, options: HighsOptions, log=None,
 
     if sparse_mode:
         from .sparse_ldl import LdlBlowup
-        try:
-            state = _starting_point_sparse(problem)
-        except LdlBlowup:
-            # fill-catastrophic pattern: matrix-free CG Newton instead
-            # (still sparse, still host)
-            newton = "cg"
+        if newton == "cg":
             state = _starting_point_cg(problem)
+        else:
+            try:
+                state = _starting_point_sparse(problem)
+            except LdlBlowup:
+                # fill-catastrophic pattern: matrix-free CG Newton
+                # instead (still sparse, still host)
+                newton = "cg"
+                state = _starting_point_cg(problem)
     else:
         state = (_starting_point_np(problem) if host else
                  _starting_point(problem))

@@ -430,12 +430,23 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                 rel_p, rel_d, gap = new_p, new_d, new_gap
                 break  # no progress: stop refining
             rel_p, rel_d, gap = new_p, new_d, new_gap
-        status = (HighsModelStatus.kOptimal
-                  if max(rel_p, rel_d, gap) <= eps else
-                  (rres.status if rounds and rres.status !=
-                   HighsModelStatus.kOptimal else
-                   HighsModelStatus.kIterationLimit)
-                  if rounds else result.status)
+        if max(rel_p, rel_d, gap) <= eps:
+            status = HighsModelStatus.kOptimal
+        elif rounds:
+            status = (rres.status if rres.status !=
+                      HighsModelStatus.kOptimal else
+                      HighsModelStatus.kIterationLimit)
+        elif result.status == HighsModelStatus.kOptimal:
+            # zero refinement rounds ran (budget exhausted after the
+            # cold round) but the true f64 KKT was just measured to
+            # exceed the user tolerance: the cold round's relaxed
+            # f32-floor kOptimal must not stand
+            status = (HighsModelStatus.kTimeLimit
+                      if _tm.perf_counter() - t_all >=
+                      settings.time_limit else
+                      HighsModelStatus.kIterationLimit)
+        else:
+            status = result.status
         x_uns = x_bar * dc_p
         y_uns = y_bar * dr_p
         z_uns = z_bar / dc_p

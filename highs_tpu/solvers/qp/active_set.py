@@ -290,9 +290,13 @@ def solve_qp_active_set(model: HighsModel, options: HighsOptions,
             dp = d[last_released]
             if abs(dp) > 1e-12:
                 wp = devex_w[last_released]
+                # reference devexpricing.hpp rule: MAX-update against
+                # the candidate weight (d_j/d_p)^2 * w_p, and the
+                # released variable's weight floored at 1 so it cannot
+                # collapse toward 0 and explode its next score
                 ratio = (d * d) / (dp * dp)
-                devex_w = devex_w + ratio * (wp * wp)
-                devex_w[last_released] = wp / (dp * dp)
+                devex_w = np.maximum(devex_w, ratio * wp)
+                devex_w[last_released] = max(wp / (dp * dp), 1.0)
                 devex_w[devex_w > 1e7] = 1.0
             last_released = -1
 

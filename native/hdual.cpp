@@ -161,6 +161,49 @@ struct Engine {
   }
 };
 
+// dev-only section clocks for the dual loop (HX_TIMING=1), the role of
+// the reference's SimplexTimer/FactorTimer clock sets
+struct LoopClocks {
+  double chuzr = 0, btran = 0, price = 0, chuzc = 0, ftran = 0,
+         dse = 0, primal = 0, factor = 0, etc = 0;
+  int64_t iters = 0, factors = 0;
+  int64_t rho_nnz = 0, acol_nnz = 0, eta_cnt = 0;
+  int64_t lu_fill = 0, basis_nnz = 0;  // accumulated at factor time
+  bool on = false;
+  ~LoopClocks() {
+    if (on && iters)
+      fprintf(stderr,
+              "[hx_dual clocks] iters=%lld factors=%lld chuzr=%.3f "
+              "btran=%.3f price=%.3f chuzc=%.3f ftran=%.3f dse=%.3f "
+              "primal=%.3f factor=%.3f etc=%.3f rho_nnz/it=%.0f "
+              "acol_nnz/it=%.0f etas/it=%.1f fill=%.2f\n",
+              (long long)iters, (long long)factors, chuzr, btran, price,
+              chuzc, ftran, dse, primal, factor, etc,
+              (double)rho_nnz / iters, (double)acol_nnz / iters,
+              (double)eta_cnt / iters,
+              basis_nnz ? (double)lu_fill / (double)basis_nnz : 0.0);
+  }
+};
+static LoopClocks g_clk;
+static struct ClkInit {
+  ClkInit() { g_clk.on = getenv("HX_TIMING") != nullptr; }
+} g_clk_init;
+static inline double clk_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+#define CLK(field, stmt)                      \
+  do {                                        \
+    if (g_clk.on) {                           \
+      const double t0_ = clk_now();           \
+      stmt;                                   \
+      g_clk.field += clk_now() - t0_;         \
+    } else {                                  \
+      stmt;                                   \
+    }                                         \
+  } while (0)
+
 // LU build over the current basis; on failure reports the dependent
 // basis position for repair.
 bool factor_once(Engine& e, int* fail_pos) {
@@ -263,6 +306,17 @@ bool factor(Engine& e) {
     if (factor_once(e, &fail_pos)) {
       e.since_refactor = 0;
       e.factored = true;
+      if (g_clk.on) {
+        int64_t u = 0;
+        for (const auto& c : e.lu.Ucol) u += (int64_t)c.size();
+        g_clk.lu_fill += (int64_t)e.lu.Lrow.size() + u + e.m;
+        int64_t bn = 0;
+        for (int p = 0; p < e.m; ++p) {
+          const int j = e.basic[p];
+          bn += (j < e.n) ? (e.Ap[j + 1] - e.Ap[j]) : 1;
+        }
+        g_clk.basis_nnz += bn;
+      }
       return true;
     }
     // basis repair: demote the dependent basic, bring in a logical
@@ -515,47 +569,6 @@ bool restore_dual_feasibility(Engine& e, double tol_d) {
   if (flipped) compute_basics(e);
   return true;
 }
-
-// dev-only section clocks for the dual loop (HX_TIMING=1), the role of
-// the reference's SimplexTimer/FactorTimer clock sets
-struct LoopClocks {
-  double chuzr = 0, btran = 0, price = 0, chuzc = 0, ftran = 0,
-         dse = 0, primal = 0, factor = 0, etc = 0;
-  int64_t iters = 0, factors = 0;
-  int64_t rho_nnz = 0, acol_nnz = 0, eta_cnt = 0;
-  bool on = false;
-  ~LoopClocks() {
-    if (on && iters)
-      fprintf(stderr,
-              "[hx_dual clocks] iters=%lld factors=%lld chuzr=%.3f "
-              "btran=%.3f price=%.3f chuzc=%.3f ftran=%.3f dse=%.3f "
-              "primal=%.3f factor=%.3f etc=%.3f rho_nnz/it=%.0f "
-              "acol_nnz/it=%.0f etas/it=%.1f\n",
-              (long long)iters, (long long)factors, chuzr, btran, price,
-              chuzc, ftran, dse, primal, factor, etc,
-              (double)rho_nnz / iters, (double)acol_nnz / iters,
-              (double)eta_cnt / iters);
-  }
-};
-static LoopClocks g_clk;
-static struct ClkInit {
-  ClkInit() { g_clk.on = getenv("HX_TIMING") != nullptr; }
-} g_clk_init;
-static inline double clk_now() {
-  return std::chrono::duration<double>(
-             std::chrono::steady_clock::now().time_since_epoch())
-      .count();
-}
-#define CLK(field, stmt)                      \
-  do {                                        \
-    if (g_clk.on) {                           \
-      const double t0_ = clk_now();           \
-      stmt;                                   \
-      g_clk.field += clk_now() - t0_;         \
-    } else {                                  \
-      stmt;                                   \
-    }                                         \
-  } while (0)
 
 // The dual simplex main loop.  Assumes factored basis, fresh x_B and d.
 int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
@@ -1130,8 +1143,14 @@ int engine_solve_escalated(Engine& e, double tol_p, double tol_d,
   e.d_valid = false;
   if (res != kOptimal && res != kInfeasible && res != kIterLimit)
     return res;
+  // the clean re-entry gets the REMAINING user budget, not the stall
+  // cap again: a hard-but-not-cycling LP with a large caller budget
+  // must be allowed to finish after paying one escalation cycle
+  const int left =
+      (int)std::max<int64_t>((int64_t)cap,
+                             (int64_t)max_iter - (int64_t)*iters_out);
   int it3 = 0;
-  res = engine_solve_phase1(e, tol_p, tol_d, cap, time_limit_s, &it3,
+  res = engine_solve_phase1(e, tol_p, tol_d, left, time_limit_s, &it3,
                             obj_cut);
   *iters_out += it3;
   return res;
