@@ -91,7 +91,8 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
     semi_mask = (integ == int(HighsVarType.kSemiContinuous)) | (
         integ == int(HighsVarType.kSemiInteger))
 
-    a = lp.a_matrix.to_scipy().tolil().tocsc()
+    a = lp.a_matrix.to_scipy().tocsc()
+    a.sum_duplicates()
     a_csr = a.tocsr()
     cost = lp.col_cost.copy()
     cl = lp.col_lower.copy()
@@ -128,6 +129,19 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         keep = col_active[idx] & (val != 0.0)
         return idx[keep], val[keep]
 
+    def masked_csc(mat):
+        """Copy of CSC `mat` with entries of inactive rows/cols zeroed
+        and eliminated.  Replaces the former diag-matmul masking
+        (diags(r) @ a @ diags(c)) — two sparse matmuls plus dia
+        conversions per call — with three linear passes over nnz."""
+        live = row_active[mat.indices] & np.repeat(
+            col_active, np.diff(mat.indptr))
+        d = np.where(live, mat.data, 0.0)
+        out = sp.csc_matrix((d, mat.indices.copy(),
+                             mat.indptr.copy()), shape=mat.shape)
+        out.eliminate_zeros()
+        return out
+
     max_passes = 6
     infeasible = False
     unbounded = False
@@ -137,11 +151,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # rebuild row/col structures for active entries
         # (cheap: a few sparse ops per pass)
-        mask_r = sp.diags(row_active.astype(np.float64))
-        mask_c = sp.diags(col_active.astype(np.float64))
-        aa = (mask_r @ a @ mask_c).tocsc()
-        aa.eliminate_zeros()
-        a = aa
+        a = masked_csc(a)
         a_csr = a.tocsr()
         row_nnz = np.diff(a_csr.indptr)
         col_nnz = np.diff(a.indptr)
@@ -234,9 +244,15 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # --- empty columns -----------------------------------------------
         if _rule_on(options, PresolveRuleType.kEmptyCol):
             # recompute active col nnz after fixed-col removal
-            mask_r2 = sp.diags(row_active.astype(np.float64))
-            col_nnz2 = np.asarray(
-                (mask_r2 @ (a != 0)).sum(axis=0)).ravel()
+            live2 = (row_active[a.indices] &
+                     (a.data != 0)).astype(np.int64)
+            # per-column sums via reduceat; the sentinel keeps index n
+            # (trailing empty columns) valid, and empty segments —
+            # where reduceat returns arr[start] instead of 0 — are
+            # zeroed by the diff mask
+            col_nnz2 = np.add.reduceat(
+                np.concatenate([live2, [0]]), a.indptr[:-1])
+            col_nnz2 = np.where(np.diff(a.indptr) > 0, col_nnz2, 0)
             empty_c = col_active & (col_nnz2 == 0)
             for j in np.nonzero(empty_c)[0]:
                 cj = sense * cost[j]  # minimization-sense cost
@@ -319,14 +335,20 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # integer cases by always substituting a continuous column
         # when one is present)
         if _rule_on(options, PresolveRuleType.kDoubletonEquation):
-            a_csr = (sp.diags(row_active.astype(float)) @ a @
-                     sp.diags(col_active.astype(float))).tocsr()
-            a_csr.eliminate_zeros()
+            a_csr = masked_csc(a).tocsr()
             row_nnz = np.diff(a_csr.indptr)
             doubletons = np.nonzero(row_active & (row_nnz == 2) &
                                     np.isfinite(rl) & np.isfinite(ru) &
                                     (np.abs(ru - rl) <= tol))[0]
-            a_lil = None
+            # accumulated matrix edits, applied as ONE sparse add at
+            # the end of the rule (the former whole-matrix LIL
+            # round-trip was ~30% of presolve time).  Reads within the
+            # rule use the pre-rule snapshot; the touched_rows /
+            # touched_cols guards below ensure no doubleton reads an
+            # entry another one modified.
+            d_rows: List[int] = []
+            d_cols: List[int] = []
+            d_vals: List[float] = []
             # rows/cols whose snapshot entries became stale this pass:
             # doubletons touching them wait for the next pass
             touched_rows: set = set()
@@ -368,18 +390,19 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     float(cost[jy]), float(cl[jy]), float(cu[jy]),
                     float(cl[jx]), float(cu[jx]),
                     y_rows_o.copy(), y_vals_o.copy()))
-                if a_lil is None:
-                    a_lil = a.tolil()
                 # fold y out of its other rows:
-                # a_iy * y = a_iy*(d - ax x)/ay
+                # a_iy * y = a_iy*(d - ax x)/ay.  The jy entries need
+                # no explicit zeroing: col_active[jy]=False masks them
+                # out of every subsequent read and rebuild.
                 for rr, vv in zip(y_rows_o, y_vals_o):
-                    a_lil[rr, jx] = a_lil[rr, jx] - vv * ratio
+                    d_rows.append(int(rr))
+                    d_cols.append(jx)
+                    d_vals.append(-float(vv) * ratio)
                     shift = vv * d / ay_
                     if np.isfinite(rl[rr]):
                         rl[rr] -= shift
                     if np.isfinite(ru[rr]):
                         ru[rr] -= shift
-                    a_lil[rr, jy] = 0.0
                 # bounds on x implied by bounds on y
                 # y in [cl_y, cu_y] -> (d - ay*... ) x in ...
                 if ratio != 0.0:
@@ -404,17 +427,17 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 touched_cols.add(jx)
                 touched_cols.add(jy)
                 changed = True
-            if a_lil is not None:
-                a = a_lil.tocsc()
+            if d_rows:
+                delta = sp.csc_matrix(
+                    (d_vals, (d_rows, d_cols)), shape=a.shape)
+                a = (a + delta).tocsc()
                 a_csr = a.tocsr()
             if infeasible:
                 break
 
         # --- duplicate (parallel) rows ------------------------------------
         if _rule_on(options, PresolveRuleType.kParallelRowsAndCols):
-            a_csr = (sp.diags(row_active.astype(float)) @ a @
-                     sp.diags(col_active.astype(float))).tocsr()
-            a_csr.eliminate_zeros()
+            a_csr = masked_csc(a).tocsr()
             # vectorized candidate grouping by a 64-bit multiset hash of
             # each row's (col, coeff/first-coeff) pairs; hash collisions
             # are screened out by the exact verification below (the old
@@ -496,16 +519,20 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # nonzeros; feasible set unchanged.  Postsolve: equality-row-
         # addition replay  y_e += lambda * y_r.)
         if _rule_on(options, PresolveRuleType.kSparsify):
-            a_csr = (sp.diags(row_active.astype(float)) @ a @
-                     sp.diags(col_active.astype(float))).tocsr()
-            a_csr.eliminate_zeros()
+            a_csr = masked_csc(a).tocsr()
             a2c = a_csr.tocsc()
             row_nnz = np.diff(a_csr.indptr)
             eq_rows = np.nonzero(row_active & (row_nnz >= 2) &
                                  (row_nnz <= 32) & np.isfinite(rl) &
                                  np.isfinite(ru) &
                                  (np.abs(ru - rl) <= tol))[0]
-            a_lil3 = None
+            # matrix edits accumulate as COO triplets (one sparse add
+            # at rule end, replacing the whole-matrix LIL round-trip);
+            # each target row r is edited at most once (stale guard),
+            # so reads of row r always see the pre-rule snapshot
+            s_rows: List[int] = []
+            s_cols: List[int] = []
+            s_vals: List[float] = []
             edits = 0
             stale: set = set()
             for e in eq_rows[:100]:
@@ -516,41 +543,39 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 ecols, evals = row_cols(e)
                 if len(ecols) < 2:
                     continue
-                esup = {int(c): float(v) for c, v in zip(ecols, evals)}
                 # pivot on e's sparsest column (fewest other rows)
                 degs = np.diff(a2c.indptr)[ecols]
-                j0 = int(ecols[np.argmin(degs)])
-                v0 = esup[j0]
+                pivk = int(np.argmin(degs))
+                j0 = int(ecols[pivk])
+                v0 = float(evals[pivk])
                 s0, e0 = a2c.indptr[j0], a2c.indptr[j0 + 1]
                 for r in a2c.indices[s0:e0]:
                     r = int(r)
                     if r == int(e) or not row_active[r] or r in stale:
                         continue
+                    # row_cols segments stay sorted (csr construction),
+                    # so membership/value lookup is a searchsorted
                     rcols, rvals = row_cols(r)
-                    rsup = {int(c): float(v)
-                            for c, v in zip(rcols, rvals)}
-                    lam = -rsup[j0] / v0
+                    kj0 = int(np.searchsorted(rcols, j0))
+                    if kj0 >= len(rcols) or rcols[kj0] != j0:
+                        continue
+                    lam = -float(rvals[kj0]) / v0
                     if abs(lam) > 1e4 or abs(lam) < 1e-10:
                         continue
                     # nonzero delta: entries cancelled minus fill-in
-                    cancelled = 0
-                    fill = 0
-                    for cc, vv in esup.items():
-                        if cc in rsup:
-                            if abs(rsup[cc] + lam * vv) <= 1e-11 * \
-                                    max(1.0, abs(rsup[cc])):
-                                cancelled += 1
-                        else:
-                            fill += 1
+                    kk = np.searchsorted(rcols, ecols)
+                    kk_c = np.minimum(kk, len(rcols) - 1)
+                    common = rcols[kk_c] == ecols
+                    rv = rvals[kk_c[common]]
+                    cancelled = int(np.count_nonzero(
+                        np.abs(rv + lam * evals[common]) <=
+                        1e-11 * np.maximum(1.0, np.abs(rv))))
+                    fill = int(len(ecols) - np.count_nonzero(common))
                     if cancelled - fill < 1:
                         continue
-                    if a_lil3 is None:
-                        a_lil3 = a.tolil()
-                    for cc, vv in esup.items():
-                        newv = float(a_lil3[r, cc]) + lam * vv
-                        if abs(newv) <= 1e-11:
-                            newv = 0.0
-                        a_lil3[r, cc] = newv
+                    s_rows.extend([r] * len(ecols))
+                    s_cols.extend(int(c) for c in ecols)
+                    s_vals.extend(float(lam) * float(v) for v in evals)
                     be = float(rl[e])
                     if np.isfinite(rl[r]):
                         rl[r] += lam * be
@@ -562,8 +587,20 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     edits += 1
                     changed = True
                 stale.add(int(e))
-            if a_lil3 is not None:
-                a = a_lil3.tocsc()
+            if s_rows:
+                delta = sp.csc_matrix(
+                    (s_vals, (s_rows, s_cols)), shape=a.shape)
+                summed = (a + delta).tocsr()
+                # snap cancellation residue to exact zero on the edited
+                # rows ONLY (the whole point of sparsify is that these
+                # entries leave the structure; a global snap could drop
+                # legitimate tiny coefficients elsewhere)
+                for r in sorted(set(s_rows)):
+                    s0, e0 = summed.indptr[r], summed.indptr[r + 1]
+                    seg = summed.data[s0:e0]
+                    seg[np.abs(seg) <= 1e-11] = 0.0
+                summed.eliminate_zeros()
+                a = summed.tocsc()
                 a_csr = a.tocsr()
 
         # --- dependent equations --------------------------------------------
@@ -572,9 +609,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # redundant when its rhs also cancels, else infeasible.)
         if _rule_on(options, PresolveRuleType.kDependentEquations) and \
                 _pass == 0:
-            a_csr = (sp.diags(row_active.astype(float)) @ a @
-                     sp.diags(col_active.astype(float))).tocsr()
-            a_csr.eliminate_zeros()
+            a_csr = masked_csc(a).tocsr()
             eq_rows = np.nonzero(row_active & np.isfinite(rl) &
                                  np.isfinite(ru) &
                                  (np.abs(ru - rl) <= tol) &
@@ -611,9 +646,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # --- forcing rows --------------------------------------------------
         if _rule_on(options, PresolveRuleType.kForcingRow):
-            a_csr = (sp.diags(row_active.astype(float)) @ a @
-                     sp.diags(col_active.astype(float))).tocsr()
-            a_csr.eliminate_zeros()
+            a_csr = masked_csc(a).tocsr()
             # semi variables: effective activity bounds include 0, and
             # rows touching semi variables are excluded from forcing
             # (fixing a semi var "at its bound" has different
@@ -702,9 +735,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # --- free column singleton substitution ---------------------------
         if _rule_on(options, PresolveRuleType.kFreeColSubstitution):
-            a2 = (sp.diags(row_active.astype(float)) @ a @
-                  sp.diags(col_active.astype(float))).tocsc()
-            a2.eliminate_zeros()
+            a2 = masked_csc(a)
             col_nnz3 = np.diff(a2.indptr)
             cand = np.nonzero(col_active & (col_nnz3 == 1) &
                               ~np.isfinite(cl) & ~np.isfinite(cu) &
@@ -747,9 +778,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # guaranteed reduced-cost sign => fix it at the matching bound.
         if _rule_on(options, PresolveRuleType.kDominatedCol) and \
                 not has_semi:
-            a2 = (sp.diags(row_active.astype(float)) @ a @
-                  sp.diags(col_active.astype(float))).tocsc()
-            a2.eliminate_zeros()
+            a2 = masked_csc(a)
             y_can_pos = (np.isfinite(rl) & row_active).astype(float)
             y_can_neg = (np.isfinite(ru) & row_active).astype(float)
             pat_p = a2.copy(); pat_p.data = (pat_p.data > 0) * 1.0
@@ -789,9 +818,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # HPresolve probing + implication extraction) ----------------------
         if is_mip and _rule_on(options, PresolveRuleType.kProbing) and \
                 _pass == 0 and not has_semi:
-            a2r = (sp.diags(row_active.astype(float)) @ a @
-                   sp.diags(col_active.astype(float))).tocsr()
-            a2r.eliminate_zeros()
+            a2r = masked_csc(a).tocsr()
             binaries = np.nonzero(col_active & is_int &
                                   (cl == 0.0) & (cu == 1.0))[0]
             if len(binaries) and a2r.nnz:
