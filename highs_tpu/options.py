@@ -389,6 +389,10 @@ _opt("tpu_matrix_format", str, "choose",
 _opt("tpu_check_interval", int, 40,
      "Device-resident PDHG steps per convergence check "
      "(the jitted inner block length)", 1)
+_opt("tpu_pdlp_device_restarts", bool, True,
+     "Run the Halpern restart criteria on device at 40-step windows "
+     "inside the fused block (reference cadence); off = per-block "
+     "host restart logic")
 _opt("tpu_mesh_shape", str, "",
      "Device mesh, e.g. '4x2'; empty = single device")
 _opt("tpu_batch_solve", bool, False,

@@ -129,17 +129,40 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         keep = col_active[idx] & (val != 0.0)
         return idx[keep], val[keep]
 
+    # memoized masking: activity is MONOTONE (rows/cols only ever
+    # deactivate) and matrix edits replace `a` with a new object, so
+    # (id, active-row count, active-col count) keys the mask state
+    # exactly; the cache holds a reference to the source matrix so its
+    # id cannot be recycled.  Cuts the ~9 per-rule rebuilds per pass
+    # to one per actual state change.
+    _mask_cache: dict = {}
+
     def masked_csc(mat):
         """Copy of CSC `mat` with entries of inactive rows/cols zeroed
         and eliminated.  Replaces the former diag-matmul masking
         (diags(r) @ a @ diags(c)) — two sparse matmuls plus dia
         conversions per call — with three linear passes over nnz."""
+        key = (id(mat), int(row_active.sum()), int(col_active.sum()))
+        hit = _mask_cache.get("csc")
+        if hit is not None and hit[0] == key:
+            return hit[1]
         live = row_active[mat.indices] & np.repeat(
             col_active, np.diff(mat.indptr))
         d = np.where(live, mat.data, 0.0)
         out = sp.csc_matrix((d, mat.indices.copy(),
                              mat.indptr.copy()), shape=mat.shape)
         out.eliminate_zeros()
+        _mask_cache["csc"] = (key, out, mat)
+        _mask_cache.pop("csr", None)
+        return out
+
+    def masked_csr(mat):
+        key = (id(mat), int(row_active.sum()), int(col_active.sum()))
+        hit = _mask_cache.get("csr")
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        out = masked_csc(mat).tocsr()
+        _mask_cache["csr"] = (key, out, mat)
         return out
 
     max_passes = 6
@@ -335,7 +358,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # integer cases by always substituting a continuous column
         # when one is present)
         if _rule_on(options, PresolveRuleType.kDoubletonEquation):
-            a_csr = masked_csc(a).tocsr()
+            a_csr = masked_csr(a)
             row_nnz = np.diff(a_csr.indptr)
             doubletons = np.nonzero(row_active & (row_nnz == 2) &
                                     np.isfinite(rl) & np.isfinite(ru) &
@@ -437,7 +460,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # --- duplicate (parallel) rows ------------------------------------
         if _rule_on(options, PresolveRuleType.kParallelRowsAndCols):
-            a_csr = masked_csc(a).tocsr()
+            a_csr = masked_csr(a)
             # vectorized candidate grouping by a 64-bit multiset hash of
             # each row's (col, coeff/first-coeff) pairs; hash collisions
             # are screened out by the exact verification below (the old
@@ -519,7 +542,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # nonzeros; feasible set unchanged.  Postsolve: equality-row-
         # addition replay  y_e += lambda * y_r.)
         if _rule_on(options, PresolveRuleType.kSparsify):
-            a_csr = masked_csc(a).tocsr()
+            a_csr = masked_csr(a)
             a2c = a_csr.tocsc()
             row_nnz = np.diff(a_csr.indptr)
             eq_rows = np.nonzero(row_active & (row_nnz >= 2) &
@@ -609,7 +632,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # redundant when its rhs also cancels, else infeasible.)
         if _rule_on(options, PresolveRuleType.kDependentEquations) and \
                 _pass == 0:
-            a_csr = masked_csc(a).tocsr()
+            a_csr = masked_csr(a)
             eq_rows = np.nonzero(row_active & np.isfinite(rl) &
                                  np.isfinite(ru) &
                                  (np.abs(ru - rl) <= tol) &
@@ -646,7 +669,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
 
         # --- forcing rows --------------------------------------------------
         if _rule_on(options, PresolveRuleType.kForcingRow):
-            a_csr = masked_csc(a).tocsr()
+            a_csr = masked_csr(a)
             # semi variables: effective activity bounds include 0, and
             # rows touching semi variables are excluded from forcing
             # (fixing a semi var "at its bound" has different
@@ -818,7 +841,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # HPresolve probing + implication extraction) ----------------------
         if is_mip and _rule_on(options, PresolveRuleType.kProbing) and \
                 _pass == 0 and not has_semi:
-            a2r = masked_csc(a).tocsr()
+            a2r = masked_csr(a)
             binaries = np.nonzero(col_active & is_int &
                                   (cl == 0.0) & (cu == 1.0))[0]
             if len(binaries) and a2r.nnz:

@@ -26,8 +26,8 @@ from ...models.lp import HighsLp
 from ...models.solution import HighsSolution
 from ...options import HighsOptions
 from ...ops.linops import DenseMatrix
-from .pdhg import (PdhgProblem, PdhgState, _compute_metrics,
-                   _halpern_step, power_method)
+from .pdhg import (PdhgProblem, PdhgState, RestartCtl, _compute_metrics,
+                   _halpern_step, _pdhg_windows_impl, power_method)
 from .preprocess import preprocess_lp, recover_solution
 from .scaling import scale_problem
 from .wrapper import PdlpRunInfo, _bucket
@@ -48,6 +48,19 @@ def batched_pdhg_block(problem: PdhgProblem, state: PdhgState,
         return state, _compute_metrics(problem, state)
 
     return jax.vmap(one)(problem, state)
+
+
+@partial(jax.jit, static_argnames=("gamma", "interval"))
+def batched_pdhg_windows(problem: PdhgProblem, state: PdhgState,
+                         ctl: RestartCtl, n_windows, gamma: float,
+                         interval: int, theta):
+    """Vmapped 40-step restart windows: the same on-device
+    checkRestartCriteria cadence as the single-instance solver
+    (pdhg._pdhg_windows_impl), per instance."""
+    def one(problem, state, ctl):
+        return _pdhg_windows_impl(problem, state, ctl, n_windows,
+                                  gamma, interval, theta)
+    return jax.vmap(one, in_axes=(0, 0, 0))(problem, state, ctl)
 
 
 @jax.jit
@@ -168,12 +181,20 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
     done = np.zeros(b, dtype=bool)
     status = np.full(b, int(HighsModelStatus.kNotset))
     iters_done = np.zeros(b, dtype=np.int64)
-    fp_at_restart = np.full(b, np.nan)
-    last_fp = np.full(b, np.nan)
     total = 0
     restarts = np.zeros(b, dtype=np.int64)
     final_pobj = np.zeros(b)
     final_dobj = np.zeros(b)
+
+    # per-instance on-device restart control (pdhg.RestartCtl), same
+    # 40-step checkRestartCriteria cadence as the single-instance path
+    ctl = RestartCtl(
+        fpe_init=jnp.full((b,), np.inf, dtype=dtype),
+        fpe_last=jnp.full((b,), np.inf, dtype=dtype),
+        fresh=jnp.ones((b,), dtype=bool),
+        total_k=jnp.zeros((b,), dtype=jnp.int32),
+        n_restarts=jnp.zeros((b,), dtype=jnp.int32))
+    theta_dev = jnp.asarray(0.5, dtype=dtype)  # scalar: broadcast in vmap
 
     n_blocks = 0
     max_block = max(check, min(2560, 64 * check))
@@ -181,8 +202,12 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
         # same deterministic block-size ramp as the single-instance
         # loop (pdhg.py): doubles every 4 blocks, count-based only
         block_steps = min(max_block, check << min(6, n_blocks // 4))
-        state, metrics = batched_pdhg_block(problem, state,
-                                            block_steps, 1.0)
+        n_windows = max(1, block_steps // check)
+        block_steps = n_windows * check
+        state, ctl, metrics = batched_pdhg_windows(
+            problem, state, ctl, n_windows, 1.0, check, theta_dev)
+        restarts = np.asarray(jax.device_get(ctl.n_restarts),
+                              dtype=np.int64)
         total += block_steps
         n_blocks += 1
         mh = jax.device_get(metrics)
@@ -216,36 +241,6 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
             final_pobj[~done] = pobj[~done]
             final_dobj[~done] = dobj[~done]
             break
-
-        # --- per-instance restart logic (restart.hpp constants) -------
-        fp = np.asarray(mh.fp_err, dtype=np.float64)
-        kk = np.asarray(jax.device_get(state.k))
-        first = np.isnan(fp_at_restart)
-        fp_at_restart = np.where(first, fp, fp_at_restart)
-        do_restart = (~done) & (
-            (fp <= 0.2 * fp_at_restart) |
-            ((fp <= 0.8 * fp_at_restart) & (fp > last_fp)) |
-            (kk >= 0.36 * total))
-        last_fp = fp
-        if np.any(do_restart):
-            dxn = np.asarray(mh.dx_norm)
-            dyn = np.asarray(mh.dy_norm)
-            omega = np.asarray(jax.device_get(state.omega),
-                               dtype=np.float64)
-            ok = (dxn > 1e-12) & (dyn > 1e-12)
-            log_om = np.where(
-                ok,
-                0.5 * np.log(np.maximum(dyn, 1e-300) /
-                             np.maximum(dxn, 1e-300)) +
-                0.5 * np.log(np.maximum(omega, 1e-300)),
-                np.log(np.maximum(omega, 1e-300)))
-            new_omega = np.exp(np.clip(log_om, -12.0, 12.0))
-            state = batched_restart(
-                state, jnp.asarray(do_restart),
-                jnp.asarray(new_omega, dtype=dtype))
-            restarts += do_restart
-            fp_at_restart = np.where(do_restart, np.nan, fp_at_restart)
-            last_fp = np.where(do_restart, np.nan, last_fp)
 
     # ---- recover per-instance solutions ------------------------------
     xh = np.asarray(jax.device_get(state.x_pd), dtype=np.float64)

@@ -146,6 +146,13 @@ class PdhgSettings:
     # operator interaction (the linesearch quantities of cuPDLP,
     # evaluated at block granularity so the device block stays fused)
     step_size_strategy: str = "fixed"
+    # ON-DEVICE restart windows (halpern mode): run checkRestartCriteria
+    # at the reference's 40-step granularity INSIDE the fused device
+    # block (pdhg.cc:658 checks every PDHG_CHECK_INTERVAL; the host-side
+    # ramped blocks check up to 64x less often, which measurably costs
+    # iterations on large instances).  False falls back to the
+    # per-block host restart logic.
+    device_restarts: bool = True
 
 
 @dataclasses.dataclass
@@ -200,6 +207,118 @@ def _halpern_step(problem: PdhgProblem, state: PdhgState,
     aty_new = op.rmv(y_new.astype(op_dt)).astype(y_new.dtype)
     return state._replace(x=x_new, y=y_new, x_pd=x_pd, y_pd=y_pd,
                           aty=aty_new, k=state.k + 1)
+
+
+class RestartCtl(NamedTuple):
+    """On-device restart-control scalars (reference pdhg.cc:556-690
+    state: initial_fpe_, last_trial_fpe, halpern/total counters).
+    Carried separately from PdhgState so sharding specs and
+    checkpoints stay unchanged — scalars replicate for free."""
+    fpe_init: jax.Array   # FPE captured at the first major step after
+    #                       a restart (reference initial_fpe_)
+    fpe_last: jax.Array   # FPE at the previous 40-step check
+    fresh: jax.Array      # bool: capture fpe_init at the next major step
+    total_k: jax.Array    # i32 cumulative iteration count
+    n_restarts: jax.Array  # i32
+
+
+def _halpern_step_fpe(problem: PdhgProblem, state: PdhgState,
+                      gamma: float, step_op=None):
+    """Major Halpern step that also returns the reference fixed-point
+    error (computeFixedPointError pdhg.cc:709): with dx/dy the PDHG
+    operator displacement (pre-step iterate minus projected iterate),
+    fpe = sqrt(max(0, omega|dx|^2 + |dy|^2/omega + 2 eta dx'K'dy)) —
+    including the cross term the old host metric omitted."""
+    x_before, y_before = state.x, state.y
+    new_state = _halpern_step(problem, state, gamma, step_op)
+    dx = x_before - new_state.x_pd
+    dy = y_before - new_state.y_pd
+    op = problem.k_op if step_op is None else step_op
+    from ...ops.linops import linop_dtype
+    op_dt = linop_dtype(op)
+    kt_dy = op.rmv(dy.astype(op_dt)).astype(dy.dtype)
+    movement = (state.omega * jnp.sum(dx * dx) +
+                jnp.sum(dy * dy) / state.omega)
+    interaction = 2.0 * state.eta * jnp.sum(dx * kt_dy)
+    fpe = jnp.sqrt(jnp.maximum(0.0, movement + interaction))
+    return new_state, fpe
+
+
+def _pdhg_windows_impl(problem: PdhgProblem, state: PdhgState,
+                       ctl: RestartCtl, n_windows, gamma: float,
+                       interval: int, theta, step_op=None):
+    """n_windows windows of `interval` steps, each ending with the
+    reference restart check (checkRestartCriteria pdhg.cc:901) fully
+    on device; one host round trip for the convergence metrics at the
+    end.  The TPU analogue of the reference loop structure where the
+    CUDA graph covers steps 2..40 and the restart logic runs between
+    graph launches — here the whole ramped super-block stays fused."""
+    dtype = state.x.dtype
+
+    def window(_, carry):
+        s, c = carry
+        # step 1 (major): capture initial_fpe right after a restart
+        s, fpe1 = _halpern_step_fpe(problem, s, gamma, step_op)
+        c = c._replace(
+            fpe_init=jnp.where(c.fresh, fpe1, c.fpe_init),
+            fresh=jnp.zeros((), dtype=bool))
+
+        # steps 2 .. interval-1 (minor)
+        def minor(_, ss):
+            return _halpern_step(problem, ss, gamma, step_op)
+        s = jax.lax.fori_loop(0, interval - 2, minor, s)
+
+        # step `interval` (major) + restart check
+        s, fpe = _halpern_step_fpe(problem, s, gamma, step_op)
+        c = c._replace(total_k=c.total_k + interval)
+        forced = c.total_k == interval  # very first check ever
+        sufficient = fpe <= 0.2 * c.fpe_init
+        necessary = (fpe <= 0.8 * c.fpe_init) & (fpe > c.fpe_last)
+        artificial = s.k.astype(dtype) >= \
+            0.36 * c.total_k.astype(dtype)
+        do_r = forced | sufficient | necessary | artificial
+        c = c._replace(fpe_last=fpe)
+
+        def do_restart(sc):
+            s, c = sc
+            # primal-weight update at restart (reference
+            # updatePrimalWeightAtRestart, gated by theta: theta=0
+            # keeps omega fixed, the reference FIXED-strategy default)
+            dxn = jnp.linalg.norm(s.x_pd - s.x_anchor)
+            dyn = jnp.linalg.norm(s.y_pd - s.y_anchor)
+            ok = (dxn > 1e-12) & (dyn > 1e-12)
+            log_om = theta * jnp.log(jnp.maximum(dyn, 1e-300) /
+                                     jnp.maximum(dxn, 1e-300)) + \
+                (1.0 - theta) * jnp.log(s.omega)
+            new_om = jnp.where(ok, jnp.exp(jnp.clip(log_om, -12.0,
+                                                    12.0)), s.omega)
+            op = problem.k_op if step_op is None else step_op
+            from ...ops.linops import linop_dtype as _ld
+            aty = op.rmv(s.y_pd.astype(_ld(op))).astype(dtype)
+            s2 = s._replace(
+                x=s.x_pd, y=s.y_pd,
+                x_anchor=s.x_pd, y_anchor=s.y_pd, aty=aty,
+                k=jnp.zeros((), dtype=jnp.int32), omega=new_om)
+            c2 = c._replace(
+                fresh=jnp.ones((), dtype=bool),
+                fpe_last=jnp.asarray(jnp.inf, dtype=dtype),
+                n_restarts=c.n_restarts + 1)
+            return (s2, c2)
+
+        return jax.lax.cond(do_r, do_restart, lambda sc: sc, (s, c))
+
+    state, ctl = jax.lax.fori_loop(0, jnp.asarray(n_windows, jnp.int32),
+                                   window, (state, ctl))
+    metrics = _compute_metrics(problem, state)
+    return state, ctl, metrics
+
+
+@partial(jax.jit, static_argnames=("gamma", "interval"))
+def pdhg_block_windows(problem: PdhgProblem, state: PdhgState,
+                       ctl: RestartCtl, n_windows, gamma: float,
+                       interval: int, theta, step_op=None):
+    return _pdhg_windows_impl(problem, state, ctl, n_windows, gamma,
+                              interval, theta, step_op)
 
 
 def _compute_metrics(problem: PdhgProblem, state: PdhgState) -> PdhgMetrics:
@@ -562,6 +681,18 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     avg_last_err = None
     avg_xy = None  # device arrays of the current average iterate
 
+    # on-device restart windows (halpern mode): checkRestartCriteria
+    # runs every `base_steps` INSIDE the fused block
+    dev_restarts = (not avg_mode and settings.device_restarts and
+                    settings.restart_strategy > 0)
+    ctl = RestartCtl(
+        fpe_init=jnp.asarray(np.inf, dtype=dtype),
+        fpe_last=jnp.asarray(np.inf, dtype=dtype),
+        fresh=jnp.ones((), dtype=bool),
+        total_k=jnp.asarray(total_iters, dtype=jnp.int32),
+        n_restarts=jnp.asarray(restarts, dtype=jnp.int32))
+    theta_dev = jnp.asarray(settings.omega_smoothing, dtype=dtype)
+
     while True:
         block_steps = min(max_block,
                           base_steps << min(6, n_blocks // 4))
@@ -582,6 +713,14 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
             mlast = m_avg if use_avg else m_cur
             avg_xy = (x_avg, y_avg) if use_avg else (state.x_pd,
                                                      state.y_pd)
+        elif dev_restarts:
+            n_windows = max(1, block_steps // base_steps)
+            block_steps = n_windows * base_steps
+            state, ctl, metrics = pdhg_block_windows(
+                problem, state, ctl, n_windows, gamma, base_steps,
+                theta_dev, step_op)
+            mlast = jax.device_get(metrics)
+            restarts = int(jax.device_get(ctl.n_restarts))
         else:
             state, metrics = pdhg_block(problem, state,
                                         block_steps, gamma,
@@ -748,8 +887,10 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                 restarts += 1
                 avg_err_at_restart = None
                 avg_last_err = None
-        # --- restart logic (checkRestartCriteria behavior) ---------------
-        if not avg_mode and settings.restart_strategy > 0:
+        # --- restart logic (checkRestartCriteria behavior; host
+        # fallback when device windows are off) ---------------------------
+        if not avg_mode and not dev_restarts and \
+                settings.restart_strategy > 0:
             fp_err = float(mlast.fp_err)
             inner = int(jax.device_get(state.k))
             do_restart = False

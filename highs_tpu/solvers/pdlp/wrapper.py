@@ -237,6 +237,8 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         checkpoint_file=options.pdlp_checkpoint_file,
         checkpoint_interval=options.pdlp_checkpoint_interval,
         step_dtype=options.tpu_step_dtype,
+        device_restarts=bool(getattr(
+            options, "tpu_pdlp_device_restarts", True)),
         # int codes follow the reference (cupdlp_step.c): 0 fixed,
         # 1 adaptive, 2 Malitsky-Pock.  The reflected-Halpern mode is
         # natively fixed-step (pdhg.cc kUseCupdlpx), so the default
