@@ -54,6 +54,7 @@ def get_lib():
         except (OSError, RuntimeError):
             _lib_failed = True
             return None
+        lib.hx_integral_scale.restype = ctypes.c_double
         lib.hx_mir_on_leq.restype = ctypes.c_int
         lib.hx_mir_on_leq.argtypes = [
             ctypes.c_int,

@@ -1056,9 +1056,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         _sep_sub = int(getattr(options, "_sub_mip_level", 0))
         # sub-MIPs are heuristics: cheap separation only (reference
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
-        _max_rounds = 30 if _sep_sub == 0 else 8
+        _max_rounds = 60 if _sep_sub == 0 else 8
         mixing_active = [True]
         cut_age = np.zeros(_Relax.num_cut_rows, dtype=int)
+        in_lp_keys: set = set()  # pooled cuts currently in the LP
+        first_root_bound = None  # bound before any cuts (stall basis)
+        hard_stall = 0
         for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
@@ -1107,7 +1110,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             sep_ru = _Relax.row_upper if use_simplex else lp.row_upper
             found += separate_mir(sep_csr, sep_rl, sep_ru,
                                   root_lo_p, root_up_p, root_x, is_int,
-                                  feastol)
+                                  feastol, max_cuts=200)
             # path aggregation under a CUMULATIVE root budget — it is
             # the most expensive separator, and cheap instances must
             # not spend their whole solve in it (sub-MIPs skip it:
@@ -1158,10 +1161,25 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             found += clique_table.separate(root_x)
             _sep_scope.__exit__()
             added = [c for c in found if cutpool.add(c)]
+            # cut-POOL separation (reference HighsSeparation round
+            # order ends with cut-pool separation): re-collect violated
+            # pooled cuts that never made it into the LP — the
+            # orthogonality filter below drops cuts each round, and
+            # without this step the pool dedup silences them forever
+            # (observed on sp150x300d: 1500+ pooled cuts lost, root
+            # bound stuck 2 below the reference's)
+            new_keys = {c.key() for c in added}
+            for c in cutpool.violated(root_x, max_cuts=200):
+                k = c.key()
+                if k not in in_lp_keys and k not in new_keys:
+                    new_keys.add(k)
+                    added.append(c)
             if not added:
                 break
             from .cuts import select_diverse_cuts
-            added = select_diverse_cuts(added, max_cuts=300)
+            added = select_diverse_cuts(added, max_cuts=600)
+            for c in added:
+                in_lp_keys.add(c.key())
             cut_a, cut_rhs = cutpool.matrix(added)
             if debug_sol is not None and debug_sol.active:
                 dense = cut_a.toarray()
@@ -1218,14 +1236,54 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 log(f"MIP root cuts round {_round + 1}: "
                     f"+{len(added)} cuts ({_Relax.num_cut_rows} total), "
                     f"bound {sense * root_bound + lp.offset:.10g}")
-            improve = abs(root_bound - prev_bound) / max(
-                1.0, abs(prev_bound))
-            # tail off when rounds stop paying: two consecutive rounds
-            # below 0.01% relative improvement (reference: root
-            # separation tailing-off)
-            stall = stall + 1 if improve < 1e-4 else 0
-            if stall >= 2:
+            # tailing-off, reference style (HighsMipSolverData.cpp:2264:
+            # a round stalls when it grows the TOTAL progress since the
+            # first root LP by less than 0.1%; three consecutive stalls
+            # stop separation).  The old 2-rounds-below-1e-4-relative
+            # rule quit during flat stretches that later jumped a full
+            # unit (sp150x300d rounds 12-13: +0.002 then +0.97).
+            if first_root_bound is None:
+                first_root_bound = prev_bound
+            prog_prev = prev_bound - first_root_bound
+            # a round resets the stall only when it beats BOTH bars:
+            # 0.1% of the total progress so far (reference
+            # HighsMipSolverData.cpp:2264) and 1e-4 of the bound
+            # magnitude.  The second bar matters because our python
+            # rounds cost ~10-500ms (the reference's cost ~1ms): on
+            # large-|bound| models (flugpl 1.2e6, gesa2 2.6e7) the
+            # progress bar alone sits exactly at the per-round creep
+            # and rides 25 paid rounds to nowhere.
+            improve = root_bound - prev_bound
+            bar = max(0.001 * max(prog_prev, 0.0),
+                      1e-4 * (1.0 + abs(root_bound)))
+            stall = stall + 1 if improve <= bar else 0
+            # productive rounds (many cuts, bound still creeping) get
+            # extra patience: compounding +0.03/round creep closed
+            # sp150x300d's last 2 bound units only after round 20
+            patience = 3 if len(added) < 30 else 6
+            if stall >= patience:
                 break
+            # hard stall: a trickle round (a handful of cuts, bound
+            # essentially unchanged in absolute terms) will not jump
+            # later; two in a row stop.  Unlike the reference, our
+            # python separation rounds cost ~0.5s each, so riding out
+            # 20 trickle rounds (which the reference does for free)
+            # costs more than the tree they would save (gesa2).
+            trickle = (len(added) < 5 and
+                       root_bound - prev_bound <=
+                       1e-9 * max(1.0, abs(root_bound)))
+            hard_stall = hard_stall + 1 if trickle else 0
+            if hard_stall >= 2:
+                break
+        import os as _os
+        if _os.environ.get("HX_DUMP_ROOT") and root_x is not None:
+            # dev: dump the plateau root state for cut experiments
+            import scipy.sparse as _spd
+            _spd.save_npz("/tmp/root_a.npz", _Relax.a_csc.tocsr())
+            np.savez("/tmp/root_state.npz", x=root_x, lo=root_lo_p,
+                     up=root_up_p, rl=_Relax.row_lower,
+                     ru=_Relax.row_upper, is_int=is_int,
+                     bound=root_bound, m0=lp.num_row)
         if _Relax.num_cut_rows and root_x is not None:
             # drop cut rows slack at the final root optimum — they
             # bloat every node re-solve without helping the bound

@@ -88,22 +88,86 @@ struct LU {
   std::vector<int> pivrow;  // position -> original row
   std::vector<int> qcol;    // position -> basis position
   std::vector<int> posq;    // basis position -> position (inverse)
-  // dynamic U: entries strictly above the diagonal in `order` terms
-  std::vector<std::vector<std::pair<int, double>>> Ucol;  // (rowpos, v)
-  std::vector<std::vector<std::pair<int, double>>> Urow;  // (colpos, v)
+  // Dynamic U (entries strictly above the diagonal in `order` terms),
+  // stored FLAT in both column- and row-major segments with per-
+  // segment headroom: solves walk contiguous memory instead of
+  // chasing one heap vector per column (the former
+  // vector<vector<pair>> layout cost a cache miss per column per
+  // solve).  Deletions swap-remove inside the segment (entry order is
+  // irrelevant — solves only need the full set per segment);
+  // insertions append into the headroom or relocate the segment to
+  // the end of the arena (reference parity: HFactor's arena-with-
+  // relocation update storage).
+  std::vector<int> Ucs, Uce, Ucap;   // col segment [Ucs,Uce), cap Ucap
+  std::vector<int> Uci;              // row position of entry
+  std::vector<double> Ucv;           // value
+  std::vector<int> Urs, Ure, Urcap;  // row segment mirrors
+  std::vector<int> Uri;              // col position of entry
+  std::vector<double> Urv;
+  int64_t u_nnz = 0;  // live off-diagonal entries (maintained)
   std::vector<int> order;  // elimination order: k-th eliminated position
   std::vector<int> kof;    // position -> index in order
-  struct RowEta {
-    int t;  // target position
-    std::vector<std::pair<int, double>> terms;  // (source pos, mult)
-  };
-  std::vector<RowEta> etas;
+  // flat row-eta chain: eta k targets eta_t[k] with terms
+  // (eta_pos, eta_mult)[eta_start[k] .. eta_start[k+1])
+  std::vector<int> eta_t, eta_start, eta_pos;
+  std::vector<double> eta_mult;
   int64_t eta_nnz = 0;  // total stored eta entries since last factor
   void clear() {
     Lstart.assign(1, 0); Lrow.clear(); Lval.clear();
     Upiv.clear(); pivrow.clear(); qcol.clear(); posq.clear();
-    Ucol.clear(); Urow.clear(); order.clear(); kof.clear();
-    etas.clear(); eta_nnz = 0;
+    Ucs.clear(); Uce.clear(); Ucap.clear(); Uci.clear(); Ucv.clear();
+    Urs.clear(); Ure.clear(); Urcap.clear(); Uri.clear(); Urv.clear();
+    u_nnz = 0;
+    order.clear(); kof.clear();
+    eta_t.clear(); eta_start.assign(1, 0); eta_pos.clear();
+    eta_mult.clear(); eta_nnz = 0;
+  }
+  // append an entry to column `c` (headroom or relocation)
+  void col_push(int c, int rowpos, double v) {
+    if (Uce[c] == Ucap[c]) {
+      const int len = Uce[c] - Ucs[c];
+      const int ns = (int)Uci.size();
+      const int ncap = len + std::max(4, len / 2 + 1);
+      Uci.resize(ns + ncap);
+      Ucv.resize(ns + ncap);
+      std::memcpy(Uci.data() + ns, Uci.data() + Ucs[c],
+                  len * sizeof(int));
+      std::memcpy(Ucv.data() + ns, Ucv.data() + Ucs[c],
+                  len * sizeof(double));
+      Ucs[c] = ns; Uce[c] = ns + len; Ucap[c] = ns + ncap;
+    }
+    Uci[Uce[c]] = rowpos; Ucv[Uce[c]] = v; ++Uce[c];
+  }
+  void row_push(int r, int colpos, double v) {
+    if (Ure[r] == Urcap[r]) {
+      const int len = Ure[r] - Urs[r];
+      const int ns = (int)Uri.size();
+      const int ncap = len + std::max(4, len / 2 + 1);
+      Uri.resize(ns + ncap);
+      Urv.resize(ns + ncap);
+      std::memcpy(Uri.data() + ns, Uri.data() + Urs[r],
+                  len * sizeof(int));
+      std::memcpy(Urv.data() + ns, Urv.data() + Urs[r],
+                  len * sizeof(double));
+      Urs[r] = ns; Ure[r] = ns + len; Urcap[r] = ns + ncap;
+    }
+    Uri[Ure[r]] = colpos; Urv[Ure[r]] = v; ++Ure[r];
+  }
+  void col_remove(int c, int rowpos) {
+    for (int k = Ucs[c]; k < Uce[c]; ++k)
+      if (Uci[k] == rowpos) {
+        --Uce[c];
+        Uci[k] = Uci[Uce[c]]; Ucv[k] = Ucv[Uce[c]];
+        return;
+      }
+  }
+  void row_remove(int r, int colpos) {
+    for (int k = Urs[r]; k < Ure[r]; ++k)
+      if (Uri[k] == colpos) {
+        --Ure[r];
+        Uri[k] = Uri[Ure[r]]; Urv[k] = Urv[Ure[r]];
+        return;
+      }
   }
 };
 
@@ -227,40 +291,74 @@ bool factor_once(Engine& e, int* fail_pos) {
   lu.pivrow.resize(m);
   lu.qcol.resize(m);
   lu.Upiv.resize(m);
-  lu.Ucol.assign(m, {});
-  lu.Urow.assign(m, {});
+  // columns append to a growing flat arena during build (headroom is
+  // added per segment after the pattern is known); rows are filled in
+  // a second pass once per-row counts exist
+  lu.Ucs.assign(m, 0); lu.Uce.assign(m, 0); lu.Ucap.assign(m, 0);
+  lu.Uci.clear(); lu.Ucv.clear();
+  std::vector<std::pair<int, double>> centries;
+  centries.reserve(64);
   auto touch = [&](int r) {
     if (!intouch[r]) { intouch[r] = 1; touched.push_back(r); }
   };
+  // elimination worklist: min-heap over positions whose pivot row
+  // appears in the current column (Gilbert–Peierls-style sparse
+  // left-looking; the former linear scan over ALL previous positions
+  // was O(m^2) per factorization and dominated refactor cost)
+  std::priority_queue<int, std::vector<int>, std::greater<int>> elim;
+  std::vector<char> inelim(m, 0);
   for (int pos = 0; pos < m; ++pos) {
     const int p = colorder[pos];
     const int j = e.basic[p];
     lu.qcol[pos] = p;
     touched.clear();
+    auto seed = [&](int r) {
+      touch(r);
+      const int pos2 = rowassigned[r];
+      if (pos2 >= 0 && !inelim[pos2]) {
+        inelim[pos2] = 1;
+        elim.push(pos2);
+      }
+    };
     if (j < e.n) {
       for (int64_t k = e.Ap[j]; k < e.Ap[j + 1]; ++k) {
         work[e.Ai[k]] = e.Ax[k];
-        touch(e.Ai[k]);
+        seed(e.Ai[k]);
       }
     } else {
       work[j - e.n] = -1.0;
-      touch(j - e.n);
+      seed(j - e.n);
     }
-    for (int pos2 = 0; pos2 < pos; ++pos2) {
+    while (!elim.empty()) {
+      const int pos2 = elim.top();
+      elim.pop();
+      inelim[pos2] = 0;
       const double t = work[lu.pivrow[pos2]];
       if (t == 0.0) continue;
       for (int k = lu.Lstart[pos2]; k < lu.Lstart[pos2 + 1]; ++k) {
         const int r = lu.Lrow[k];
-        touch(r);
+        seed(r);
         work[r] -= lu.Lval[k] * t;
       }
     }
+    centries.clear();
     for (int r : touched) {
       const int pos2 = rowassigned[r];
-      if (pos2 >= 0 && work[r] != 0.0) {
-        lu.Ucol[pos].push_back({pos2, work[r]});
-        lu.Urow[pos2].push_back({pos, work[r]});
+      if (pos2 >= 0 && work[r] != 0.0)
+        centries.push_back({pos2, work[r]});
+    }
+    {
+      const int len = (int)centries.size();
+      const int cap = len + std::max(2, len / 4);
+      const int ns = (int)lu.Uci.size();
+      lu.Uci.resize(ns + cap);
+      lu.Ucv.resize(ns + cap);
+      for (int k = 0; k < len; ++k) {
+        lu.Uci[ns + k] = centries[k].first;
+        lu.Ucv[ns + k] = centries[k].second;
       }
+      lu.Ucs[pos] = ns; lu.Uce[pos] = ns + len;
+      lu.Ucap[pos] = ns + cap;
     }
     int piv = -1;
     double best = 1e-9;
@@ -297,6 +395,29 @@ bool factor_once(Engine& e, int* fail_pos) {
     lu.kof[pos] = pos;
     lu.posq[lu.qcol[pos]] = pos;
   }
+  // second pass: row-major mirror of U with per-row headroom
+  std::vector<int> rcnt(m, 0);
+  int64_t total = 0;
+  for (int pos = 0; pos < m; ++pos)
+    for (int k = lu.Ucs[pos]; k < lu.Uce[pos]; ++k) ++rcnt[lu.Uci[k]];
+  lu.Urs.resize(m); lu.Ure.resize(m); lu.Urcap.resize(m);
+  int cur = 0;
+  for (int r = 0; r < m; ++r) {
+    const int cap = rcnt[r] + std::max(2, rcnt[r] / 4);
+    lu.Urs[r] = cur; lu.Ure[r] = cur; lu.Urcap[r] = cur + cap;
+    cur += cap;
+    total += rcnt[r];
+  }
+  lu.Uri.resize(cur);
+  lu.Urv.resize(cur);
+  for (int pos = 0; pos < m; ++pos)
+    for (int k = lu.Ucs[pos]; k < lu.Uce[pos]; ++k) {
+      const int r = lu.Uci[k];
+      lu.Uri[lu.Ure[r]] = pos;
+      lu.Urv[lu.Ure[r]] = lu.Ucv[k];
+      ++lu.Ure[r];
+    }
+  lu.u_nnz = total;
   return true;
 }
 
@@ -307,9 +428,8 @@ bool factor(Engine& e) {
       e.since_refactor = 0;
       e.factored = true;
       if (g_clk.on) {
-        int64_t u = 0;
-        for (const auto& c : e.lu.Ucol) u += (int64_t)c.size();
-        g_clk.lu_fill += (int64_t)e.lu.Lrow.size() + u + e.m;
+        g_clk.lu_fill +=
+            (int64_t)e.lu.Lrow.size() + e.lu.u_nnz + e.m;
         int64_t bn = 0;
         for (int p = 0; p < e.m; ++p) {
           const int j = e.basic[p];
@@ -357,10 +477,12 @@ void ftran_full(Engine& e, double* b, double* x, double* spike_out) {
   acc.resize(m);
   for (int pos = 0; pos < m; ++pos) acc[pos] = b[lu.pivrow[pos]];
   // row etas in creation order: acc[t] -= sum mult_k * acc[k]
-  for (const auto& et : lu.etas) {
-    double s = acc[et.t];
-    for (const auto& kv : et.terms) s -= kv.second * acc[kv.first];
-    acc[et.t] = s;
+  const int ne = (int)lu.eta_t.size();
+  for (int eix = 0; eix < ne; ++eix) {
+    double s = acc[lu.eta_t[eix]];
+    for (int k = lu.eta_start[eix]; k < lu.eta_start[eix + 1]; ++k)
+      s -= lu.eta_mult[k] * acc[lu.eta_pos[k]];
+    acc[lu.eta_t[eix]] = s;
   }
   if (spike_out)
     for (int pos = 0; pos < m; ++pos) spike_out[pos] = acc[pos];
@@ -370,7 +492,8 @@ void ftran_full(Engine& e, double* b, double* x, double* spike_out) {
     const double xv = acc[pos] / lu.Upiv[pos];
     x[lu.qcol[pos]] = xv;
     if (xv == 0.0) continue;
-    for (const auto& rv : lu.Ucol[pos]) acc[rv.first] -= rv.second * xv;
+    for (int t = lu.Ucs[pos]; t < lu.Uce[pos]; ++t)
+      acc[lu.Uci[t]] -= lu.Ucv[t] * xv;
   }
 }
 
@@ -384,14 +507,16 @@ void btran_vec(Engine& e, const double* eb, double* y) {
   for (int k = 0; k < m; ++k) {
     const int pos = lu.order[k];
     double s = eb[lu.qcol[pos]];
-    for (const auto& rv : lu.Ucol[pos]) s -= rv.second * z[rv.first];
+    for (int t = lu.Ucs[pos]; t < lu.Uce[pos]; ++t)
+      s -= lu.Ucv[t] * z[lu.Uci[t]];
     z[pos] = s / lu.Upiv[pos];
   }
   // row-eta transposes in reverse creation order
-  for (auto it = lu.etas.rbegin(); it != lu.etas.rend(); ++it) {
-    const double zt = z[it->t];
+  for (int eix = (int)lu.eta_t.size() - 1; eix >= 0; --eix) {
+    const double zt = z[lu.eta_t[eix]];
     if (zt != 0.0)
-      for (const auto& kv : it->terms) z[kv.first] -= kv.second * zt;
+      for (int k = lu.eta_start[eix]; k < lu.eta_start[eix + 1]; ++k)
+        z[lu.eta_pos[k]] -= lu.eta_mult[k] * zt;
   }
   // L' back solve (fixed factor-time order)
   for (int i = 0; i < m; ++i) y[i] = 0.0;
@@ -459,12 +584,10 @@ bool ft_update(Engine& e, int slot_r, const double* spike) {
   const int m = lu.m;
   const int t = lu.posq[slot_r];
   // 1. detach the old column t from the row lists
-  for (const auto& rv : lu.Ucol[t]) {
-    auto& row = lu.Urow[rv.first];
-    for (size_t k = 0; k < row.size(); ++k)
-      if (row[k].first == t) { row[k] = row.back(); row.pop_back(); break; }
-  }
-  lu.Ucol[t].clear();
+  for (int k = lu.Ucs[t]; k < lu.Uce[t]; ++k)
+    lu.row_remove(lu.Uci[k], t);
+  lu.u_nnz -= lu.Uce[t] - lu.Ucs[t];
+  lu.Uce[t] = lu.Ucs[t];
   // 2. move t to the end of the elimination order
   const int kt = lu.kof[t];
   for (int k = kt; k + 1 < m; ++k) {
@@ -484,19 +607,18 @@ bool ft_update(Engine& e, int slot_r, const double* spike) {
   std::priority_queue<std::pair<int, int>,
                       std::vector<std::pair<int, int>>,
                       std::greater<std::pair<int, int>>> heap;
-  for (const auto& cv : lu.Urow[t]) {
+  for (int k = lu.Urs[t]; k < lu.Ure[t]; ++k) {
     // row t is eliminated: its entries leave the U columns too (they
     // would sit below the diagonal after the reorder)
-    auto& col = lu.Ucol[cv.first];
-    for (size_t k = 0; k < col.size(); ++k)
-      if (col[k].first == t) { col[k] = col.back(); col.pop_back(); break; }
-    acc[cv.first] = cv.second;
-    if (!inacc[cv.first]) { inacc[cv.first] = 1;
-      heap.push({lu.kof[cv.first], cv.first}); }
+    const int cpos = lu.Uri[k];
+    lu.col_remove(cpos, t);
+    --lu.u_nnz;
+    acc[cpos] = lu.Urv[k];
+    if (!inacc[cpos]) { inacc[cpos] = 1;
+      heap.push({lu.kof[cpos], cpos}); }
   }
-  lu.Urow[t].clear();
-  LU::RowEta eta;
-  eta.t = t;
+  lu.Ure[t] = lu.Urs[t];
+  const int eta_terms0 = (int)lu.eta_pos.size();
   while (!heap.empty()) {
     const int cpos = heap.top().second;
     heap.pop();
@@ -507,12 +629,14 @@ bool ft_update(Engine& e, int slot_r, const double* spike) {
     if (v == 0.0) continue;
     const double mult = v / lu.Upiv[cpos];
     if (std::fabs(mult) <= 1e-14) continue;
-    eta.terms.push_back({cpos, mult});
+    lu.eta_pos.push_back(cpos);
+    lu.eta_mult.push_back(mult);
     diag -= mult * spike[cpos];
-    for (const auto& cv : lu.Urow[cpos]) {
-      acc[cv.first] -= mult * cv.second;
-      if (!inacc[cv.first]) { inacc[cv.first] = 1;
-        heap.push({lu.kof[cv.first], cv.first}); }
+    for (int k = lu.Urs[cpos]; k < lu.Ure[cpos]; ++k) {
+      const int c2 = lu.Uri[k];
+      acc[c2] -= mult * lu.Urv[k];
+      if (!inacc[c2]) { inacc[c2] = 1;
+        heap.push({lu.kof[c2], c2}); }
     }
   }
   // 4. install the spike as the new column t (all other entries are
@@ -522,17 +646,25 @@ bool ft_update(Engine& e, int slot_r, const double* spike) {
     const double v = spike[pos];
     if (std::fabs(v) > 1e-14) {
       smax = std::max(smax, std::fabs(v));
-      lu.Ucol[t].push_back({pos, v});
-      lu.Urow[pos].push_back({t, v});
+      lu.col_push(t, pos, v);
+      lu.row_push(pos, t, v);
+      ++lu.u_nnz;
     }
   }
   // 5. stability: an unsafe new pivot poisons every later solve
-  if (!(std::fabs(diag) > 1e-9 && std::fabs(diag) > 1e-7 * smax))
+  if (!(std::fabs(diag) > 1e-9 && std::fabs(diag) > 1e-7 * smax)) {
+    // roll back the partially-recorded eta terms (the caller
+    // refactorizes, which clears everything anyway, but keep the
+    // chain consistent for any diagnostic path)
+    lu.eta_pos.resize(eta_terms0);
+    lu.eta_mult.resize(eta_terms0);
     return false;
+  }
   lu.Upiv[t] = diag;
-  if (!eta.terms.empty()) {
-    lu.eta_nnz += (int64_t)eta.terms.size();
-    lu.etas.push_back(std::move(eta));
+  if ((int)lu.eta_pos.size() > eta_terms0) {
+    lu.eta_nnz += (int64_t)lu.eta_pos.size() - eta_terms0;
+    lu.eta_t.push_back(t);
+    lu.eta_start.push_back((int)lu.eta_pos.size());
   }
   return true;
 }
@@ -640,7 +772,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
       // factorization — a wrong-sign boxed reduced cost here means
       // the point is feasible-but-suboptimal (flip and keep pivoting;
       // the flip may re-introduce primal infeasibility).
-      if (verify++ < 3 && e.lu.etas.size() > 0) {
+      if (verify++ < 3 && !e.lu.eta_t.empty()) {
         if (!factor(e)) { *iters_out = iters; return kSingular; }
         compute_basics(e);
         compute_duals(e);
@@ -701,7 +833,7 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     if (g_clk.on) {
       g_clk.price += clk_now() - t_price0;
       for (int i = 0; i < m; ++i) if (e.rho[i] != 0.0) ++g_clk.rho_nnz;
-      g_clk.eta_cnt += (int64_t)e.lu.etas.size();
+      g_clk.eta_cnt += (int64_t)e.lu.eta_t.size();
     }
     // ---- CHUZC: BFRT + Harris two-pass ---------------------------------
     // candidates F: nonbasic j whose reduced cost would degrade as the
@@ -922,11 +1054,13 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     // refactor as soon as applying the chain costs more than ~2 fresh
     // LU solves (reference HFactor avoids the growth altogether with
     // Forrest-Tomlin updates; the mass rule gets most of that win).
-    int64_t u_nnz = 0;
-    for (const auto& c : e.lu.Ucol) u_nnz += (int64_t)c.size();
-    const int64_t lu_nnz = (int64_t)e.lu.Lrow.size() + u_nnz + e.m;
+    const int64_t lu_nnz =
+        (int64_t)e.lu.Lrow.size() + e.lu.u_nnz + e.m;
+    static const char* env_em = getenv("HX_ETA_MASS");
+    static const double eta_mass_f = env_em ? atof(env_em) : 1.0;
     if (std::fabs(apq) < 1e-7 || ++e.since_refactor >= 100 ||
-        e.lu.eta_nnz > std::max<int64_t>(lu_nnz, 2LL * e.m)) {
+        e.lu.eta_nnz > (int64_t)(eta_mass_f *
+                        std::max<int64_t>(lu_nnz, 2LL * e.m))) {
       const double t_f0 = g_clk.on ? clk_now() : 0.0;
       if (!factor(e)) { *iters_out = iters; return kSingular; }
       compute_basics(e);
