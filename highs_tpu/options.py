@@ -247,6 +247,10 @@ _opt("presolve_substitution_maxfillin", int, 10,
      "Maximal fillin for presolve substitutions", 0, advanced=True)
 _opt("presolve_rule_off", int, 0, "Bitmask of presolve rules to disable", 0,
      advanced=True)
+_opt("presolve_aggregator", bool, False,
+     "Enable implied-free column aggregation (HPresolve::aggregator "
+     "role); off by default: measured net loss for this stack's "
+     "simplex", advanced=True)
 _opt("presolve_rule_logging", bool, False, "Log presolve rule use",
      advanced=True)
 _opt("presolve_remove_slacks", bool, False, "Remove slack variables",

@@ -108,7 +108,7 @@ COL_AXIS = "cols"
 
 
 def shard_pdhg_2d(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS,
-                  col_axis: str = COL_AXIS):
+                  col_axis: str = COL_AXIS, mat=None, fmt: str = "ell"):
     """2D block layout (SURVEY §7.3): K is partitioned into
     (rows x cols) blocks; row-space vectors shard over `row_axis`,
     column-space vectors over `col_axis`.
@@ -122,7 +122,8 @@ def shard_pdhg_2d(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS,
     every elementwise update stays fully local.  This is the layout
     for a single large LP spanning a pod slice; the 1D `shard_pdhg`
     row layout is preferred while K fits a replicated column space.
-    Dense operators only (the ELL gather tables stay 1D row-sharded).
+    DenseMatrix shards in place via GSPMD; sparse operators tile into
+    per-device local-index operators (pass the scipy matrix as `mat`).
     """
     row = NamedSharding(mesh, P(row_axis))
     col = NamedSharding(mesh, P(col_axis))
@@ -133,11 +134,28 @@ def shard_pdhg_2d(problem, state, mesh: Mesh, row_axis: str = ROW_AXIS,
         return jax.device_put(x, sh)
 
     k_op = problem.k_op
-    if not (hasattr(k_op, "a") and hasattr(k_op.a, "ndim")
-            and k_op.a.ndim == 2):
-        raise ValueError("2D block sharding requires a DenseMatrix "
-                         "operator")
-    k_op = type(k_op)(put(k_op.a, blk))
+    if hasattr(k_op, "a") and hasattr(k_op.a, "ndim") and \
+            k_op.a.ndim == 2:
+        # dense: GSPMD partitions the matmul from the blk sharding
+        k_op = type(k_op)(put(k_op.a, blk))
+    elif mat is not None:
+        # SPARSE 2D block tiling (SURVEY §7.3): per-tile local index
+        # tables, Kx = psum over cols, K'y = psum over rows
+        # (shard_ops.TwoDShardedOp); `mat` is the scipy matrix the
+        # operator was built from, padded to the problem's shape
+        from .shard_ops import make_2d_sharded
+        k_op, m2, n2 = make_2d_sharded(mat, mesh, row_axis, col_axis,
+                                       fmt=fmt,
+                                       dtype=problem.b.dtype)
+        if (m2, n2) != (len(problem.b), len(problem.c)):
+            raise ValueError(
+                f"2D tiling changed the padded shape: {(m2, n2)} vs "
+                f"{(len(problem.b), len(problem.c))}; pad the input "
+                f"to multiples of 128*mesh dims first")
+    else:
+        raise ValueError(
+            "2D block sharding of a sparse operator needs the scipy "
+            "matrix via mat=; only DenseMatrix shards in place")
     problem = problem._replace(
         k_op=k_op,
         b=put(problem.b, row),

@@ -182,3 +182,160 @@ def make_row_sharded(mat: sp.spmatrix, mesh: Mesh, axis: str,
             stk, NamedSharding(mesh, P(axis))))
     return RowShardedOp(stacked, treedef, mesh, axis,
                         (m_pad, n_pad), m_local), m_pad
+
+
+@jax.tree_util.register_pytree_node_class
+class TwoDShardedOp:
+    """2D block-tiled sparse operator (SURVEY §7.3 "the core kernel").
+
+    K is partitioned into an (R x C) grid of tiles; device (i, j)
+    holds tile (i, j)'s LOCAL tables (row-oriented for K x, transpose
+    of the same tile for K' y).  Every leaf carries two leading mesh
+    axes (R, C, ...) sharded P(row_axis, col_axis, ...).  Under
+    shard_map:
+
+        K x   ->  local tile spmv + psum over `col_axis`
+                  (x col-sharded, result row-sharded)
+        K' y  ->  local transpose tile spmv + psum over `row_axis`
+                  (y row-sharded, result col-sharded)
+
+    — one partial-vector all-reduce per matvec, nothing replicated:
+    the sparse analogue of the dense 2D GSPMD layout in
+    mesh.shard_pdhg_2d, and the layout for ONE large LP spanning a
+    multi-chip slice."""
+
+    def __init__(self, stacked, treedef, mesh: Mesh, row_axis: str,
+                 col_axis: str, shape: Tuple[int, int], m_local: int,
+                 n_local: int):
+        self.stacked = stacked
+        self.treedef = treedef
+        self.mesh = mesh
+        self.row_axis = row_axis
+        self.col_axis = col_axis
+        self._shape = tuple(shape)
+        self.m_local = m_local
+        self.n_local = n_local
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def tree_flatten(self):
+        return (tuple(self.stacked),
+                (self.treedef, self.mesh, self.row_axis, self.col_axis,
+                 self._shape, self.m_local, self.n_local))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (treedef, mesh, row_axis, col_axis, shape, m_local,
+         n_local) = aux
+        return cls(list(children), treedef, mesh, row_axis, col_axis,
+                   shape, m_local, n_local)
+
+    def _local(self, leaves):
+        return jax.tree.unflatten(self.treedef,
+                                  [a[0, 0] for a in leaves])
+
+    def mv(self, x):
+        """K @ x: x col-sharded (n,), result row-sharded (m,)."""
+        def f(leaves, xx):
+            part = self._local(leaves).mv(xx)
+            return jax.lax.psum(part, self.col_axis)
+
+        return shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(self.row_axis, self.col_axis),
+                      P(self.col_axis)),
+            out_specs=P(self.row_axis),
+            check_vma=False)(tuple(self.stacked), x)
+
+    def rmv(self, y):
+        """K' @ y: y row-sharded (m,), result col-sharded (n,)."""
+        def f(leaves, yy):
+            part = self._local(leaves).rmv(yy)
+            return jax.lax.psum(part, self.row_axis)
+
+        return shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(self.row_axis, self.col_axis),
+                      P(self.row_axis)),
+            out_specs=P(self.col_axis),
+            check_vma=False)(tuple(self.stacked), y)
+
+    def astype_values(self, dtype):
+        new = [a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+               else a for a in self.stacked]
+        return TwoDShardedOp(new, self.treedef, self.mesh,
+                             self.row_axis, self.col_axis, self._shape,
+                             self.m_local, self.n_local)
+
+    def value_dtype(self):
+        for a in self.stacked:
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a.dtype
+        return jnp.float32
+
+
+def make_2d_sharded(mat: sp.spmatrix, mesh: Mesh, row_axis: str,
+                    col_axis: str, fmt: str = "choose",
+                    dtype=jnp.float32) -> Tuple["TwoDShardedOp", int,
+                                                int]:
+    """Build a TwoDShardedOp: pad to multiples of 128*R x 128*C, split
+    into an R x C tile grid, build each tile's local operator (its
+    index tables are tile-local by construction), pad leaves to common
+    shapes and stack with two leading mesh axes.  Returns
+    (op, m_pad, n_pad)."""
+    r = int(mesh.shape[row_axis])
+    c = int(mesh.shape[col_axis])
+    m, n = mat.shape
+    m_pad = ((m + 128 * r - 1) // (128 * r)) * (128 * r)
+    n_pad = ((n + 128 * c - 1) // (128 * c)) * (128 * c)
+    csr = mat.tocsr().copy()
+    csr.resize((m_pad, n_pad))
+    m_local = m_pad // r
+    n_local = n_pad // c
+
+    grid = []
+    for i in range(r):
+        row_tiles = []
+        rows = csr[i * m_local:(i + 1) * m_local, :]
+        for j in range(c):
+            tile = rows[:, j * n_local:(j + 1) * n_local]
+            if fmt == "blockcsr":
+                from ..ops.block_csr import from_scipy_block_csr
+                row_tiles.append(from_scipy_block_csr(tile,
+                                                      dtype=dtype))
+            elif fmt == "ell":
+                row_tiles.append(linops.from_scipy_ell(tile,
+                                                       dtype=dtype))
+            else:
+                row_tiles.append(linops.from_scipy_panel_ell(
+                    tile, dtype=dtype))
+        grid.append(row_tiles)
+
+    treedef = None
+    leaves_grid = []
+    for i in range(r):
+        row_leaves = []
+        for j in range(c):
+            leaves, treedef = jax.tree.flatten(grid[i][j])
+            row_leaves.append([np.asarray(v) for v in leaves])
+        leaves_grid.append(row_leaves)
+    kinds = _leaf_kinds(grid[0][0])
+    n_leaves = len(leaves_grid[0][0])
+    stacked = []
+    for li in range(n_leaves):
+        shapes = [leaves_grid[i][j][li].shape
+                  for i in range(r) for j in range(c)]
+        target = tuple(max(s[k] for s in shapes)
+                       for k in range(len(shapes[0])))
+        arrs = [[_pad_leaf(leaves_grid[i][j][li], target, kinds[li],
+                           m_local) for j in range(c)]
+                for i in range(r)]
+        stk = jnp.asarray(np.stack(
+            [np.stack(row) for row in arrs]))
+        stacked.append(jax.device_put(
+            stk, NamedSharding(mesh, P(row_axis, col_axis))))
+    return (TwoDShardedOp(stacked, treedef, mesh, row_axis, col_axis,
+                          (m_pad, n_pad), m_local, n_local),
+            m_pad, n_pad)

@@ -165,7 +165,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         _mask_cache["csr"] = (key, out, mat)
         return out
 
-    max_passes = 6
+    max_passes = 10
     infeasible = False
     unbounded = False
     changed_any = False
@@ -376,7 +376,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             # doubletons touching them wait for the next pass
             touched_rows: set = set()
             touched_cols: set = set()
-            for i in doubletons[:200]:
+            for i in doubletons[:600]:
                 if int(i) in touched_rows:
                     continue
                 cols, vals = row_cols(i)
@@ -792,6 +792,212 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 done_rows.add(i)
                 changed = True
 
+        # --- implied-free column aggregation --------------------------------
+        # (reference kPresolveRuleAggregator, HPresolve::aggregator
+        # :463: substitute out a continuous column through an equality
+        # row when the row itself implies the column's bounds — the
+        # bounds can then never bind, so the substitution is exact for
+        # primal AND dual.  This is the main reduction engine on
+        # staircase LPs: greenbea's reference presolve removes ~600
+        # more rows than the singleton/doubleton rules alone.)
+        # NOTE: measured on the r4 suite, implied-free aggregation is a
+        # net LOSS for this stack even when restricted to
+        # net-nonzero-reducing substitutions (greenbea 1.23->1.49s,
+        # stair 0.075->0.128s): the substituted structure costs our
+        # dual simplex more per iteration than the removed rows save.
+        # The rule ships default-off (presolve_aggregator) for parity
+        # with the reference's aggregator; revisit if the LU adds
+        # Markowitz ordering.
+        if _rule_on(options, PresolveRuleType.kAggregator) and \
+                getattr(options, "presolve_aggregator", False) and \
+                not has_semi and _pass < 2:
+            a2 = masked_csc(a)
+            a2r = a2.tocsr()
+            col_nnz4 = np.diff(a2.indptr)
+            # --- vectorized implied column bounds from single rows ---
+            # (reference HPresolve::isImpliedFree via impliedRowBounds)
+            lo_c4 = np.where(col_active & np.isfinite(cl), cl, 0.0)
+            up_c4 = np.where(col_active & np.isfinite(cu), cu, 0.0)
+            ap4 = a2r.copy(); ap4.data = np.maximum(ap4.data, 0.0)
+            an4 = a2r.copy(); an4.data = np.minimum(an4.data, 0.0)
+            minact4 = ap4 @ lo_c4 + an4 @ up_c4
+            maxact4 = ap4 @ up_c4 + an4 @ lo_c4
+            patp4 = a2r.copy(); patp4.data = (patp4.data > 0) * 1.0
+            patn4 = a2r.copy(); patn4.data = (patn4.data < 0) * 1.0
+            infl4 = (~np.isfinite(cl) & col_active).astype(float)
+            infu4 = (~np.isfinite(cu) & col_active).astype(float)
+            nmin4 = patp4 @ infl4 + patn4 @ infu4
+            nmax4 = patp4 @ infu4 + patn4 @ infl4
+            coo_r = np.repeat(np.arange(m), np.diff(a2r.indptr))
+            coo_c = a2r.indices
+            coo_v = a2r.data
+            pos4 = coo_v > 0
+            # own contribution to min/max activity (0 if own bound inf)
+            own_lo_fin = np.isfinite(np.where(pos4, cl[coo_c],
+                                              cu[coo_c]))
+            own_up_fin = np.isfinite(np.where(pos4, cu[coo_c],
+                                              cl[coo_c]))
+            own_min = np.where(own_lo_fin, np.where(
+                pos4, coo_v * cl[coo_c], coo_v * cu[coo_c]), 0.0)
+            own_max = np.where(own_up_fin, np.where(
+                pos4, coo_v * cu[coo_c], coo_v * cl[coo_c]), 0.0)
+            o_min_inf = nmin4[coo_r] - (~own_lo_fin)
+            o_max_inf = nmax4[coo_r] - (~own_up_fin)
+            minact_o4 = minact4[coo_r] - own_min
+            maxact_o4 = maxact4[coo_r] - own_max
+            has_ru4 = np.isfinite(ru)[coo_r] & row_active[coo_r]
+            has_rl4 = np.isfinite(rl)[coo_r] & row_active[coo_r]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                iu = np.where(
+                    pos4 & has_ru4 & (o_min_inf == 0),
+                    (ru[coo_r] - minact_o4) / coo_v,
+                    np.where(~pos4 & has_rl4 & (o_max_inf == 0),
+                             (rl[coo_r] - maxact_o4) / coo_v, np.inf))
+                il = np.where(
+                    pos4 & has_rl4 & (o_max_inf == 0),
+                    (rl[coo_r] - maxact_o4) / coo_v,
+                    np.where(~pos4 & has_ru4 & (o_min_inf == 0),
+                             (ru[coo_r] - minact_o4) / coo_v, -np.inf))
+            imp_up4 = np.full(n, np.inf)
+            np.minimum.at(imp_up4, coo_c, iu)
+            imp_lo4 = np.full(n, -np.inf)
+            np.maximum.at(imp_lo4, coo_c, il)
+            # per-side tolerances from the FINITE quantities only (an
+            # infinite implied bound must fail its test, not inflate
+            # the tolerance to infinity)
+            with np.errstate(invalid="ignore"):
+                tl4 = tol * (1.0 + np.abs(np.where(np.isfinite(cl),
+                                                   cl, 0.0)))
+                tu4 = tol * (1.0 + np.abs(np.where(np.isfinite(cu),
+                                                   cu, 0.0)))
+                implied_free = (
+                    (~np.isfinite(cl) | (imp_lo4 >= cl - tl4)) &
+                    (~np.isfinite(cu) | (imp_up4 <= cu + tu4)))
+            # candidates: implied-free continuous columns of small
+            # degree (fill-in control) intersecting an equality row
+            eq_mask4 = (row_active & np.isfinite(rl) & np.isfinite(ru)
+                        & (np.abs(ru - rl) <= tol * (1 + np.abs(rl)))
+                        ).astype(float)
+            in_eq4 = (patp4.T @ eq_mask4 + patn4.T @ eq_mask4) > 0
+            cand = np.nonzero(col_active & ~is_int & implied_free &
+                              in_eq4 &
+                              (col_nnz4 >= 2) & (col_nnz4 <= 6))[0]
+            g_rows: List[int] = []
+            g_cols: List[int] = []
+            g_vals: List[float] = []
+            touched_r: set = set()
+            touched_c: set = set()
+            nsub = 0
+            for j in cand:
+                if nsub >= 300:
+                    break
+                if int(j) in touched_c or not col_active[j]:
+                    continue
+                rows_j, vals_j = col_rows(int(j))
+                if len(rows_j) < 2 or \
+                        any(int(r) in touched_r for r in rows_j):
+                    continue
+                # pick an equality pivot row with the largest |a_ej|
+                best = -1
+                best_v = 0.0
+                for k, r in enumerate(rows_j):
+                    r = int(r)
+                    if not (np.isfinite(rl[r]) and np.isfinite(ru[r])
+                            and abs(ru[r] - rl[r]) <=
+                            tol * (1 + abs(rl[r]))):
+                        continue
+                    if abs(vals_j[k]) > abs(best_v):
+                        best, best_v = k, float(vals_j[k])
+                if best < 0 or abs(best_v) < 1e-8:
+                    continue
+                e_row = int(rows_j[best])
+                cols_e, vals_e = row_cols(e_row)
+                if any(int(c) in touched_c for c in cols_e):
+                    continue
+                # numerical pivot guard within the row
+                if abs(best_v) < 0.01 * float(np.abs(vals_e).max()):
+                    continue
+                # EXACT fill accounting: the substitution removes row
+                # e (len(cols_e) entries) and column j's other entries,
+                # and adds row e's support into each other row of j.
+                # Accept only net-nonzero-REDUCING substitutions — a
+                # crude product cap let fill-positive substitutions
+                # through and made every downstream simplex slower.
+                if (len(rows_j) - 1) * (len(cols_e) - 1) > 16:
+                    continue
+                ke0 = cols_e != j
+                oc0 = set(int(c) for c in cols_e[ke0])
+                fill = 0
+                removed = len(cols_e) + len(rows_j) - 1
+                ok_fill = True
+                for rr in rows_j:
+                    rr = int(rr)
+                    if rr == e_row:
+                        continue
+                    rc, _rv = row_cols(rr)
+                    have = set(int(c) for c in rc)
+                    fill += len(oc0 - have)
+                    if fill >= removed:
+                        ok_fill = False
+                        break
+                if not ok_fill:
+                    continue
+                # implied-freeness already established by the
+                # vectorized any-row test above
+                ke = cols_e != j
+                oc, ov = cols_e[ke], vals_e[ke]
+                d = float(rl[e_row])
+                # ---- substitute x_j out of its other rows ------------
+                orj = np.array([int(r) for k, r in enumerate(rows_j)
+                                if k != best], dtype=np.int64)
+                orv = np.array([float(v) for k, v in enumerate(vals_j)
+                                if k != best])
+                lam = -orv / best_v
+                if np.any(np.abs(lam) > 1e4):
+                    continue
+                stack.append(("agg_sub", int(j), e_row, best_v, d,
+                              float(cost[j]), oc.copy(), ov.copy(),
+                              orj.copy(), orv.copy()))
+                for rr, lm in zip(orj, lam):
+                    # row rr gains lam*(row e): delta on e's support
+                    g_rows.extend([int(rr)] * (len(oc) + 1))
+                    g_cols.extend(int(c) for c in oc)
+                    g_cols.append(int(j))
+                    g_vals.extend(float(lm) * float(v) for v in ov)
+                    # cancel x_j's own entry exactly
+                    g_vals.append(float(lm) * best_v)
+                    shift = lm * d
+                    if np.isfinite(rl[rr]):
+                        rl[rr] += shift
+                    if np.isfinite(ru[rr]):
+                        ru[rr] += shift
+                # objective: c_j x_j = c_j (d - sum ov x)/a_ej
+                ratio = cost[j] / best_v
+                cost[oc] -= ratio * ov
+                offset += ratio * d
+                cost[j] = 0.0
+                col_active[j] = False
+                row_active[e_row] = False
+                touched_r.add(e_row)
+                touched_r.update(int(r) for r in orj)
+                touched_c.add(int(j))
+                touched_c.update(int(c) for c in oc)
+                nsub += 1
+                changed = True
+            if g_rows:
+                delta = sp.csc_matrix(
+                    (g_vals, (g_rows, g_cols)), shape=a.shape)
+                summed = (a + delta).tocsr()
+                # snap the exact cancellations of x_j's entries (and
+                # any incidental cancellation) on the edited rows
+                for r in sorted(set(g_rows)):
+                    s0, e0 = summed.indptr[r], summed.indptr[r + 1]
+                    seg = summed.data[s0:e0]
+                    seg[np.abs(seg) <= 1e-11] = 0.0
+                summed.eliminate_zeros()
+                a = summed.tocsc()
+                a_csr = a.tocsr()
+
         # --- dominated columns / dual fixing -------------------------------
         # (reference kPresolveRuleDominatedCol + HighsRedcostFixing-style
         # dual fixing inside presolve, HPresolve.cpp:394 dominatedCols)
@@ -1187,6 +1393,19 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
                 z[j] = 0.0
             if row_bs is not None:
                 row_bs[i] = BS.kLower  # equality row active
+                col_bs[j] = BS.kBasic
+        elif kind == "agg_sub":
+            # implied-free aggregation: x_j recovered from the pivot
+            # equality row; its dual from x_j's stationarity across the
+            # column's OTHER rows (whose duals are already recovered)
+            (_, j, e_row, aej, d, cj, oc, ov, orj, orv) = rec
+            x[j] = (d - (float(ov @ x[oc]) if len(oc) else 0.0)) / aej
+            if have_dual:
+                other = float(orv @ y[orj]) if len(orj) else 0.0
+                y[e_row] = (cj - other) / aej
+                z[j] = 0.0
+            if row_bs is not None:
+                row_bs[e_row] = BS.kLower  # equality row active
                 col_bs[j] = BS.kBasic
         else:
             raise RuntimeError(f"unknown postsolve record {kind!r}")

@@ -194,7 +194,9 @@ def solve_lp_batch(lps: Sequence[HighsLp], options: HighsOptions,
         fresh=jnp.ones((b,), dtype=bool),
         total_k=jnp.zeros((b,), dtype=jnp.int32),
         n_restarts=jnp.zeros((b,), dtype=jnp.int32))
-    theta_dev = jnp.asarray(0.5, dtype=dtype)  # scalar: broadcast in vmap
+    # fixed step strategy: no primal-weight update at restarts
+    # (reference parity; see pdhg.py theta_dev note)
+    theta_dev = jnp.asarray(0.0, dtype=dtype)  # scalar: broadcast in vmap
 
     n_blocks = 0
     max_block = max(check, min(2560, 64 * check))
