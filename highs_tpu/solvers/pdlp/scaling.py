@@ -36,49 +36,73 @@ def _safe_inv_sqrt(v: np.ndarray) -> np.ndarray:
 
 
 def ruiz_scale(a: sp.spmatrix, iterations: int = 10):
-    """Ruiz equilibration in the infinity norm."""
+    """Ruiz equilibration in the infinity norm.
+
+    Works directly on the CSR data array with per-entry row/col ids —
+    per-iteration cost is three linear passes over nnz.  The former
+    diags@a@diags form cost two sparse matmuls plus a sparse abs/max
+    per iteration (~19s of the 25M-nnz block flagship's wall)."""
     a = a.tocsr().copy()
+    a.sum_duplicates()
     m, n = a.shape
     row_scale = np.ones(m)
     col_scale = np.ones(n)
+    row_of = np.repeat(np.arange(m, dtype=np.int64),
+                       np.diff(a.indptr))
+    col_of = a.indices
+    data = np.abs(a.data.astype(np.float64, copy=True))
+    sgn = np.sign(a.data)
     for _ in range(iterations):
-        abs_a = abs(a)
-        row_max = abs_a.max(axis=1).toarray().ravel()
-        col_max = abs_a.max(axis=0).toarray().ravel()
+        row_max = np.zeros(m)
+        np.maximum.at(row_max, row_of, data)
+        col_max = np.zeros(n)
+        np.maximum.at(col_max, col_of, data)
         dr = _safe_inv_sqrt(row_max)
         dc = _safe_inv_sqrt(col_max)
-        a = sp.diags(dr) @ a @ sp.diags(dc)
+        data *= dr[row_of]
+        data *= dc[col_of]
         row_scale *= dr
         col_scale *= dc
         # converged when all norms within 1e-3 of 1
         if (np.all(np.abs(1.0 - row_max[row_max > 0]) < 1e-3) and
                 np.all(np.abs(1.0 - col_max[col_max > 0]) < 1e-3)):
             break
-    return a, row_scale, col_scale
+    out = sp.csr_matrix((sgn * data, a.indices, a.indptr), shape=(m, n))
+    return out, row_scale, col_scale
 
 
 def pock_chambolle_scale(a: sp.spmatrix):
     """Pock-Chambolle diagonal scaling with alpha = 1:
     Dr_ii = 1/sqrt(sum_j |a_ij|), Dc_jj = 1/sqrt(sum_i |a_ij|)."""
     a = a.tocsr()
-    abs_a = abs(a)
-    row_sum = np.asarray(abs_a.sum(axis=1)).ravel()
-    col_sum = np.asarray(abs_a.sum(axis=0)).ravel()
+    absd = np.abs(a.data)
+    m, n = a.shape
+    row_of = np.repeat(np.arange(m, dtype=np.int64),
+                       np.diff(a.indptr))
+    row_sum = np.bincount(row_of, weights=absd, minlength=m)
+    col_sum = np.bincount(a.indices, weights=absd, minlength=n)
     dr = _safe_inv_sqrt(row_sum)
     dc = _safe_inv_sqrt(col_sum)
-    return (sp.diags(dr) @ a @ sp.diags(dc)).tocsr(), dr, dc
+    out = sp.csr_matrix((a.data * dr[row_of] * dc[a.indices],
+                         a.indices, a.indptr), shape=(m, n))
+    return out, dr, dc
 
 
 def l2_scale(a: sp.spmatrix):
     """Scale by sqrt of row/col 2-norms."""
     a = a.tocsr()
-    sq = a.copy()
-    sq.data = sq.data**2
-    row_norm = np.sqrt(np.asarray(sq.sum(axis=1)).ravel())
-    col_norm = np.sqrt(np.asarray(sq.sum(axis=0)).ravel())
+    m, n = a.shape
+    sq = a.data * a.data
+    row_of = np.repeat(np.arange(m, dtype=np.int64),
+                       np.diff(a.indptr))
+    row_norm = np.sqrt(np.bincount(row_of, weights=sq, minlength=m))
+    col_norm = np.sqrt(np.bincount(a.indices, weights=sq,
+                                   minlength=n))
     dr = _safe_inv_sqrt(row_norm)
     dc = _safe_inv_sqrt(col_norm)
-    return (sp.diags(dr) @ a @ sp.diags(dc)).tocsr(), dr, dc
+    out = sp.csr_matrix((a.data * dr[row_of] * dc[a.indices],
+                         a.indices, a.indptr), shape=(m, n))
+    return out, dr, dc
 
 
 def scale_problem(a: sp.spmatrix, mode: int = 5, ruiz_iterations: int = 10):
