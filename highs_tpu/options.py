@@ -311,6 +311,11 @@ _opt("mip_heuristic_effort", float, 0.05, "Effort spent on MIP heuristics",
 _opt("mip_heuristic_run_feasibility_jump", bool, True,
      "Run feasibility-jump heuristic")
 _opt("mip_heuristic_run_rins", bool, True, "Run RINS heuristic")
+_opt("mip_parallel_heuristics", bool, True,
+     "Run a feasibility-jump heuristic worker on a host thread "
+     "concurrently with the native tree search, with incumbent "
+     "objectives shared into the engine for pruning (reference "
+     "parallel MIP workers role)", advanced=True)
 _opt("mip_heuristic_run_rens", bool, True, "Run RENS heuristic")
 _opt("mip_heuristic_run_root_reduced_cost", bool, True,
      "Run root-reduced-cost heuristic")
@@ -412,7 +417,11 @@ _opt("tpu_mip_native_search", bool, True,
      "numerical rejection or unsupported features")
 _opt("tpu_mip_batch_nodes", int, 0,
      "Evaluate MIP node LPs in vmapped device batches of this size "
-     "(0 = sequential node engine)", 0, 1024)
+     "(0 = sequential node engine).  Measured r4 A/B on the suite "
+     "(lseu: 22.3s batched vs 7.0s native; p0548 parity): at "
+     "suite-size node LPs the native hot-start engine wins by >3x — "
+     "batching only pays when a single node LP is itself "
+     "accelerator-bound", 0, 1024)
 _opt("tpu_step_dtype", str, "",
      "Mixed-precision PDHG stepping: '' = full precision, 'bfloat16' "
      "= bf16 step matvecs until residuals reach 1e-3")

@@ -2056,6 +2056,77 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         _cb_interrupt["flag"] = True
                         return True
                 return (time.perf_counter() - t0) > options.time_limit
+            # ---- concurrent heuristic worker (reference parallel MIP
+            # workers, HighsMipSolver.cpp:197-420: heuristics run on
+            # worker threads and solutions sync at rounds).  The
+            # native chunk releases the GIL, so a python thread runs
+            # feasibility-jump restarts on the second core and
+            # publishes improved objectives into a shared buffer the
+            # engine polls for pruning; solution vectors are harvested
+            # through try_incumbent between chunks. ------------------
+            import ctypes as _ct
+            import threading as _thr
+            _inc0 = min(incumbent_obj, user_cutoff)
+            ext_upper = (_ct.c_double * 1)(
+                _inc0 if math.isfinite(_inc0) else 1e30)
+            _wk_stop = _thr.Event()
+            _wk_lock = _thr.Lock()
+            _wk_best = {"obj": math.inf, "x": None}
+
+            def _conc_worker():
+                from .feasibility_jump import feasibility_jump as _fj
+                seed = 1009
+                fails = 0
+                budget = max(0.2, min(1.0, 2e-6 * lp.num_nz +
+                                      2e-4 * lp.num_col))
+                start = (incumbent_x.copy()
+                         if incumbent_x is not None else
+                         (root_x.copy() if root_x is not None
+                          else None))
+                while not _wk_stop.is_set() and fails < 25:
+                    seed += 1
+                    try:
+                        xfj = _fj(a_csr, lp.row_lower, lp.row_upper,
+                                  root_lo_p, root_up_p,
+                                  sense * lp.col_cost,
+                                  is_int | is_semi, x0=start,
+                                  feastol=feastol, seed=seed,
+                                  max_moves=20000,
+                                  time_budget=budget)
+                    except Exception:
+                        return
+                    if xfj is None:
+                        fails += 1
+                        continue
+                    x = np.asarray(xfj, float)
+                    ints = np.abs(x[is_int] - np.round(x[is_int]))
+                    if np.any(ints > feastol):
+                        fails += 1
+                        continue
+                    ax = a_csr @ x if lp.num_row else np.zeros(0)
+                    if (np.any(ax < lp.row_lower - feastol) or
+                            np.any(ax > lp.row_upper + feastol) or
+                            np.any(x < lp.col_lower - feastol) or
+                            np.any(x > lp.col_upper + feastol)):
+                        fails += 1
+                        continue
+                    obj = sense * float(lp.col_cost @ x)
+                    with _wk_lock:
+                        if obj < _wk_best["obj"] - 1e-12:
+                            _wk_best["obj"] = obj
+                            _wk_best["x"] = x.copy()
+                            if obj < ext_upper[0] - 1e-12:
+                                ext_upper[0] = obj
+                    fails += 1  # fresh seeds have diminishing returns
+
+            _wk_thread = None
+            if (getattr(options, "mip_parallel_heuristics", True)
+                    and sub_level == 0 and
+                    options.mip_heuristic_run_feasibility_jump):
+                _wk_thread = _thr.Thread(target=_conc_worker,
+                                         daemon=True)
+                _wk_thread.start()
+
             # chunked search: interleave the native dive loop with the
             # Python heuristics (RINS around the best point) so exact
             # optima are found the way the reference's in-search
@@ -2089,8 +2160,19 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                if sc_bb is not None else None),
                     sym_gens=(np.concatenate(
                         [np.asarray(g, np.int32) for g in sym_gens])
-                        if sym_gens else None))
+                        if sym_gens else None),
+                    ext_upper=ext_upper)
                 _clk_ns.__exit__()
+                # harvest the concurrent worker's best solution
+                # (solution sync point, HighsMipSolver.cpp:336)
+                if _wk_thread is not None:
+                    with _wk_lock:
+                        _wx = _wk_best["x"]
+                    if _wx is not None:
+                        try_incumbent(_wx, "parallel FJ worker")
+                    if math.isfinite(incumbent_obj) and \
+                            incumbent_obj < ext_upper[0] - 1e-12:
+                        ext_upper[0] = incumbent_obj
                 import os as _osdb
                 if _osdb.environ.get('HX_NATIVE_DEBUG'):
                     print(f'[native bb] st={st_n} found={found_n} '
@@ -2149,6 +2231,18 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if _os3.environ.get('HX_NATIVE_DEBUG'):
                 import traceback as _tb
                 _tb.print_exc()
+        # retire the concurrent heuristic worker and take its final
+        # harvest (it may have finished a jump after the last chunk)
+        try:
+            if _wk_thread is not None:
+                _wk_stop.set()
+                _wk_thread.join(timeout=5.0)
+                with _wk_lock:
+                    _wx = _wk_best["x"]
+                if _wx is not None:
+                    try_incumbent(_wx, "parallel FJ worker")
+        except Exception:
+            pass
         if st_n in (0, 2):
             if st_n == 0:
                 heap.clear()

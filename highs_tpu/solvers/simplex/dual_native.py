@@ -102,6 +102,7 @@ def get_lib():
             MIP_CALLBACK, ctypes.c_void_p,
             ctypes.c_void_p,  # tol_scale (nullable)
             ctypes.c_void_p, ctypes.c_int,  # symmetry generators
+            ctypes.c_void_p,  # ext_upper (nullable shared incumbent)
             f64p, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64),
@@ -198,7 +199,8 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
               mip_abs_gap, mip_rel_gap, obj_offset, root_bound,
               feastol=1e-6, tol_p=1e-9, tol_d=1e-9,
               max_nodes=10**12, time_limit=1e18, reliable=4,
-              callback=None, tol_scale=None, sym_gens=None):
+              callback=None, tol_scale=None, sym_gens=None,
+              ext_upper=None):
     """Native branch-and-bound over the persistent dual engine
     (hx_mip_solve).  Returns (status, found, best_x, best_obj,
     dual_bound, nodes, lp_iters); status 0 = exhausted, 2 = limit or
@@ -206,7 +208,12 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
 
     ``callback(what, primal, dual, nodes, lp_iters, x_or_None)`` with
     what 0 = periodic tick, 1 = improved incumbent; truthy return
-    interrupts the search."""
+    interrupts the search.
+
+    ``ext_upper``: optional ctypes double buffer a concurrent
+    heuristic worker writes its best objective into; the engine polls
+    it at periodic ticks and adopts better values for pruning
+    (reference HighsMipSolver worker solution sync :336)."""
     lib = get_lib()
     m, n = a_csc.shape
     big = 1e30
@@ -262,7 +269,9 @@ def mip_solve(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
         (np.ascontiguousarray(sym_gens, dtype=np.int32)
          .ctypes.data_as(ctypes.c_void_p)
          if sym_gens is not None and len(sym_gens) else None),
-        (len(sym_gens) // n if sym_gens is not None else 0), best_x,
+        (len(sym_gens) // n if sym_gens is not None else 0),
+        (ctypes.cast(ext_upper, ctypes.c_void_p)
+         if ext_upper is not None else None), best_x,
         ctypes.byref(best_obj), ctypes.byref(dual_bound),
         ctypes.byref(nodes), ctypes.byref(iters), ctypes.byref(found),
         ctypes.byref(status))

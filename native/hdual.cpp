@@ -1766,6 +1766,7 @@ int hx_mip_solve(
     int64_t max_nodes, double time_limit_s, int reliable_count,
     HxMipCb cb, void* cb_ud, const double* tol_scale,
     const int32_t* sym_gens, int n_sym_gens,
+    const double* ext_upper,
     double* best_x_out, double* best_obj_out, double* dual_bound_out,
     int64_t* nodes_out, int64_t* lp_iters_out, int* found_out,
     int* status_out) {
@@ -1997,6 +1998,13 @@ int hx_mip_solve(
       status = 2;
       break;
     }
+    // concurrent-worker incumbent injection (reference
+    // HighsMipSolver worker sync :336: solutions exchange at sync
+    // points): a heuristic thread publishes its best objective into
+    // *ext_upper; adopting the VALUE alone tightens pruning — the
+    // solution vector lives with the publisher.
+    if (ext_upper && *ext_upper < incumbent - 1e-12)
+      incumbent = *ext_upper;
     if (cb && node_count - last_cb_nodes >= 256) {
       last_cb_nodes = node_count;
       if (fire_cb(0, nullptr)) { status = 2; break; }
