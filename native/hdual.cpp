@@ -204,7 +204,8 @@ struct Engine {
   std::vector<double> ft_acc;
   std::vector<char> ft_in;
   std::vector<double> arow;     // priced pivot row over variables
-  std::vector<int32_t> arow_ix; // touched entries of arow
+  std::vector<int32_t> arow_ix; // touched entries of arow (sparse mode)
+  bool price_dense = false;     // last PRICE used the dense path
   int64_t iters_total = 0;
 
   void axpy_col(int j, double a, double* y) const {
@@ -814,20 +815,40 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     e.unitv[rr] = 0.0;
 
     // ---- PRICE: pivot row over nonbasic variables via CSR --------------
+    // with a density switch (reference priceByRowWithSwitch role):
+    // when rho is dense the per-entry zero-check + index-list pushes
+    // cost more than they save — accumulate straight into the dense
+    // row and let the consumers sweep all variables instead.
     const double t_price0 = g_clk.on ? clk_now() : 0.0;
-    for (int32_t ix : e.arow_ix) e.arow[ix] = 0.0;
+    if (e.price_dense)
+      std::fill(e.arow.begin(), e.arow.end(), 0.0);
+    else
+      for (int32_t ix : e.arow_ix) e.arow[ix] = 0.0;
     e.arow_ix.clear();
-    for (int i = 0; i < m; ++i) {
-      const double ri = e.rho[i];
-      if (ri == 0.0) continue;
-      for (int64_t k = e.Rp[i]; k < e.Rp[i + 1]; ++k) {
-        const int j = e.Ri[k];
-        if (e.arow[j] == 0.0) e.arow_ix.push_back(j);
-        e.arow[j] += ri * e.Rx[k];
+    int rho_nnz = 0;
+    for (int i = 0; i < m; ++i) rho_nnz += (e.rho[i] != 0.0);
+    e.price_dense = 4 * rho_nnz > m;
+    if (e.price_dense) {
+      for (int i = 0; i < m; ++i) {
+        const double ri = e.rho[i];
+        if (ri == 0.0) continue;
+        for (int64_t k = e.Rp[i]; k < e.Rp[i + 1]; ++k)
+          e.arow[e.Ri[k]] += ri * e.Rx[k];
+        e.arow[e.n + i] -= ri;
       }
-      const int jlog = e.n + i;
-      if (e.arow[jlog] == 0.0) e.arow_ix.push_back(jlog);
-      e.arow[jlog] -= ri;
+    } else {
+      for (int i = 0; i < m; ++i) {
+        const double ri = e.rho[i];
+        if (ri == 0.0) continue;
+        for (int64_t k = e.Rp[i]; k < e.Rp[i + 1]; ++k) {
+          const int j = e.Ri[k];
+          if (e.arow[j] == 0.0) e.arow_ix.push_back(j);
+          e.arow[j] += ri * e.Rx[k];
+        }
+        const int jlog = e.n + i;
+        if (e.arow[jlog] == 0.0) e.arow_ix.push_back(jlog);
+        e.arow[jlog] -= ri;
+      }
     }
 
     if (g_clk.on) {
@@ -841,7 +862,10 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     const double t_chuzc0 = g_clk.on ? clk_now() : 0.0;
     bps.clear();
     double flip_slope = std::fabs(delta);  // remaining primal infeas.
-    for (int32_t j : e.arow_ix) {
+    const int n_scan =
+        e.price_dense ? e.nv : (int)e.arow_ix.size();
+    for (int t_s = 0; t_s < n_scan; ++t_s) {
+      const int j = e.price_dense ? t_s : e.arow_ix[t_s];
       if (e.stat[j] == kBasic) continue;
       const double aj = e.arow[j];
       if (std::fabs(aj) < 1e-9) continue;
@@ -877,7 +901,8 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
         return kIterLimit;  // phantom infeasibility: inconclusive
       }
       bool tiny_candidate = false;
-      for (int32_t j : e.arow_ix) {
+      for (int t_s = 0; t_s < n_scan; ++t_s) {
+        const int j = e.price_dense ? t_s : e.arow_ix[t_s];
         if (e.stat[j] == kBasic) continue;
         const double aj = e.arow[j];
         if (std::fabs(aj) < 1e-12 || std::fabs(aj) >= 1e-9) continue;
@@ -965,9 +990,16 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
 
     // ---- dual update from the priced row (incremental d) ---------------
     const double theta_d = e.d[q] / apq_row;
-    for (int32_t j : e.arow_ix) {
-      if (e.stat[j] == kBasic || j == q) continue;
-      e.d[j] -= theta_d * e.arow[j];
+    if (e.price_dense) {
+      for (int j = 0; j < e.nv; ++j) {
+        if (e.stat[j] == kBasic || j == q) continue;
+        e.d[j] -= theta_d * e.arow[j];
+      }
+    } else {
+      for (int32_t j : e.arow_ix) {
+        if (e.stat[j] == kBasic || j == q) continue;
+        e.d[j] -= theta_d * e.arow[j];
+      }
     }
     e.d[jl] = -theta_d;
     e.d[q] = 0.0;
