@@ -795,9 +795,11 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
     tight_l = np.where(np.isfinite(row_lower),
                        np.abs(act - row_lower), np.inf)
     order = np.argsort(np.minimum(tight_u, tight_l))
+    # collect every (cols, vals, rhs) trial first, then run ONE
+    # batched native c-MIR call (hx_mir_batch): the per-row ctypes
+    # round trip cost ~30us x thousands of rows per round
+    trials = []
     for i in order[:400]:
-        if len(cuts) >= max_cuts:
-            break
         r = a_csr[i]
         cols = r.indices.astype(np.int32)
         vals = r.data.astype(np.float64)
@@ -808,25 +810,37 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
                 np.any(is_int[cols]) or
                 any(int(c) in vubs or int(c) in vlbs for c in cols)):
             continue
-        trials = []
         if np.isfinite(row_upper[i]):
-            trials.append((vals, float(row_upper[i])))
+            trials.append((cols, vals, float(row_upper[i])))
         if np.isfinite(row_lower[i]):
-            trials.append((-vals, float(-row_lower[i])))
-        for tvals, trhs in trials:
-            got = _mir_on_leq(cols, tvals, trhs, x, lo, up, is_int,
-                              feastol, vubs=vubs, vlbs=vlbs)
-            if got is None:
-                continue
-            ccols, cvals, crhs, eff = got
-            res = _clean_cut(ccols.copy(), cvals.copy(), crhs, lo, up)
-            if res is None:
-                continue
-            ccols, cvals, crhs = res
-            viol = float(x[ccols] @ cvals) - crhs
-            nrm = float(np.linalg.norm(cvals))
-            if nrm > 0 and viol / nrm > _MIN_EFFICACY:
-                cuts.append(Cut(ccols, cvals, crhs, viol / nrm))
+            trials.append((cols, -vals, float(-row_lower[i])))
+
+    from . import native_cuts
+    if native_cuts.get_lib() is not None:
+        results = native_cuts.mir_batch_native(
+            trials, x, lo, up,
+            (is_int.view(np.int8) if is_int.dtype == np.bool_ and
+             is_int.flags["C_CONTIGUOUS"] else
+             np.ascontiguousarray(is_int, dtype=np.int8)),
+            feastol, vubs=vubs, vlbs=vlbs)
+    else:
+        results = [_mir_on_leq(tc, tv, tr, x, lo, up, is_int, feastol,
+                               vubs=vubs, vlbs=vlbs)
+                   for (tc, tv, tr) in trials]
+    for got in results:
+        if len(cuts) >= max_cuts:
+            break
+        if got is None:
+            continue
+        ccols, cvals, crhs, eff = got
+        res = _clean_cut(ccols.copy(), cvals.copy(), crhs, lo, up)
+        if res is None:
+            continue
+        ccols, cvals, crhs = res
+        viol = float(x[ccols] @ cvals) - crhs
+        nrm = float(np.linalg.norm(cvals))
+        if nrm > 0 and viol / nrm > _MIN_EFFICACY:
+            cuts.append(Cut(ccols, cvals, crhs, viol / nrm))
     return cuts
 
 

@@ -17,6 +17,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+i64p = np.ctypeslib.ndpointer(np.int64)
+f64p = np.ctypeslib.ndpointer(np.float64)
+i8p = np.ctypeslib.ndpointer(np.int8)
+
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[3] / "native"
 _SRC = _NATIVE_DIR / "hcuts.cpp"
 _LIB = _NATIVE_DIR / "libhcuts.so"
@@ -176,6 +180,75 @@ def mir_on_leq_native(cols, vals, rhs, x, lo, up, is_int, feastol,
         return None
     return (out_cols[:n_out].copy(), out_vals[:n_out].copy(),
             float(out_rhs.value), float(out_eff.value))
+
+
+def mir_batch_native(trials, x, lo, up, is_int, feastol,
+                     vubs=None, vlbs=None, prefer_vbds=False):
+    """Batched `_mir_on_leq` over many (cols, vals, rhs) trials in ONE
+    native call (hx_mir_batch).  Returns a list aligned with `trials`:
+    (cols, vals, rhs, efficacy) or None per trial."""
+    lib = get_lib()
+    if not getattr(lib, "_mir_batch_bound", False):
+        lib.hx_mir_batch.restype = None
+        lib.hx_mir_batch.argtypes = [
+            ctypes.c_int, i64p, i64p, f64p, f64p, f64p, f64p, f64p,
+            i8p, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, i64p, f64p, f64p, f64p,
+            np.ctypeslib.ndpointer(np.int32)]
+        lib._mir_batch_bound = True
+    n_vb, indptr, vy, vc1, vc0, visub = _flat_for(vubs, vlbs)
+    if n_vb > 0:
+        pp = indptr.ctypes.data_as(ctypes.c_void_p)
+        py = vy.ctypes.data_as(ctypes.c_void_p)
+        p1 = vc1.ctypes.data_as(ctypes.c_void_p)
+        p0 = vc0.ctypes.data_as(ctypes.c_void_p)
+        pi = visub.ctypes.data_as(ctypes.c_void_p)
+    else:
+        pp = py = p1 = p0 = pi = None
+    nr = len(trials)
+    if nr == 0:
+        return []
+    lens = np.fromiter((len(t[0]) for t in trials), np.int64, nr)
+    row_ptr = np.concatenate([[0], np.cumsum(lens)])
+    cols = np.ascontiguousarray(
+        np.concatenate([np.asarray(t[0], np.int64) for t in trials]))
+    vals = np.ascontiguousarray(
+        np.concatenate([np.asarray(t[1], np.float64)
+                        for t in trials]))
+    rhs = np.fromiter((t[2] for t in trials), np.float64, nr)
+    cap = int(3 * lens.max() + 16)
+    out_cols = np.empty(nr * cap, np.int64)
+    out_vals = np.empty(nr * cap, np.float64)
+    out_rhs = np.empty(nr, np.float64)
+    out_eff = np.empty(nr, np.float64)
+    n_out = np.empty(nr, np.int32)
+    xx = np.ascontiguousarray(x, np.float64)
+    ll = np.ascontiguousarray(lo, np.float64)
+    uu = np.ascontiguousarray(up, np.float64)
+    ii = np.ascontiguousarray(is_int, np.int8)
+    lib.hx_mir_batch(
+        nr, np.ascontiguousarray(row_ptr), cols, vals, rhs, xx, ll,
+        uu, ii, float(feastol), int(prefer_vbds), n_vb, pp, py, p1,
+        p0, pi, cap, out_cols, out_vals, out_rhs, out_eff, n_out)
+    results = []
+    for t in range(nr):
+        k = int(n_out[t])
+        if k == -1:
+            # capacity overflow: retry singly with growth
+            results.append(mir_on_leq_native(
+                trials[t][0], trials[t][1], trials[t][2], xx, ll, uu,
+                ii, feastol, vubs=vubs, vlbs=vlbs,
+                prefer_vbds=prefer_vbds))
+        elif k <= 0:
+            results.append(None)
+        else:
+            base = t * cap
+            results.append((out_cols[base:base + k].copy(),
+                            out_vals[base:base + k].copy(),
+                            float(out_rhs[t]), float(out_eff[t])))
+    return results
 
 
 def _bind_path_mir(lib):

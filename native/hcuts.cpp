@@ -997,3 +997,31 @@ extern "C" double hx_integral_scale(const double* values, int n,
   if (gg == 0) return 0.0;
   return (double)denom / (double)gg;
 }
+
+// Batched c-MIR over many <= rows in ONE call (the per-row ctypes
+// round trip costs ~30us of marshaling — cut-heavy roots make tens of
+// thousands of them).  Row t's support is rows_cols/rows_vals
+// [row_ptr[t], row_ptr[t+1]); outputs are packed at out_ptr[t] with
+// per-row capacity out_cap_each; n_out[t] = entry count (0 = no cut,
+// -1 = capacity overflow — caller retries that row singly).
+extern "C" void hx_mir_batch(
+    int n_rows, const int64_t* row_ptr, const int64_t* rows_cols,
+    const double* rows_vals, const double* rhs_arr,
+    const double* x, const double* lo, const double* up,
+    const int8_t* is_int, double feastol, int prefer_vbds,
+    int64_t n_vb, const int64_t* vb_ptr, const int32_t* vb_y,
+    const double* vb_c1, const double* vb_c0, const uint8_t* vb_isub,
+    int out_cap_each, int64_t* out_cols, double* out_vals,
+    double* out_rhs, double* out_eff, int* n_out) {
+  for (int t = 0; t < n_rows; ++t) {
+    const int64_t s = row_ptr[t];
+    const int nnz = (int)(row_ptr[t + 1] - s);
+    n_out[t] = hx_mir_on_leq(
+        nnz, rows_cols + s, rows_vals + s, rhs_arr[t], x, lo, up,
+        is_int, feastol, prefer_vbds, n_vb, vb_ptr, vb_y, vb_c1,
+        vb_c0, vb_isub, out_cap_each,
+        out_cols + (int64_t)t * out_cap_each,
+        out_vals + (int64_t)t * out_cap_each,
+        out_rhs + t, out_eff + t);
+  }
+}
