@@ -165,7 +165,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         _mask_cache["csr"] = (key, out, mat)
         return out
 
-    max_passes = 10
+    max_passes = 6
     infeasible = False
     unbounded = False
     changed_any = False
@@ -557,9 +557,10 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             s_cols: List[int] = []
             s_vals: List[float] = []
             edits = 0
+            examined = 0
             stale: set = set()
             for e in eq_rows[:100]:
-                if edits >= 50:
+                if edits >= 50 or examined >= 600:
                     break
                 if int(e) in stale:
                     continue
@@ -576,6 +577,9 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     r = int(r)
                     if r == int(e) or not row_active[r] or r in stale:
                         continue
+                    examined += 1
+                    if examined >= 600:
+                        break
                     # row_cols segments stay sorted (csr construction),
                     # so membership/value lookup is a searchsorted
                     rcols, rvals = row_cols(r)
