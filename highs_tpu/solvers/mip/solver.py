@@ -230,7 +230,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
     if options.mip_detect_symmetry and bool(is_int.any()) and \
             use_simplex and lp.num_col <= 5000 and \
             not _os_sym.environ.get("HX_NO_SYM") and \
-            _sub_level_early == 0:  # sub-MIPs: detection cost >> payoff
+            _sub_level_early == 0 and \
+            int(getattr(options, "_mip_restart_count", 0)) == 0:
+        # sub-MIPs and RESTARTED solves skip detection: the restart
+        # model is a shrunk copy whose orbits rarely differ, and
+        # re-detection+verification cost ~0.3s per restart (gesa2 x3)
         from ...presolve.symmetry import (detect_symmetry, orbits,
                                           symmetry_breaking_rows)
         gens = detect_symmetry(
@@ -1615,7 +1619,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # HighsMipSolverData.cpp evaluateRootNode) — the centre sits far
         # from degenerate vertices, so its rounding often repairs well
         if incumbent_obj == math.inf and \
-                lp.num_row * max(1, lp.num_col) <= 1_000_000:
+                int(getattr(options, "_mip_restart_count", 0)) == 0 \
+                and lp.num_row * max(1, lp.num_col) <= 1_000_000:
             # above this size the analytic-centre IPM lands on the
             # accelerator, whose one-off compile latency dwarfs any
             # heuristic value (gesa2: minutes of compile for a 10s
