@@ -125,6 +125,10 @@ class CutPool:
         for i in idx:
             self.cuts[i].efficacy = float(eff[i])
         order = idx[np.argsort(-eff[idx], kind="stable")]
+        # cap the orthogonality scan: past ~3x the pick budget the
+        # remaining candidates are low-efficacy near-duplicates and
+        # each costs a sparse row slice
+        order = order[:max_cuts * 3]
         # orthogonality filter against already-picked cuts, with the
         # picked normalized rows accumulated dense (num_col-length
         # rows, <= max_cuts of them)

@@ -178,26 +178,27 @@ def _ruiz_scales(a_csc, rounds: int = 6):
         if a_csc.nnz else 1.0
     if amax <= 64.0 and amin >= 1.0 / 64.0:
         return None
+    # linear passes over one CSR copy: per-entry row/col ids instead of
+    # the diag-matmul + format-conversion churn (this runs per MIP
+    # node-LP rebuild, ~50x per solve)
     r = np.ones(m)
     c = np.ones(n)
-    work = a_csc.copy().tocsr()
+    csr = a_csc.tocsr()
+    row_of = np.repeat(np.arange(m), np.diff(csr.indptr))
+    col_of = csr.indices
+    data = np.abs(csr.data.astype(np.float64, copy=True))
     for _ in range(rounds):
         rmax = np.zeros(m)
-        np.maximum.at(rmax, np.repeat(np.arange(m),
-                                      np.diff(work.indptr)),
-                      np.abs(work.data))
+        np.maximum.at(rmax, row_of, data)
         rmax[rmax == 0] = 1.0
         rs = 1.0 / np.sqrt(rmax)
-        work = _sp.diags(rs) @ work
+        data *= rs[row_of]
         r *= rs
-        wc = work.tocsc()
         cmax = np.zeros(n)
-        np.maximum.at(cmax, np.repeat(np.arange(n),
-                                      np.diff(wc.indptr)),
-                      np.abs(wc.data))
+        np.maximum.at(cmax, col_of, data)
         cmax[cmax == 0] = 1.0
         cs = 1.0 / np.sqrt(cmax)
-        work = (wc @ _sp.diags(cs)).tocsr()
+        data *= cs[col_of]
         c *= cs
     # power-of-two snapping keeps the mapping exact in binary fp
     r = np.exp2(np.round(np.log2(r)))
