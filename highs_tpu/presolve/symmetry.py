@@ -272,9 +272,17 @@ def detect_symmetry(lp, max_generators: int = 16,
                             coef_ids=coef_ids)
         return None
 
+    total_fails = 0
     for cell in big_cells:
         if len(generators) >= max_generators or \
                 time.perf_counter() - t0 > time_budget:
+            break
+        # asymmetric-instance early-out: candidates are expensive
+        # (~0.1s of refinement each) and symmetric models succeed on
+        # their first pairs — a run of failures with zero successes
+        # means the refinement colors over-merge on an asymmetric
+        # model, and every further pair will fail the same way
+        if total_fails >= 6 and not generators:
             break
         u = cell[0]
         fails = 0
@@ -288,6 +296,7 @@ def detect_symmetry(lp, max_generators: int = 16,
                 generators.append(perm)
                 fails = 0
             else:
+                total_fails += 1
                 # a cell whose first pairs fail is usually asymmetric
                 # throughout — stop burning budget on it (reference
                 # bounds its search the same way via stabilizer

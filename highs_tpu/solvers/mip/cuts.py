@@ -44,15 +44,21 @@ class Cut:
     rhs: float                # a'x <= rhs
     efficacy: float = 0.0     # violation / ||a||
     age: int = 0
+    _key: Optional[tuple] = None
 
     def key(self) -> tuple:
-        # dedupe key: support + normalized coefficients (rounded)
+        # dedupe key: support + normalized coefficients (rounded);
+        # cached — the root loop asks for it many times per cut
+        if self._key is not None:
+            return self._key
         nrm = np.linalg.norm(self.vals)
         if nrm <= 0:
-            return (tuple(self.cols),)
-        q = np.round(self.vals / nrm, 9)
-        return (tuple(self.cols.tolist()), tuple(q.tolist()),
-                round(self.rhs / nrm, 9))
+            self._key = (tuple(self.cols),)
+        else:
+            q = np.round(self.vals / nrm, 9)
+            self._key = (tuple(self.cols.tolist()), tuple(q.tolist()),
+                         round(self.rhs / nrm, 9))
+        return self._key
 
 
 class CutPool:
@@ -129,22 +135,30 @@ class CutPool:
         # remaining candidates are low-efficacy near-duplicates and
         # each costs a sparse row slice
         order = order[:max_cuts * 3]
-        # orthogonality filter against already-picked cuts, with the
-        # picked normalized rows accumulated dense (num_col-length
-        # rows, <= max_cuts of them)
-        amat_n = (sp.diags(1.0 / np.maximum(nrm, _EPS)) @ amat).tocsr()
+        # orthogonality filter against already-picked cuts.  Work on
+        # the raw CSR arrays: a candidate row has ~10-30 nonzeros, so
+        # its dot products against ALL picked rows are one fancy-index
+        # slice of the dense picked block — no sparse row slicing
+        # (23k+ scipy __getitem__ calls per root loop before).
+        indptr, indices, data = amat.indptr, amat.indices, amat.data
+        inv_nrm = 1.0 / np.maximum(nrm, _EPS)
         picked: List[Cut] = []
-        picked_dense = np.zeros((0, self.num_col))
+        picked_dense = np.zeros((max_cuts, self.num_col))
+        npick = 0
         thresh = 1.0 - min_orthogonality + 0.5
         for i in order:
-            if len(picked) >= max_cuts:
+            if npick >= max_cuts:
                 break
-            row = np.asarray(amat_n[int(i)].todense()).ravel()
-            if picked_dense.shape[0] and \
-                    np.any(np.abs(picked_dense @ row) > thresh):
+            i = int(i)
+            lo, hi = indptr[i], indptr[i + 1]
+            ci = indices[lo:hi]
+            vi = data[lo:hi] * inv_nrm[i]
+            if npick and np.any(np.abs(
+                    picked_dense[:npick, ci] @ vi) > thresh):
                 continue
             picked.append(self.cuts[i])
-            picked_dense = np.vstack([picked_dense, row[None, :]])
+            picked_dense[npick, ci] = vi
+            npick += 1
         return picked
 
     def matrix(self, cuts: Sequence[Cut]) -> Tuple[sp.csr_matrix,

@@ -949,6 +949,45 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if cand is not None:
             try_incumbent(cand, "rounding")
 
+    def run_feasibility_jump(x_start, lo, up, seed=0, effort=1.0):
+        """Feasibility-jump + LP completion (reference:
+        mip_heuristic_run_feasibility_jump).  `effort` < 1 scales the
+        time/move box down for in-tree retries (a full root-sized FJ
+        per retry starves the node loop)."""
+        from .feasibility_jump import feasibility_jump
+        # time-boxed per mip_heuristic_effort (reference option),
+        # scaled to the instance: a 2s jump on a 500-column model
+        # costs more than solving it
+        size_cap = max(0.1, 2e-6 * lp.num_nz + 2e-4 * lp.num_col)
+        budget = effort * min(
+            max(2.0, options.mip_heuristic_effort *
+                min(options.time_limit, 600.0)),
+            size_cap)
+        xfj = feasibility_jump(
+            a_csr, lp.row_lower, lp.row_upper, lo, up,
+            sense * lp.col_cost, is_int | is_semi,
+            x0=x_start, feastol=feastol, seed=seed,
+            max_moves=int(min(30000 * effort,
+                              5000 + 100 * lp.num_col)),
+            time_budget=budget)
+        if xfj is None:
+            return False
+        # polish: fix integers, optimal continuous completion.  The
+        # raw FJ point satisfies rows only to feastol — on ill-scaled
+        # instances such edge points can undercut the true optimum
+        # (reference-parity: incumbents come from LP-tight vertices)
+        cand = round_and_repair(xfj, lo, up)
+        if cand is not None:
+            return try_incumbent(cand, "feasibility jump + LP") or True
+        # completion LP failed: accept the raw point only if it is
+        # strictly feasible
+        ax = a_csr @ xfj if lp.num_row else np.zeros(0)
+        if lp.num_row == 0 or (
+                np.all(ax >= lp.row_lower - 1e-9) and
+                np.all(ax <= lp.row_upper + 1e-9)):
+            try_incumbent(xfj, "feasibility jump")
+        return True
+
     # ---- root cut separation (reference: evaluateRootNode's
     # rootSeparationRound loop, HighsMipSolverData.cpp:1987+) ----------
     if use_simplex and root_x is not None and \
@@ -1054,6 +1093,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 info.status = HighsModelStatus.kInfeasible
                 info.solve_time = time.perf_counter() - t0
                 return info.status, HighsSolution(), info
+        # incumbent BEFORE separation (reference evaluateRootNode runs
+        # primal heuristics interleaved with the cut rounds): with an
+        # incumbent in hand, the loop's gap-closure check can stop
+        # separation — and skip the whole tree — the moment the root
+        # bound crosses the integral pruning limit
+        if options.mip_heuristic_run_feasibility_jump and \
+                incumbent_obj == math.inf and \
+                int(getattr(options, "_sub_mip_level", 0)) == 0:
+            run_feasibility_jump(root_x, root_lo_p, root_up_p)
+
         stall = 0
         path_sep_budget = [min(12.0, 0.1 * options.time_limit)]
         cutset_active = [True]
@@ -1062,18 +1111,27 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
         _max_rounds = 60 if _sep_sub == 0 else 8
         mixing_active = [True]
-        cut_age = np.zeros(_Relax.num_cut_rows, dtype=int)
         in_lp_keys: set = set()  # pooled cuts currently in the LP
+        # per-round row aging (reference HighsLpRelaxation row aging,
+        # mip_lp_age_limit): cut rows added by the loop are tracked by
+        # key; rows slack at two consecutive root optima leave the LP
+        # (the pool keeps them, and cutpool.violated() re-collects any
+        # that become violated again).  Pre-loop rows (clique-partition
+        # rows) are permanent.  This is what lets separation run to
+        # reference-scale cut counts (~2600 on sp150x300d) without the
+        # LP bloating: the ACTIVE set stays near the original row count.
+        _m_perm = lp.num_row + _Relax.num_cut_rows  # non-ageable prefix
+        lp_cut_keys: list = []  # keys of ageable cut rows, in row order
+        lp_cut_age = np.zeros(0, dtype=int)
         first_root_bound = None  # bound before any cuts (stall basis)
         hard_stall = 0
         for _round in range(_max_rounds):
             if time.perf_counter() - t0 > 0.25 * options.time_limit:
                 break
-            # relaxation-growth cap (reference: cut pool size limits +
-            # row aging keep the LP lean): once the cut rows exceed
-            # ~4x the original row count, more separation rounds cost
-            # more in re-solve time than the bound gains are worth
-            if _Relax.num_cut_rows > max(500, 4 * lp.num_row):
+            # relaxation-growth safety cap: with per-round aging the
+            # active cut-row count stays near the original row count,
+            # so this should never bind on healthy instances
+            if _Relax.num_cut_rows > max(2000, 10 * lp.num_row):
                 break
             _sep_scope = _clk("separation")
             _sep_scope.__enter__()
@@ -1184,6 +1242,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             added = select_diverse_cuts(added, max_cuts=600)
             for c in added:
                 in_lp_keys.add(c.key())
+            lp_cut_keys.extend(c.key() for c in added)
+            lp_cut_age = np.concatenate(
+                [lp_cut_age, np.zeros(len(added), dtype=int)])
             cut_a, cut_rhs = cutpool.matrix(added)
             if debug_sol is not None and debug_sol.active:
                 dense = cut_a.toarray()
@@ -1240,6 +1301,52 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 log(f"MIP root cuts round {_round + 1}: "
                     f"+{len(added)} cuts ({_Relax.num_cut_rows} total), "
                     f"bound {sense * root_bound + lp.offset:.10g}")
+            # gap closure: once the root bound exceeds the strict
+            # pruning limit (integral-objective rounding included),
+            # the incumbent is optimal — no cut round or tree node can
+            # improve on it (reference: upper_limit pruning applied at
+            # the root like any node)
+            if incumbent_obj < math.inf and root_bound > prune_limit():
+                break
+            # per-round row aging: rows slack at two consecutive root
+            # optima leave the LP (reference HighsLpRelaxation aging).
+            # Only rows whose slack logical is BASIC are droppable —
+            # a nonbasic tight row carries the bound.
+            if lp_cut_keys:
+                full_csr = _Relax.a_csc.tocsr()
+                act = full_csr[_m_perm:] @ root_x
+                ru_cut = _Relax.row_upper[_m_perm:]
+                slackv = ru_cut - act
+                tight = slackv <= 1e-6 * (1.0 + np.abs(ru_cut))
+                lp_cut_age = np.where(tight, 0, lp_cut_age + 1)
+                # lazy drop: only shed rows once the LP has actually
+                # bloated (small instances keep every cut row — the
+                # churn of early drops perturbs the separation
+                # trajectory and costs more than the lean LP saves)
+                if _Relax.num_cut_rows <= max(500, 2 * lp.num_row):
+                    dropm = np.zeros(len(lp_cut_age), dtype=bool)
+                else:
+                    dropm = lp_cut_age >= 2
+                if root_basis is not None:
+                    rb_cut = root_basis[lp.num_col + _m_perm:]
+                    dropm &= (rb_cut == 1)  # basic slack only
+                if dropm.any():
+                    keep = np.concatenate(
+                        [np.ones(_m_perm, dtype=bool), ~dropm])
+                    _Relax.a_csc = full_csr[keep].tocsc()
+                    _Relax.row_lower = _Relax.row_lower[keep]
+                    _Relax.row_upper = _Relax.row_upper[keep]
+                    ndrop = int(dropm.sum())
+                    _Relax.num_cut_rows -= ndrop
+                    for i in np.flatnonzero(dropm):
+                        in_lp_keys.discard(lp_cut_keys[i])
+                    lp_cut_keys = [k for k, d in
+                                   zip(lp_cut_keys, dropm) if not d]
+                    lp_cut_age = lp_cut_age[~dropm]
+                    if root_basis is not None:
+                        root_basis = np.concatenate(
+                            [root_basis[:lp.num_col + _m_perm],
+                             rb_cut[~dropm]])
             # tailing-off, reference style (HighsMipSolverData.cpp:2264:
             # a round stalls when it grows the TOTAL progress since the
             # first root LP by less than 0.1%; three consecutive stalls
@@ -1422,45 +1529,6 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             cand = round_and_repair(root_x, root_lo_p, root_up_p)
             if cand is not None:
                 try_incumbent(cand, "rounding after cuts")
-
-    def run_feasibility_jump(x_start, lo, up, seed=0, effort=1.0):
-        """Feasibility-jump + LP completion (reference:
-        mip_heuristic_run_feasibility_jump).  `effort` < 1 scales the
-        time/move box down for in-tree retries (a full root-sized FJ
-        per retry starves the node loop)."""
-        from .feasibility_jump import feasibility_jump
-        # time-boxed per mip_heuristic_effort (reference option),
-        # scaled to the instance: a 2s jump on a 500-column model
-        # costs more than solving it
-        size_cap = max(0.1, 2e-6 * lp.num_nz + 2e-4 * lp.num_col)
-        budget = effort * min(
-            max(2.0, options.mip_heuristic_effort *
-                min(options.time_limit, 600.0)),
-            size_cap)
-        xfj = feasibility_jump(
-            a_csr, lp.row_lower, lp.row_upper, lo, up,
-            sense * lp.col_cost, is_int | is_semi,
-            x0=x_start, feastol=feastol, seed=seed,
-            max_moves=int(min(30000 * effort,
-                              5000 + 100 * lp.num_col)),
-            time_budget=budget)
-        if xfj is None:
-            return False
-        # polish: fix integers, optimal continuous completion.  The
-        # raw FJ point satisfies rows only to feastol — on ill-scaled
-        # instances such edge points can undercut the true optimum
-        # (reference-parity: incumbents come from LP-tight vertices)
-        cand = round_and_repair(xfj, lo, up)
-        if cand is not None:
-            return try_incumbent(cand, "feasibility jump + LP") or True
-        # completion LP failed: accept the raw point only if it is
-        # strictly feasible
-        ax = a_csr @ xfj if lp.num_row else np.zeros(0)
-        if lp.num_row == 0 or (
-                np.all(ax >= lp.row_lower - 1e-9) and
-                np.all(ax <= lp.row_upper + 1e-9)):
-            try_incumbent(xfj, "feasibility jump")
-        return True
 
     sub_level = int(getattr(options, "_sub_mip_level", 0))
 
