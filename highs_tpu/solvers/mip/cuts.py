@@ -279,58 +279,47 @@ def separate_gomory(a_csc: sp.csc_matrix, lo: np.ndarray, up: np.ndarray,
     nonbasic = np.nonzero(basis != kBasic)[0]
     w_nb = w_full[:, nonbasic].tocsc()
     a_csr = a_csc.tocsr()
+    # vectorized per-nonbasic attributes (hoisted out of the cut loop)
+    nb_at_lower = (basis[nonbasic] == kLower) | (basis[nonbasic] == kZero)
+    nb_bound = np.where(nb_at_lower, lo_all[nonbasic], up_all[nonbasic])
+    nb_bound_finite = np.isfinite(nb_bound)
+    nb_int = (nonbasic < n) & is_int[np.minimum(nonbasic, n - 1)] & \
+        (nonbasic < n) & nb_bound_finite
     cuts: List[Cut] = []
     for p in cand_positions:
         e = np.zeros(m)
         e[p] = 1.0
         rbt = lu.solve(e, trans="T")          # e_p' B^{-1}
-        trow = rbt @ w_nb                      # tableau row over nonbasics
+        trow = np.asarray(rbt @ w_nb).ravel()  # tableau row, nonbasics
         bbar = float(v_all[basic[p]])
         f0 = bbar - math.floor(bbar)
         if f0 < 10 * feastol or f0 > 1 - 10 * feastol:
             continue
-        # GMI in shifted nonbasic space
-        alpha = np.zeros(nv)   # cut coefficients on original vars
-        beta = float(f0)       # rhs of  sum g_j w_j >= f0  after shift
-        ok = True
-        for t_j, j in zip(np.asarray(trow).ravel(), nonbasic):
-            if abs(t_j) < _EPS:
-                continue
-            st = basis[j]
-            at_lower = st in (kLower, kZero)
-            # shifted variable w_j >= 0 measured from its bound
-            tt = t_j if at_lower else -t_j
-            integer_var = j < n and is_int[j] and \
-                np.isfinite(lo_all[j] if at_lower else up_all[j])
-            if integer_var:
-                fj = tt - math.floor(tt)
-                g = fj if fj <= f0 + 1e-12 else f0 * (1.0 - fj) / (1.0 - f0)
-            else:
-                g = tt if tt >= 0 else f0 * (-tt) / (1.0 - f0)
-            if g == 0.0:
-                continue
-            bound = lo_all[j] if at_lower else up_all[j]
-            if not np.isfinite(bound):
-                if abs(g) < 1e-11:
-                    continue
-                ok = False
-                break
-            # w_j = ±(v_j - bound):  g*w_j >= ... contributes to alpha
-            if at_lower:
-                alpha[j] += g
-                beta += g * bound
-            else:
-                alpha[j] -= g
-                beta -= g * bound
-        if not ok:
+        # GMI in shifted nonbasic space — vectorized over nonbasics
+        nzm = np.abs(trow) >= _EPS
+        tt = np.where(nb_at_lower, trow, -trow)
+        fj = tt - np.floor(tt)
+        g_int = np.where(fj <= f0 + 1e-12, fj,
+                         f0 * (1.0 - fj) / (1.0 - f0))
+        g_cont = np.where(tt >= 0, tt, f0 * (-tt) / (1.0 - f0))
+        g = np.where(nb_int, g_int, g_cont)
+        g[~nzm] = 0.0
+        live = g != 0.0
+        # an infinite bound with a non-negligible coefficient kills
+        # the cut; tiny coefficients on free variables are dropped
+        bad = live & ~nb_bound_finite
+        if np.any(bad & (np.abs(g) >= 1e-11)):
             continue
-        # substitute logicals s_i = (A x)_i
+        live &= nb_bound_finite
+        alpha = np.zeros(nv)   # cut coefficients on original vars
+        sgn = np.where(nb_at_lower, 1.0, -1.0)
+        alpha[nonbasic[live]] = sgn[live] * g[live]
+        beta = float(f0 + np.sum(sgn[live] * g[live] * nb_bound[live]))
+        # substitute logicals s_i = (A x)_i — one sparse vec-mat product
         logi = np.nonzero(np.abs(alpha[n:]) > _EPS)[0]
         coef = alpha[:n].copy()
-        for i in logi:
-            gi = alpha[n + i]
-            row = a_csr[i]
-            coef[row.indices] += gi * row.data
+        if logi.size:
+            coef += np.asarray(alpha[n:][logi] @ a_csr[logi]).ravel()
         # cut: coef' x >= beta  ->  -coef' x <= -beta
         mask = np.abs(coef) > _EPS
         res = _clean_cut(np.nonzero(mask)[0].astype(np.int32),

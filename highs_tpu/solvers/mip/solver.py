@@ -1602,9 +1602,15 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             return try_incumbent(x_rec, source)
         return False
 
+    _submip_spent = [0.0]  # cumulative sub-MIP wall time (effort cap)
+
     def run_submip(lo2, up2, source, node_budget=500):
         with _clk("sub_mip"):
-            return _run_submip_impl(lo2, up2, source, node_budget)
+            _ts = time.perf_counter()
+            try:
+                return _run_submip_impl(lo2, up2, source, node_budget)
+            finally:
+                _submip_spent[0] += time.perf_counter() - _ts
 
     def _run_submip_impl(lo2, up2, source, node_budget=500):
         """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
@@ -1614,6 +1620,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             return False
         if time.perf_counter() - t0 > options.time_limit - 2.0:
             return False  # no budget left for a heuristic solve
+        # effort cap (reference HighsPrimalHeuristics: heuristic lp
+        # iterations budgeted against total effort): sub-MIP wall time
+        # may not exceed ~a third of the whole solve's elapsed time —
+        # on root-dominated instances the dozen RINS/RENS re-solves
+        # were 40% of the wall clock (gesa2)
+        if _submip_spent[0] > 0.5 + 0.35 * (time.perf_counter() - t0):
+            return False
         if np.any(lo2 > up2 + feastol):
             return False
         ok2, lo3, up3 = prop.propagate(lo2, up2)
@@ -1660,7 +1673,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             return try_incumbent(np.asarray(sub_sol.col_value), source)
         return False
 
-    if root_x is not None and is_int.any() and sub_level == 0:
+    _gap_closed = (incumbent_obj < math.inf and root_x is not None and
+                   math.isfinite(root_bound) and
+                   root_bound > prune_limit())
+    if root_x is not None and is_int.any() and sub_level == 0 and \
+            not _gap_closed:
         root_cost = sense * lp.col_cost
         if options.mip_heuristic_run_zi_round:
             cand = heur.zi_round(
