@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import heapq
+import os as _osmod
 import math
 import time
 from typing import Callable, Dict, List, Optional, Tuple
@@ -949,6 +950,213 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if cand is not None:
             try_incumbent(cand, "rounding")
 
+    sub_level = int(getattr(options, "_sub_mip_level", 0))
+
+    # ---- primal heuristics (reference HighsPrimalHeuristics.cpp) ------
+    from . import heuristics as heur
+
+    _sub_native = {"key": None}
+
+    def native_submip(lo3, up3, source, node_budget, tl):
+        """Fast sub-MIP: hand the restricted box straight to the
+        native branch-and-bound (hx_mip_solve) over the CURRENT
+        relaxation rows — no recursive root machinery (the reference's
+        solveSubMip also runs with submip=true effort caps).  Returns
+        True when an improving incumbent was found."""
+        from ..simplex.native import _ruiz_scales as _rz
+        from ..simplex.dual_native import mip_solve as _bb
+        import scipy.sparse as _sp
+        a = _Relax.a_csc
+        key = (id(a), a.shape, a.nnz)
+        if _sub_native["key"] != key:
+            cost_s = sense * lp.col_cost
+            sc = _rz(a)
+            if sc is not None:
+                r_s, c_s = sc
+                c_s = np.where(is_int, 1.0, c_s)
+                a_s = (_sp.diags(r_s) @ a @ _sp.diags(c_s)).tocsc()
+                cost_s = cost_s * c_s
+            else:
+                r_s = c_s = None
+                a_s = a
+            _sub_native.update(
+                key=key, a=a_s, a_csr=a_s.tocsr(), cost=cost_s,
+                r=r_s, c=c_s)
+        r_s, c_s = _sub_native["r"], _sub_native["c"]
+        rl_s = np.asarray(_Relax.row_lower, float)
+        ru_s = np.asarray(_Relax.row_upper, float)
+        lo_s, up_s = lo3, up3
+        if c_s is not None:
+            rl_s = np.where(np.isfinite(rl_s), rl_s * r_s, rl_s)
+            ru_s = np.where(np.isfinite(ru_s), ru_s * r_s, ru_s)
+            lo_s = np.where(np.isfinite(lo3), lo3 / c_s, lo3)
+            up_s = np.where(np.isfinite(up3), up3 / c_s, up3)
+        try:
+            st_s, found_s, x_s, obj_s, dual_s, nn_s, it_s = _bb(
+                _sub_native["a"], _sub_native["a_csr"],
+                _sub_native["cost"], lo_s, up_s, rl_s, ru_s, is_int,
+                None, min(incumbent_obj, user_cutoff),
+                _obj_scale or 0.0, 0.0, 0.0, lp.offset, -math.inf,
+                feastol=feastol, max_nodes=node_budget,
+                time_limit=tl,
+                reliable=int(options.mip_pscost_minreliable),
+                tol_scale=(np.concatenate([1.0 / c_s, r_s])
+                           if c_s is not None else None),
+                sym_gens=(np.concatenate(
+                    [np.asarray(g, np.int32) for g in sym_gens])
+                    if sym_gens else None))
+        except Exception:
+            import os as _os9
+            if _os9.environ.get("HX_NATIVE_DEBUG"):
+                import traceback
+                traceback.print_exc()
+            return None  # caller falls back to the recursive path
+        info.mip_node_count += nn_s
+        info.iterations += it_s
+        if found_s:
+            x_rec = x_s * c_s if c_s is not None else x_s
+            return try_incumbent(x_rec, source)
+        return False
+
+    _submip_spent = [0.0]  # cumulative sub-MIP wall time (effort cap)
+
+    def run_submip(lo2, up2, source, node_budget=500):
+        with _clk("sub_mip"):
+            _ts = time.perf_counter()
+            try:
+                return _run_submip_impl(lo2, up2, source, node_budget)
+            finally:
+                _submip_spent[0] += time.perf_counter() - _ts
+
+    def _run_submip_impl(lo2, up2, source, node_budget=500):
+        """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
+        solve the restricted MIP with tight budgets, feed any solution
+        into the incumbent."""
+        if sub_level >= 1:
+            return False
+        if time.perf_counter() - t0 > options.time_limit - 2.0:
+            return False  # no budget left for a heuristic solve
+        # effort cap (reference HighsPrimalHeuristics: heuristic lp
+        # iterations budgeted against total effort): sub-MIP wall time
+        # may not exceed ~a third of the whole solve's elapsed time —
+        # on root-dominated instances the dozen RINS/RENS re-solves
+        # were 40% of the wall clock (gesa2)
+        if _submip_spent[0] > 0.5 + 0.35 * (time.perf_counter() - t0):
+            return False
+        if np.any(lo2 > up2 + feastol):
+            return False
+        ok2, lo3, up3 = prop.propagate(lo2, up2)
+        if not ok2:
+            return False
+        remaining0 = options.time_limit - (time.perf_counter() - t0)
+        if use_simplex and _Relax.a_csc is not None and \
+                bool(is_int.any()) and not sos_sets and \
+                not bool(is_semi.any()) and debug_sol is None:
+            # native nodes are ~100x cheaper than Python-loop nodes:
+            # scale the budget up so the sub-MIP usually solves to
+            # proven optimality inside its box — but cap by instance
+            # size so tiny models don't burn 20k-node heuristics
+            _nb = min(40 * node_budget,
+                      max(2000, 30 * int(is_int.sum())))
+            got = native_submip(
+                lo3, up3, source, _nb,
+                max(0.3, min(remaining0 * 0.1,
+                             0.5 + 20.0 * options.mip_heuristic_effort)))
+            if got is not None:
+                return got
+        sub = lp.copy()
+        sub.col_lower = lo3
+        sub.col_upper = up3
+        sub_opts = _copy.copy(options)
+        sub_opts._sub_mip_level = sub_level + 1
+        sub_opts.mip_rel_gap = 0.0
+        sub_opts.mip_abs_gap = 0.0
+        sub_opts.mip_max_nodes = node_budget
+        remaining = options.time_limit - (time.perf_counter() - t0)
+        sub_opts.time_limit = max(1.0, min(
+            remaining * 0.3,
+            10.0 + 100.0 * options.mip_heuristic_effort))
+        sub_opts.mip_heuristic_run_feasibility_jump = False
+        sub_opts.mip_report_level = 0
+        # inherit the current cutoff so the sub-MIP prunes on it
+        if incumbent_obj < math.inf:
+            sub_opts.objective_bound = sense * incumbent_obj + lp.offset
+        try:
+            st, sub_sol, _sub_info = solve_mip(sub, sub_opts, log=None)
+        except RecursionError:
+            return False
+        if sub_sol.value_valid and sub_sol.col_value is not None:
+            return try_incumbent(np.asarray(sub_sol.col_value), source)
+        return False
+
+    # ---- reduced-cost fixing from the root duals (reference
+    # HighsRedcostFixing.cpp: dual bound + cutoff => global bound
+    # tightening); re-applied whenever the incumbent improves -----------
+    redcost_applied_at = math.inf
+
+    def objective_cutoff_tighten(lo2, up2):
+        """Bound tightening from the objective-cutoff row
+        (reference HighsObjectiveFunction / ObjectivePropagation:
+        c'x <= upper_limit propagated like any row).  Returns
+        (lo, up, ntight)."""
+        B = prune_limit()
+        if not math.isfinite(B):
+            return lo2, up2, 0
+        c = sense * lp.col_cost
+        nz = np.abs(c) > 1e-12
+        if not nz.any():
+            return lo2, up2, 0
+        cmin = np.where(c > 0, c * lo2, c * up2)
+        cmin = np.where(nz, cmin, 0.0)
+        if not np.all(np.isfinite(cmin[nz])):
+            return lo2, up2, 0
+        S = float(cmin.sum())
+        slack = B - S  # >= c_j*(x_j - argmin_j) for each j
+        if not math.isfinite(slack) or slack < -feastol:
+            return lo2, up2, 0
+        lo3, up3 = lo2.copy(), up2.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ub_cand = np.where(nz & (c > 0), lo2 + slack / np.abs(c),
+                               np.inf)
+            lb_cand = np.where(nz & (c < 0), up2 - slack / np.abs(c),
+                               -np.inf)
+        ub_cand = np.where(is_int, np.floor(ub_cand + feastol), ub_cand)
+        lb_cand = np.where(is_int, np.ceil(lb_cand - feastol), lb_cand)
+        ntight = int(np.sum(ub_cand < up3 - feastol) +
+                     np.sum(lb_cand > lo3 + feastol))
+        np.minimum(up3, ub_cand, out=up3)
+        np.maximum(lo3, lb_cand, out=lo3)
+        return lo3, up3, ntight
+
+    def apply_root_redcost_fixing():
+        nonlocal root_lo_p, root_up_p, redcost_applied_at
+        if root_z is None or root_x is None or \
+                not math.isfinite(root_bound) or \
+                incumbent_obj >= redcost_applied_at:
+            return
+        redcost_applied_at = incumbent_obj
+        lo2, up2, ntight = heur.redcost_fixing(
+            root_z, root_x, root_bound, incumbent_obj - abs_gap,
+            root_lo_p, root_up_p, is_int, feastol)
+        lo2, up2, ntight2 = objective_cutoff_tighten(lo2, up2)
+        ntight += ntight2
+        if ntight:
+            if debug_sol is not None and debug_sol.active:
+                debug_sol.check_bounds(lo2, up2,
+                                       "reduced-cost fixing", feastol)
+            ok2, lo3, up3 = prop.propagate(lo2, up2)
+            if ok2:
+                if debug_sol is not None and debug_sol.active:
+                    debug_sol.check_bounds(
+                        lo3, up3, "post-redcost propagation", feastol)
+                root_lo_p, root_up_p = lo3, up3
+                if log is not None:
+                    log(f"MIP reduced-cost fixing tightened {ntight} "
+                        f"bounds")
+
+    abs_gap = options.mip_abs_gap
+    rel_gap = options.mip_rel_gap
+
     def run_feasibility_jump(x_start, lo, up, seed=0, effort=1.0):
         """Feasibility-jump + LP completion (reference:
         mip_heuristic_run_feasibility_jump).  `effort` < 1 scales the
@@ -1123,6 +1331,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         _m_perm = lp.num_row + _Relax.num_cut_rows  # non-ageable prefix
         lp_cut_keys: list = []  # keys of ageable cut rows, in row order
         lp_cut_age = np.zeros(0, dtype=int)
+        _rens_mid = [False]  # one mid-loop RENS incumbent attempt
         first_root_bound = None  # bound before any cuts (stall basis)
         hard_stall = 0
         for _round in range(_max_rounds):
@@ -1308,6 +1517,30 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # the root like any node)
             if incumbent_obj < math.inf and root_bound > prune_limit():
                 break
+            # interleaved incumbent + domain tightening (reference
+            # evaluateRootNode: primal heuristics and redcost fixing
+            # run BETWEEN separation rounds, so cuts separate against
+            # progressively tighter domains — this, not the cuts
+            # alone, is where the reference's root bound strength
+            # comes from on knapsack models like lseu/p0548)
+            if _sep_sub == 0 and _round % 3 == 2:
+                if not _rens_mid[0] and root_x is not None and \
+                        current_gap(root_bound) > 0.02:
+                    _rens_mid[0] = True
+                    _lo2r, _up2r = heur.submip_bounds_rens(
+                        is_int, root_x, root_lo_p, root_up_p)
+                    run_submip(_lo2r, _up2r, "RENS")
+                if incumbent_obj < redcost_applied_at:
+                    _nfix_b = int(np.sum(root_lo_p >= root_up_p))
+                    apply_root_redcost_fixing()
+                    if int(np.sum(root_lo_p >= root_up_p)) > _nfix_b:
+                        # domains changed: re-solve before separating
+                        feasible, root_bound, root_x, root_basis = \
+                            solve_node_lp(root_lo_p, root_up_p,
+                                          warm_basis=root_basis)
+                        root_z = last_duals["z"]
+                        if not feasible or root_x is None:
+                            break
             # per-round row aging: rows slack at two consecutive root
             # optima leave the LP (reference HighsLpRelaxation aging).
             # Only rows whose slack logical is BASIC are droppable —
@@ -1372,6 +1605,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # extra patience: compounding +0.03/round creep closed
             # sp150x300d's last 2 bound units only after round 20
             patience = 3 if len(added) < 30 else 6
+            _pat_env = _osmod.environ.get("HX_SEP_PATIENCE")
+            if _pat_env:
+                patience = int(_pat_env)
             if stall >= patience:
                 break
             # hard stall: a trickle round (a handful of cuts, bound
@@ -1530,148 +1766,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             if cand is not None:
                 try_incumbent(cand, "rounding after cuts")
 
-    sub_level = int(getattr(options, "_sub_mip_level", 0))
-
     if options.mip_heuristic_run_feasibility_jump and \
             incumbent_obj == math.inf and sub_level == 0:
         run_feasibility_jump(root_x, root_lo_p, root_up_p)
-
-    # ---- primal heuristics (reference HighsPrimalHeuristics.cpp) ------
-    from . import heuristics as heur
-
-    _sub_native = {"key": None}
-
-    def native_submip(lo3, up3, source, node_budget, tl):
-        """Fast sub-MIP: hand the restricted box straight to the
-        native branch-and-bound (hx_mip_solve) over the CURRENT
-        relaxation rows — no recursive root machinery (the reference's
-        solveSubMip also runs with submip=true effort caps).  Returns
-        True when an improving incumbent was found."""
-        from ..simplex.native import _ruiz_scales as _rz
-        from ..simplex.dual_native import mip_solve as _bb
-        import scipy.sparse as _sp
-        a = _Relax.a_csc
-        key = (id(a), a.shape, a.nnz)
-        if _sub_native["key"] != key:
-            cost_s = sense * lp.col_cost
-            sc = _rz(a)
-            if sc is not None:
-                r_s, c_s = sc
-                c_s = np.where(is_int, 1.0, c_s)
-                a_s = (_sp.diags(r_s) @ a @ _sp.diags(c_s)).tocsc()
-                cost_s = cost_s * c_s
-            else:
-                r_s = c_s = None
-                a_s = a
-            _sub_native.update(
-                key=key, a=a_s, a_csr=a_s.tocsr(), cost=cost_s,
-                r=r_s, c=c_s)
-        r_s, c_s = _sub_native["r"], _sub_native["c"]
-        rl_s = np.asarray(_Relax.row_lower, float)
-        ru_s = np.asarray(_Relax.row_upper, float)
-        lo_s, up_s = lo3, up3
-        if c_s is not None:
-            rl_s = np.where(np.isfinite(rl_s), rl_s * r_s, rl_s)
-            ru_s = np.where(np.isfinite(ru_s), ru_s * r_s, ru_s)
-            lo_s = np.where(np.isfinite(lo3), lo3 / c_s, lo3)
-            up_s = np.where(np.isfinite(up3), up3 / c_s, up3)
-        try:
-            st_s, found_s, x_s, obj_s, dual_s, nn_s, it_s = _bb(
-                _sub_native["a"], _sub_native["a_csr"],
-                _sub_native["cost"], lo_s, up_s, rl_s, ru_s, is_int,
-                None, min(incumbent_obj, user_cutoff),
-                _obj_scale or 0.0, 0.0, 0.0, lp.offset, -math.inf,
-                feastol=feastol, max_nodes=node_budget,
-                time_limit=tl,
-                reliable=int(options.mip_pscost_minreliable),
-                tol_scale=(np.concatenate([1.0 / c_s, r_s])
-                           if c_s is not None else None),
-                sym_gens=(np.concatenate(
-                    [np.asarray(g, np.int32) for g in sym_gens])
-                    if sym_gens else None))
-        except Exception:
-            import os as _os9
-            if _os9.environ.get("HX_NATIVE_DEBUG"):
-                import traceback
-                traceback.print_exc()
-            return None  # caller falls back to the recursive path
-        info.mip_node_count += nn_s
-        info.iterations += it_s
-        if found_s:
-            x_rec = x_s * c_s if c_s is not None else x_s
-            return try_incumbent(x_rec, source)
-        return False
-
-    _submip_spent = [0.0]  # cumulative sub-MIP wall time (effort cap)
-
-    def run_submip(lo2, up2, source, node_budget=500):
-        with _clk("sub_mip"):
-            _ts = time.perf_counter()
-            try:
-                return _run_submip_impl(lo2, up2, source, node_budget)
-            finally:
-                _submip_spent[0] += time.perf_counter() - _ts
-
-    def _run_submip_impl(lo2, up2, source, node_budget=500):
-        """Sub-MIP plumbing (HighsPrimalHeuristics.cpp solveSubMip):
-        solve the restricted MIP with tight budgets, feed any solution
-        into the incumbent."""
-        if sub_level >= 1:
-            return False
-        if time.perf_counter() - t0 > options.time_limit - 2.0:
-            return False  # no budget left for a heuristic solve
-        # effort cap (reference HighsPrimalHeuristics: heuristic lp
-        # iterations budgeted against total effort): sub-MIP wall time
-        # may not exceed ~a third of the whole solve's elapsed time —
-        # on root-dominated instances the dozen RINS/RENS re-solves
-        # were 40% of the wall clock (gesa2)
-        if _submip_spent[0] > 0.5 + 0.35 * (time.perf_counter() - t0):
-            return False
-        if np.any(lo2 > up2 + feastol):
-            return False
-        ok2, lo3, up3 = prop.propagate(lo2, up2)
-        if not ok2:
-            return False
-        remaining0 = options.time_limit - (time.perf_counter() - t0)
-        if use_simplex and _Relax.a_csc is not None and \
-                bool(is_int.any()) and not sos_sets and \
-                not bool(is_semi.any()) and debug_sol is None:
-            # native nodes are ~100x cheaper than Python-loop nodes:
-            # scale the budget up so the sub-MIP usually solves to
-            # proven optimality inside its box — but cap by instance
-            # size so tiny models don't burn 20k-node heuristics
-            _nb = min(40 * node_budget,
-                      max(2000, 30 * int(is_int.sum())))
-            got = native_submip(
-                lo3, up3, source, _nb,
-                max(0.3, min(remaining0 * 0.1,
-                             0.5 + 20.0 * options.mip_heuristic_effort)))
-            if got is not None:
-                return got
-        sub = lp.copy()
-        sub.col_lower = lo3
-        sub.col_upper = up3
-        sub_opts = _copy.copy(options)
-        sub_opts._sub_mip_level = sub_level + 1
-        sub_opts.mip_rel_gap = 0.0
-        sub_opts.mip_abs_gap = 0.0
-        sub_opts.mip_max_nodes = node_budget
-        remaining = options.time_limit - (time.perf_counter() - t0)
-        sub_opts.time_limit = max(1.0, min(
-            remaining * 0.3,
-            10.0 + 100.0 * options.mip_heuristic_effort))
-        sub_opts.mip_heuristic_run_feasibility_jump = False
-        sub_opts.mip_report_level = 0
-        # inherit the current cutoff so the sub-MIP prunes on it
-        if incumbent_obj < math.inf:
-            sub_opts.objective_bound = sense * incumbent_obj + lp.offset
-        try:
-            st, sub_sol, _sub_info = solve_mip(sub, sub_opts, log=None)
-        except RecursionError:
-            return False
-        if sub_sol.value_valid and sub_sol.col_value is not None:
-            return try_incumbent(np.asarray(sub_sol.col_value), source)
-        return False
 
     _gap_closed = (incumbent_obj < math.inf and root_x is not None and
                    math.isfinite(root_bound) and
@@ -1762,35 +1859,6 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     feastol)
                 if not nfx or not run_submip(lo2, up2, "RINS"):
                     break
-
-    # ---- reduced-cost fixing from the root duals (reference
-    # HighsRedcostFixing.cpp: dual bound + cutoff => global bound
-    # tightening); re-applied whenever the incumbent improves -----------
-    redcost_applied_at = math.inf
-
-    def apply_root_redcost_fixing():
-        nonlocal root_lo_p, root_up_p, redcost_applied_at
-        if root_z is None or root_x is None or \
-                not math.isfinite(root_bound) or \
-                incumbent_obj >= redcost_applied_at:
-            return
-        redcost_applied_at = incumbent_obj
-        lo2, up2, ntight = heur.redcost_fixing(
-            root_z, root_x, root_bound, incumbent_obj - abs_gap,
-            root_lo_p, root_up_p, is_int, feastol)
-        if ntight:
-            if debug_sol is not None and debug_sol.active:
-                debug_sol.check_bounds(lo2, up2,
-                                       "reduced-cost fixing", feastol)
-            ok2, lo3, up3 = prop.propagate(lo2, up2)
-            if ok2:
-                if debug_sol is not None and debug_sol.active:
-                    debug_sol.check_bounds(
-                        lo3, up3, "post-redcost propagation", feastol)
-                root_lo_p, root_up_p = lo3, up3
-                if log is not None:
-                    log(f"MIP reduced-cost fixing tightened {ntight} "
-                        f"bounds")
 
     # ---- batched node evaluation (SURVEY §7.7: open nodes as one
     # vmapped device program; also the deterministic stand-in for the
