@@ -169,6 +169,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
     infeasible = False
     unbounded = False
     changed_any = False
+    _sparsify_off = [False]  # sticky: a zero-edit pass disables it
     for _pass in range(max_passes):
         changed = False
 
@@ -541,7 +542,12 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # lambda * (equality row e) to row r when that nets fewer
         # nonzeros; feasible set unchanged.  Postsolve: equality-row-
         # addition replay  y_e += lambda * y_r.)
-        if _rule_on(options, PresolveRuleType.kSparsify):
+        if _rule_on(options, PresolveRuleType.kSparsify) and \
+                not _sparsify_off[0] and _pass < 2:
+            # passes 0-1 only: later passes re-examine the same
+            # candidates at ~5-10ms a pass for single-digit extra
+            # cancellations (the reference's C++ sparsify is free by
+            # comparison; ours must pay its way)
             a_csr = masked_csr(a)
             a2c = a_csr.tocsc()
             row_nnz = np.diff(a_csr.indptr)
@@ -614,6 +620,11 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     edits += 1
                     changed = True
                 stale.add(int(e))
+            if edits == 0:
+                # a pass with zero cancellations will not find any on
+                # the next pass either (the candidate set only shrinks)
+                # — the scan itself costs ~5-10ms per pass
+                _sparsify_off[0] = True
             if s_rows:
                 delta = sp.csc_matrix(
                     (s_vals, (s_rows, s_cols)), shape=a.shape)
@@ -641,8 +652,31 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                                  np.isfinite(ru) &
                                  (np.abs(ru - rl) <= tol) &
                                  (np.diff(a_csr.indptr) > 0))[0]
+            dense = None
             if 2 <= len(eq_rows) <= 300 and n <= 4000:
                 dense = np.asarray(a_csr[eq_rows].todense())
+                # fast path: one rank-revealing QR on the row block —
+                # full row rank (the overwhelmingly common case) means
+                # no dependent equations, skipping the O(k^2) python
+                # elimination below entirely
+                import scipy.linalg as _sla
+                try:
+                    # LU with partial pivoting (getrf) as the rank
+                    # probe: if every |U_ii| is comfortably nonzero
+                    # the rows are independent.  A suspicious probe
+                    # (tiny pivot) falls through to the exact
+                    # sequential elimination — false alarms cost time,
+                    # never correctness.
+                    _lu_u = _sla.lu_factor(dense.T)[0]
+                    _k = min(_lu_u.shape)
+                    _diag = np.abs(np.diagonal(_lu_u)[:_k])
+                    _dmax = float(_diag.max()) if _diag.size else 0.0
+                    if _k >= len(eq_rows) and _dmax > 0 and \
+                            float(_diag.min()) > 1e-9 * _dmax:
+                        dense = None  # full row rank: nothing to find
+                except Exception:
+                    pass
+            if dense is not None:
                 aug = np.concatenate(
                     [dense, rl[eq_rows, None]], axis=1)
                 # incremental elimination: reduce each row against the

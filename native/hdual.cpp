@@ -234,6 +234,7 @@ struct LoopClocks {
   int64_t iters = 0, factors = 0;
   int64_t rho_nnz = 0, acol_nnz = 0, eta_cnt = 0;
   int64_t lu_fill = 0, basis_nnz = 0;  // accumulated at factor time
+  int64_t degen = 0, flips = 0, verifies = 0;
   bool on = false;
   ~LoopClocks() {
     if (on && iters)
@@ -247,6 +248,10 @@ struct LoopClocks {
               (double)rho_nnz / iters, (double)acol_nnz / iters,
               (double)eta_cnt / iters,
               basis_nnz ? (double)lu_fill / (double)basis_nnz : 0.0);
+    if (on && iters)
+      fprintf(stderr, "[hx_dual counts] degen=%lld flips=%lld "
+              "verifies=%lld\n", (long long)degen, (long long)flips,
+              (long long)verifies);
   }
 };
 static LoopClocks g_clk;
@@ -1004,6 +1009,10 @@ int dual_loop(Engine& e, double tol_p, double tol_d, int max_iter,
     e.d[jl] = -theta_d;
     e.d[q] = 0.0;
 
+    if (g_clk.on) {
+      g_clk.flips += (int64_t)flips.size();
+      if (std::fabs(theta_d) < 1e-12) ++g_clk.degen;
+    }
     // ---- apply the accumulated bound flips (one aggregated FTRAN) ------
     if (!flips.empty()) {
       e.fvec.assign(m, 0.0);
