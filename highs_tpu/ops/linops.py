@@ -103,6 +103,160 @@ class EllMatrix(NamedTuple):
         return out
 
 
+class BucketPanelEllMatrix(NamedTuple):
+    """Bucketed panel-gather ELL: rows grouped by nonzero count into a
+    small width ladder, each bucket padded to its own width.
+
+    The TPU XLA gather wall is per-GATHER-OP (~2-4ns each, payload
+    width free — see PanelEllMatrix), so SpMV cost is proportional to
+    the TOTAL padded slot count Sum_b m_b * w_b.  A single global p92
+    width pays ~2x padding over the mean row count; the ladder brings
+    slots to ~1.15x nnz.  Measured on the 50k x 50k / 5e5-nnz
+    flagship: 1.91 ms/matvec vs 3.06 for single-width panel ELL.
+    Rows beyond the top width spill to a sorted-COO segment_sum tail;
+    bucket outputs are re-ordered with one (m,)-gather (~0.15 ms,
+    included in the measurement).
+    """
+    fwd: tuple          # per-bucket (panel, lane, val) arrays, row side
+    inv: jax.Array      # (m,) int32: concat(bucket outs)[inv] = out
+    fwd_t: tuple        # transpose side buckets
+    inv_t: jax.Array
+    tail_seg: jax.Array
+    tail_col: jax.Array
+    tail_val: jax.Array
+    tail_seg_t: jax.Array
+    tail_col_t: jax.Array
+    tail_val_t: jax.Array
+
+    @property
+    def shape(self):
+        return (self.inv.shape[0], self.inv_t.shape[0])
+
+    def _half(self, x, buckets, inv, tail_seg, tail_col, tail_val):
+        m = inv.shape[0]
+        xp = x.reshape(x.shape[0] // 128, 128)
+        lanes = jnp.arange(128, dtype=jnp.int32)
+        outs = []
+        done = 0
+        for (panel, lane, val) in buckets:
+            mb, w = panel.shape
+            out = jnp.zeros((mb,), x.dtype)
+            for k in range(w):
+                rows = xp[panel[:, k]]             # (mb, 128) gather
+                pick = jnp.sum(
+                    jnp.where(lanes[None, :] == lane[:, k, None],
+                              rows, 0),
+                    axis=1)
+                out = out + val[:, k] * pick
+            outs.append(out)
+            done += mb
+        if done < m:  # empty rows live in a compute-free bucket
+            outs.append(jnp.zeros((m - done,), x.dtype))
+        full = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        out = full[inv]
+        if tail_seg.shape[0]:
+            out = out + jax.ops.segment_sum(
+                tail_val * x[tail_col], tail_seg, num_segments=m,
+                indices_are_sorted=True)
+        return out
+
+    def mv(self, x):
+        return self._half(x, self.fwd, self.inv, self.tail_seg,
+                          self.tail_col, self.tail_val)
+
+    def rmv(self, y):
+        return self._half(y, self.fwd_t, self.inv_t, self.tail_seg_t,
+                          self.tail_col_t, self.tail_val_t)
+
+
+_BUCKET_WIDTHS = (2, 4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def _bucket_panel_half(csr: sp.csr_matrix, dtype):
+    """(buckets, inv, tail_seg, tail_col, tail_val) for one side."""
+    nr = csr.shape[0]
+    cnt = np.diff(csr.indptr)
+    wmax = _BUCKET_WIDTHS[-1]
+    buckets = []
+    order = []
+    prev = 0
+    for w in _BUCKET_WIDTHS:
+        sel = np.nonzero((cnt > prev) & (cnt <= w))[0]
+        prev = w
+        if sel.size == 0:
+            continue
+        take = np.minimum(cnt[sel], w)
+        panel = np.zeros((sel.size, w), np.int32)
+        lane = np.zeros((sel.size, w), np.int32)
+        val = np.zeros((sel.size, w), np.float64)
+        for k in range(w):
+            smask = take > k
+            pos = csr.indptr[sel[smask]] + k
+            panel[smask, k] = csr.indices[pos] // 128
+            lane[smask, k] = csr.indices[pos] % 128
+            val[smask, k] = csr.data[pos]
+        buckets.append((jnp.asarray(panel), jnp.asarray(lane),
+                        jnp.asarray(val, dtype=dtype)))
+        order.append(sel)
+    long_rows = np.nonzero(cnt > wmax)[0]
+    if long_rows.size:
+        # long rows: first wmax entries ride the top bucket, the rest
+        # spill to the COO tail
+        take = np.full(long_rows.size, wmax)
+        panel = np.zeros((long_rows.size, wmax), np.int32)
+        lane = np.zeros((long_rows.size, wmax), np.int32)
+        val = np.zeros((long_rows.size, wmax), np.float64)
+        for k in range(wmax):
+            pos = csr.indptr[long_rows] + k
+            panel[:, k] = csr.indices[pos] // 128
+            lane[:, k] = csr.indices[pos] % 128
+            val[:, k] = csr.data[pos]
+        buckets.append((jnp.asarray(panel), jnp.asarray(lane),
+                        jnp.asarray(val, dtype=dtype)))
+        order.append(long_rows)
+    empty = np.nonzero(cnt == 0)[0]
+    if empty.size:
+        order.append(empty)
+    perm = (np.concatenate(order) if order
+            else np.zeros(0, dtype=np.int64))
+    inv_pos = np.empty(nr, dtype=np.int32)
+    inv_pos[perm] = np.arange(nr, dtype=np.int32)
+    segs, colss, valss = [], [], []
+    for r in long_rows:
+        s, e = csr.indptr[r] + wmax, csr.indptr[r + 1]
+        segs.append(np.full(e - s, r, np.int32))
+        colss.append(csr.indices[s:e])
+        valss.append(csr.data[s:e])
+    if segs:
+        seg = np.concatenate(segs)
+        col = np.concatenate(colss).astype(np.int32)
+        vv = np.concatenate(valss)
+    else:
+        seg = np.zeros(0, np.int32)
+        col = np.zeros(0, np.int32)
+        vv = np.zeros(0, np.float64)
+    return (tuple(buckets), jnp.asarray(inv_pos), jnp.asarray(seg),
+            jnp.asarray(col), jnp.asarray(vv, dtype=dtype))
+
+
+def from_scipy_bucket_panel_ell(mat: sp.spmatrix,
+                                dtype=jnp.float64
+                                ) -> BucketPanelEllMatrix:
+    """Build a BucketPanelEllMatrix (128-aligned shape required)."""
+    m, n = mat.shape
+    if m % 128 or n % 128:
+        raise ValueError(
+            f"BucketPanelEllMatrix needs 128-aligned shape, got "
+            f"{(m, n)}")
+    csr = mat.tocsr()
+    csr.sum_duplicates()
+    csr_t = csr.T.tocsr()
+    b_a, i_a, s_a, c_a, t_a = _bucket_panel_half(csr, dtype)
+    b_t, i_t, s_t, c_t, t_t = _bucket_panel_half(csr_t, dtype)
+    return BucketPanelEllMatrix(
+        b_a, i_a, b_t, i_t, s_a, c_a, t_a, s_t, c_t, t_t)
+
+
 class PanelEllMatrix(NamedTuple):
     """Panel-gather ELL operator — the fast TPU format for UNSTRUCTURED
     sparsity at scale.
@@ -344,6 +498,14 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                        and m % 128 == 0 and n % 128 == 0 else "ell")
     if fmt == "panelell":
         return from_scipy_panel_ell(mat, dtype=dtype)
+    if fmt == "bucketell":
+        # bucketed-width panel ELL: fastest isolated matvec (1.91 vs
+        # 3.06 ms on the 50k flagship) but measured SLOWER inside the
+        # fused PDHG window (248 vs 283 it/s warm): the un-permute
+        # gather + concat break XLA's fusion of the step elementwise
+        # chain.  Kept as an explicit option for workloads where the
+        # matvec dominates a less fusion-friendly loop.
+        return from_scipy_bucket_panel_ell(mat, dtype=dtype)
     if fmt == "ell":
         return from_scipy_ell(mat, dtype=dtype)
     if fmt == "blockcsr":

@@ -496,6 +496,11 @@ def _restart_state_avg(problem: PdhgProblem, state: PdhgState,
         k=jnp.zeros_like(state.k), omega=new_omega)
 
 
+@jax.jit
+def _init_aty(k_op: LinOp, y: jax.Array):
+    return k_op.rmv(y)
+
+
 @partial(jax.jit, static_argnames=("n", "iters", "dtype"))
 def power_method(k_op: LinOp, n: int, iters: int, dtype):
     """Estimate ||K||_2 via power iteration on K'K (pdhg.cc:1529)."""
@@ -589,7 +594,10 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     state = PdhgState(
         x=x_init, y=y_init, x_pd=x_init, y_pd=y_init,
         x_anchor=x_init, y_anchor=y_init,
-        aty=problem.k_op.rmv(y_init),
+        # jitted: an eager bucketed/panel rmv dispatches hundreds of
+        # per-op programs through the axon tunnel (seconds of fixed
+        # cost); one jitted call is a single cached program
+        aty=_init_aty(problem.k_op, y_init),
         k=jnp.zeros((), dtype=jnp.int32),
         eta=jnp.asarray(eta0, dtype=dtype),
         omega=jnp.asarray(omega0, dtype=dtype))
@@ -861,11 +869,17 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                 else:  # malitsky_pock: cautious multiplicative ratio
                     grow = min(1.0 + 0.5 / (k + 1.0), 1.2)
                     eta_new = min(eta_limit * 0.9, eta_cur * grow)
-                # PDHG stability requires eta ||K|| < 1 and eta0 is
-                # already at 0.998/||K||: adaptation can only trim
-                # DOWNWARD (toward the observed curvature) and recover
-                # back up to the spectral bound, never beyond it
-                eta_new = min(max(eta_new, 0.25 * eta0), eta0)
+                # The spectral bound eta||K|| < 1 is the worst case;
+                # the measured movement/interaction ratio is the LOCAL
+                # stability limit and routinely sits far above it
+                # (cuPDLP's linesearch exploits exactly this).  Allow
+                # growth past eta0 up to the safeguarded local limit,
+                # capped at 8x spectral; restarts and the KKT check
+                # contain any transient divergence.
+                import os as _os_eta
+                _cap = (8.0 * eta0 if _os_eta.environ.get("HX_ETA_UNCAP")
+                        else eta0)
+                eta_new = min(max(eta_new, 0.25 * eta0), _cap)
                 if eta_new > 0 and abs(eta_new - eta_cur) > \
                         1e-12 * eta_cur:
                     state = state._replace(

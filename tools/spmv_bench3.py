@@ -1,6 +1,7 @@
 """SpMV timing with forced value transfer (device_get) every call —
 the only reliable sync on the tunneled axon backend."""
-import os
+import os, sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np
