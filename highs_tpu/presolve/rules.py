@@ -543,11 +543,13 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # nonzeros; feasible set unchanged.  Postsolve: equality-row-
         # addition replay  y_e += lambda * y_r.)
         if _rule_on(options, PresolveRuleType.kSparsify) and \
-                not _sparsify_off[0] and _pass < 2:
-            # passes 0-1 only: later passes re-examine the same
-            # candidates at ~5-10ms a pass for single-digit extra
-            # cancellations (the reference's C++ sparsify is free by
-            # comparison; ours must pay its way)
+                not _sparsify_off[0] and (_pass < 2 or is_mip):
+            # pure LPs: passes 0-1 only — later passes re-examine the
+            # same candidates at ~5-10ms a pass for single-digit extra
+            # cancellations.  MIPs keep every pass: the cancellations
+            # measurably strengthen downstream cut separation
+            # (sp150x300d root bound 68.4 vs 63.1 with the cap, a
+            # 257-node vs 13k-node tree)
             a_csr = masked_csr(a)
             a2c = a_csr.tocsc()
             row_nnz = np.diff(a_csr.indptr)
@@ -659,6 +661,8 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 # full row rank (the overwhelmingly common case) means
                 # no dependent equations, skipping the O(k^2) python
                 # elimination below entirely
+                import warnings as _warn
+
                 import scipy.linalg as _sla
                 try:
                     # LU with partial pivoting (getrf) as the rank
@@ -666,8 +670,11 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     # the rows are independent.  A suspicious probe
                     # (tiny pivot) falls through to the exact
                     # sequential elimination — false alarms cost time,
-                    # never correctness.
-                    _lu_u = _sla.lu_factor(dense.T)[0]
+                    # never correctness.  A singular block is an
+                    # EXPECTED probe outcome, not a warning.
+                    with _warn.catch_warnings():
+                        _warn.simplefilter("ignore")
+                        _lu_u = _sla.lu_factor(dense.T)[0]
                     _k = min(_lu_u.shape)
                     _diag = np.abs(np.diagonal(_lu_u)[:_k])
                     _dmax = float(_diag.max()) if _diag.size else 0.0

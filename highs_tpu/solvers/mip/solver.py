@@ -1055,7 +1055,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # native nodes are ~100x cheaper than Python-loop nodes:
             # scale the budget up so the sub-MIP usually solves to
             # proven optimality inside its box — but cap by instance
-            # size so tiny models don't burn 20k-node heuristics
+            # size so tiny models don't burn 20k-node heuristics.
+            # The TIME box additionally grows with elapsed solve time:
+            # a 1.5s heuristic dive inside the first seconds of a
+            # small MIP costs more than the tree it could save
+            # (sp150x300d: 5 x 1.7s of root RENS/RINS on an instance
+            # whose root already closes the gap)
             _nb = min(40 * node_budget,
                       max(2000, 30 * int(is_int.sum())))
             got = native_submip(
