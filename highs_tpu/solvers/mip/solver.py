@@ -1105,7 +1105,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         c'x <= upper_limit propagated like any row).  Returns
         (lo, up, ntight)."""
         B = prune_limit()
-        if not math.isfinite(B):
+        if not math.isfinite(B) or not _obj_scale:
+            # only for integral objectives, where the cutoff steps a
+            # full 1/scale below the incumbent: the continuous-case
+            # epsilon-tightening pins variables to a degenerate cutoff
+            # facet and measurably bloats the tree (makespan models:
+            # 2x nodes) for no combinatorial gain
             return lo2, up2, 0
         c = sense * lp.col_cost
         nz = np.abs(c) > 1e-12
@@ -1528,7 +1533,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # progressively tighter domains — this, not the cuts
             # alone, is where the reference's root bound strength
             # comes from on knapsack models like lseu/p0548)
-            if _sep_sub == 0 and _round % 3 == 2:
+            if _sep_sub == 0 and _round % 3 == 2 and \
+                    not _osmod.environ.get("HX_NO_MIDLOOP"):
                 if not _rens_mid[0] and root_x is not None and \
                         current_gap(root_bound) > 0.02:
                     _rens_mid[0] = True
