@@ -146,6 +146,12 @@ class PdhgSettings:
     # operator interaction (the linesearch quantities of cuPDLP,
     # evaluated at block granularity so the device block stays fused)
     step_size_strategy: str = "fixed"
+    # Block-ramp warm start: refinement rounds (wrapper._refine_pdlp)
+    # continue a converging solve — re-ramping their device blocks from
+    # 40 steps pays ~24 extra host round trips of tunnel latency per
+    # round for no information.  ramp_start skips that many ramp
+    # stages (0 = cold ramp).
+    ramp_start: int = 0
     # ON-DEVICE restart windows (halpern mode): run checkRestartCriteria
     # at the reference's 40-step granularity INSIDE the fused device
     # block (pdhg.cc:658 checks every PDHG_CHECK_INTERVAL; the host-side
@@ -727,7 +733,9 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
 
     while True:
         block_steps = min(max_block,
-                          base_steps << min(6, n_blocks // 4))
+                          base_steps << min(6, (n_blocks +
+                                                settings.ramp_start)
+                                            // 4))
         if avg_mode:
             state, m_cur_d, m_avg_d, x_avg, y_avg = pdhg_block_avg(
                 problem, state, block_steps, step_op)

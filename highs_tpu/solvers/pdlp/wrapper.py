@@ -116,6 +116,15 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                         force_dtype: Optional[str] = None
                         ) -> Tuple[HighsModelStatus, HighsSolution,
                                    PdlpRunInfo]:
+    import os as _ost, time as _tt
+    _tr0 = _tt.perf_counter()
+    _trace = _ost.environ.get("HX_PDLP_TRACE")
+
+    def _tr(msg):
+        if _trace:
+            print(f"[pdlp {_tt.perf_counter() - _tr0:7.2f}] {msg}",
+                  flush=True)
+
     info = PdlpRunInfo()
     if lp.num_row == 0:
         status, sol = _solve_bound_lp(lp)
@@ -127,12 +136,14 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         return status, sol, info
 
     std = preprocess_lp(lp)
+    _tr("preprocessed")
     dtype_name = _resolve_dtype(options, force_dtype)
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
 
     scaled_a, scales = scale_problem(
         std.a, mode=options.pdlp_scaling_mode,
         ruiz_iterations=options.pdlp_ruiz_iterations)
+    _tr("scaled")
     dr, dc = scales.row_scale, scales.col_scale
 
     b_s = dr * std.b
@@ -202,6 +213,7 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
         k_op = linops.from_scipy(scaled_pad,
                                  fmt=options.tpu_matrix_format,
                                  dtype=dtype)
+    _tr("operator built")
 
     problem = PdhgProblem(
         k_op=k_op,
@@ -283,9 +295,11 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
 
     import time as _tm
     t_all = _tm.perf_counter()
+    _tr("cold round start")
     result = solve_pdhg(problem, n_pad, m_pad, settings,
                         x0=x0_s, y0=y0_s, offset=std.offset,
                         mesh=mesh, log=log_callback)
+    _tr(f"cold round done ({result.iterations} iters)")
     total_iterations = result.iterations
     total_restarts = result.restarts
 
@@ -407,9 +421,11 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                 host_check=_host_check,
                 host_check_gate=eps,
                 checkpoint_file="",
+                ramp_start=24,  # continue at full block size
                 time_limit=max(
                     1.0, settings.time_limit -
                     (_tm.perf_counter() - t_all)))
+            _tr("refine round start")
             rres = solve_pdhg(rproblem, n_pad, m_pad, rsettings,
                               offset=0.0, mesh=mesh, log=log_callback)
             total_iterations += rres.iterations
