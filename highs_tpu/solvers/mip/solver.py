@@ -1329,6 +1329,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
         _max_rounds = 60 if _sep_sub == 0 else 8
         mixing_active = [True]
+        modk_active = [True]
+        modk_yield = [0]
         in_lp_keys: set = set()  # pooled cuts currently in the LP
         # per-round row aging (reference HighsLpRelaxation row aging,
         # mip_lp_age_limit): cut rows added by the loop are tracked by
@@ -1403,9 +1405,18 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     root_up_p, root_x, is_int, feastol,
                     time_budget=path_sep_budget[0])
                 path_sep_budget[0] -= time.perf_counter() - _tps
-            found += separate_modk(sep_csr, sep_rl, sep_ru,
-                                   root_lo_p, root_up_p, root_x, is_int,
-                                   feastol)
+            # mod-k with a productivity probe (same self-gating idea as
+            # the mixing separator): when the first rounds return
+            # almost nothing, the congruence structure is absent and
+            # every further scan (~30ms) is wasted
+            if modk_active[0]:
+                _mk = separate_modk(sep_csr, sep_rl, sep_ru,
+                                    root_lo_p, root_up_p, root_x,
+                                    is_int, feastol)
+                modk_yield[0] += len(_mk)
+                if _round >= 3 and modk_yield[0] < 5:
+                    modk_active[0] = False
+                found += _mk
             # path MIXING cuts (reference HighsPathSeparator mixing
             # stage): sequence cuts over aggregation-path prefixes.
             # Self-gating: the separator only pays on fixed-charge /
