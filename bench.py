@@ -171,16 +171,25 @@ def run_tpu_pdhg(details):
         col_lower=np.zeros(n), col_upper=np.full(n, 10.0),
         row_lower=b, row_upper=np.full(m, np.inf),
         a_matrix=HighsSparseMatrix.from_scipy(A), sense=1)
-    opts = HighsOptions()
-    opts.solver = "hipdlp"
-    # the reference anchor reached optimal in 126.2s on CPU; give the
-    # TPU run a comparable window (time-to-optimal is the honest
-    # comparison; the anchor's 356 iter/s rate is also recorded)
-    opts.time_limit = 300.0
-    opts.output_flag = False
-    t0 = time.perf_counter()
-    st, sol, info = solve_lp_pdlp(lp, opts)
-    dt = time.perf_counter() - t0
+    # best of 2 (same policy as the suite's per-instance best-of-2 and
+    # the reference anchor's best-of-3): the tunneled device's
+    # throughput varies ~2x run to run at IDENTICAL iteration counts
+    # (45,920 iters measured anywhere from 155s to 328s), and a single
+    # sample records tunnel weather, not solver speed
+    dt = None
+    for _rep in range(2):
+        opts = HighsOptions()
+        opts.solver = "hipdlp"
+        # the reference anchor reached optimal in 126.2s on CPU; give
+        # the TPU run a comparable window (time-to-optimal is the
+        # honest comparison; the anchor's 356 iter/s rate is recorded)
+        opts.time_limit = 300.0
+        opts.output_flag = False
+        t0 = time.perf_counter()
+        st_r, sol_r, info_r = solve_lp_pdlp(lp, opts)
+        dt_r = time.perf_counter() - t0
+        if dt is None or dt_r < dt:
+            st, sol, info, dt = st_r, sol_r, info_r, dt_r
     iters = max(1, info.iterations)
     # each PDHG iteration = 2 SpMVs (2*nnz flops each)
     gflops = 2 * 2 * A.nnz * iters / dt / 1e9
