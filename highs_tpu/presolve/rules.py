@@ -537,6 +537,89 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             if infeasible:
                 break
 
+        # --- duplicate (parallel) columns -----------------------------------
+        # (reference kPresolveRuleParallelRowsAndCols, column side of
+        # HPresolve::detectParallelRowsAndCols: columns with
+        # a_k = s * a_j and c_k = s * c_j act only through
+        # t = x_j + s x_k, so they merge into one variable whose box is
+        # the Minkowski sum; postsolve splits t* back into the two
+        # boxes.  Continuous columns only — integer merges need
+        # lattice-compatibility conditions.)
+        if _rule_on(options, PresolveRuleType.kParallelRowsAndCols) \
+                and not infeasible and _pass < 2:
+            # first two passes only: the vectorized hash scan costs
+            # ~5-10ms and merges rarely cascade beyond pass 1
+            a2 = masked_csc(a)
+            cnnz = np.diff(a2.indptr)
+            mergeable = col_active & (cnnz >= 2) & ~is_int & ~semi_mask
+            if np.count_nonzero(mergeable) >= 2:
+                firstv = np.ones(n)
+                nzc = cnnz > 0
+                firstv[nzc] = a2.data[a2.indptr[:-1][nzc]]
+                col_of = np.repeat(np.arange(n), cnnz)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ratio = np.round(a2.data / firstv[col_of], 10)
+                q = np.uint64(0x9E3779B97F4A7C15)
+                hh = (a2.indices.astype(np.uint64) * q) ^ \
+                    ratio.view(np.uint64)
+                with np.errstate(over="ignore"):
+                    hh = (hh ^ (hh >> np.uint64(30))) * \
+                        np.uint64(0xBF58476D1CE4E5B9)
+                    chash = np.zeros(n, dtype=np.uint64)
+                    np.add.at(chash, col_of, hh)
+                    chash = chash * q + cnnz.astype(np.uint64)
+                cgroups: dict = {}
+                for j in np.nonzero(mergeable)[0]:
+                    cgroups.setdefault(int(chash[j]), []).append(int(j))
+
+                def _cols_parallel(j1, j2):
+                    s1, e1 = a2.indptr[j1], a2.indptr[j1 + 1]
+                    s2, e2 = a2.indptr[j2], a2.indptr[j2 + 1]
+                    if e1 - s1 != e2 - s2:
+                        return None
+                    if not np.array_equal(a2.indices[s1:e1],
+                                          a2.indices[s2:e2]):
+                        return None
+                    v1 = a2.data[s1:e1]
+                    v2 = a2.data[s2:e2]
+                    sc = v2[0] / v1[0]
+                    if not np.isfinite(sc) or abs(sc) < 1e-8 or \
+                            abs(sc) > 1e8:
+                        return None
+                    if not np.allclose(v2, sc * v1, rtol=1e-9,
+                                       atol=1e-12):
+                        return None
+                    if abs(cost[j2] - sc * cost[j1]) > \
+                            1e-9 * (1.0 + abs(cost[j2])):
+                        return None
+                    return float(sc)
+
+                for key, members in cgroups.items():
+                    if len(members) < 2:
+                        continue
+                    j1 = members[0]
+                    for j2 in members[1:]:
+                        if not col_active[j2] or not col_active[j1]:
+                            continue
+                        sc = _cols_parallel(j1, j2)
+                        if sc is None:
+                            continue
+                        if sc > 0:
+                            nl = cl[j1] + sc * cl[j2]
+                            nu = cu[j1] + sc * cu[j2]
+                        else:
+                            nl = cl[j1] + sc * cu[j2]
+                            nu = cu[j1] + sc * cl[j2]
+                        if np.isnan(nl) or np.isnan(nu):
+                            continue  # inf-inf: unbounded directions
+                        stack.append(("dup_col", int(j1), int(j2),
+                                      float(sc), float(cl[j1]),
+                                      float(cu[j1]), float(cl[j2]),
+                                      float(cu[j2])))
+                        cl[j1], cu[j1] = nl, nu
+                        col_active[j2] = False
+                        changed = True
+
         # --- sparsify: cancel nonzeros with equality rows -------------------
         # (reference kPresolveRuleSparsify, HPresolve::sparsify: add
         # lambda * (equality row e) to row r when that nets fewer
@@ -1327,6 +1410,40 @@ def postsolve_rules(original_lp: HighsLp, pr: PresolveResult,
             if have_dual:
                 z[j] = cj
             set_col_status(j, xj)
+        elif kind == "dup_col":
+            # split the merged variable t = x_j + s x_k back into the
+            # two original boxes; any split with x_k in [lk,uk] and
+            # t - s x_k in [lj,uj] is optimal (costs/columns are
+            # proportional), so prefer putting x_k at one of its own
+            # bounds (keeps the basis vertex-like)
+            (_, j, k, s, lj, uj, lk, uk) = rec
+            t = float(x[j])
+            tol9 = 1e-9 * (1.0 + abs(t))
+            if s > 0:
+                lo_k = (t - uj) / s if np.isfinite(uj) else -np.inf
+                hi_k = (t - lj) / s if np.isfinite(lj) else np.inf
+            else:
+                lo_k = (t - lj) / s if np.isfinite(lj) else -np.inf
+                hi_k = (t - uj) / s if np.isfinite(uj) else np.inf
+            if np.isfinite(lk) and lk >= lo_k - tol9 and \
+                    lk <= hi_k + tol9:
+                xk = lk
+            elif np.isfinite(uk) and uk >= lo_k - tol9 and \
+                    uk <= hi_k + tol9:
+                xk = uk
+            else:
+                xk = max(lk, lo_k)
+                if not np.isfinite(xk):
+                    xk = min(uk, hi_k)
+                if not np.isfinite(xk):
+                    xk = 0.0
+                xk = min(max(xk, lk), uk)
+            x[k] = xk
+            x[j] = t - s * xk
+            if have_dual:
+                z[k] = s * z[j]
+            set_col_status(k, xk)
+            set_col_status(j, float(x[j]))
         elif kind == "doubleton_eq":
             (_, i, jx, jy, ax_, ay_, d, cy, cly, cuy, clx, cux,
              y_rows_o, y_vals_o) = rec
