@@ -42,6 +42,24 @@ class HighsIis:
     row_bound: List[int] = dataclasses.field(default_factory=list)
 
 
+@dataclasses.dataclass
+class HighsIllConditioningRecord:
+    """One multiplier of the near-null basis combination (reference
+    HStruct.h:149)."""
+    index: int = 0
+    multiplier: float = 0.0
+
+
+@dataclasses.dataclass
+class HighsIllConditioning:
+    """Result of Highs.getIllConditioning (reference HStruct.h:154)."""
+    record: List[HighsIllConditioningRecord] = dataclasses.field(
+        default_factory=list)
+
+    def clear(self):
+        self.record.clear()
+
+
 _BASIS_CHAR = {HighsBasisStatus.kLower: "L", HighsBasisStatus.kBasic: "B",
                HighsBasisStatus.kUpper: "U", HighsBasisStatus.kZero: "Z",
                HighsBasisStatus.kNonbasic: "N"}
@@ -123,6 +141,111 @@ class HighsAnalysisApi:
     # ------------------------------------------------------------------
     # Basis files (reference v2 format-compatible layout)
     # ------------------------------------------------------------------
+    def getIllConditioning(self, constraint: bool, method: int = 0,
+                           ill_conditioning_bound: float = 1e-4):
+        """Ill-conditioning analysis of the current basis matrix
+        (reference Highs::getIllConditioning / computeIllConditioning,
+        lp_data/HighsInterface.cpp:3206, Highs.h:644-751).
+
+        Finds a near-null combination of the basis: method 0 minimizes
+        ||B'y||_1 (constraint view) or ||By||_1 (column view) subject
+        to e'y = 1; method 1 (Klotz14) minimizes ||y||_1 subject to
+        ||B'y||_1 <= ill_conditioning_bound and e'y = 1 (may be
+        infeasible when the bound is too small — returns kOk with an
+        empty record, matching the reference's early-out).
+
+        Returns (status, HighsIllConditioning, measure): records hold
+        (index, multiplier) with multipliers normalized to unit 1-norm
+        and sorted by decreasing magnitude; measure is the estimated
+        1-norm distance of B from singularity."""
+        b_mat, var_index = self._basis_matrix()
+        if b_mat is None:
+            return HighsStatus.kError, None, None
+        m = b_mat.shape[0]
+        if m == 0:
+            return HighsStatus.kError, None, None
+        from .highs import Highs as _H
+        from .models.lp import HighsLp, HighsSparseMatrix
+        op = b_mat.T.tocsc() if constraint else b_mat.tocsc()
+        cond = _H()
+        cond.setOptionValue("output_flag", False)
+        if method == 0:
+            # min e'(s+t)  s.t.  Op y - s + t = 0,  e'y = 1
+            amat = sp.vstack([
+                sp.hstack([op, -sp.identity(m), sp.identity(m)]),
+                sp.hstack([sp.csr_matrix(np.ones((1, m))),
+                           sp.csr_matrix((1, 2 * m))])]).tocsc()
+            lp2 = HighsLp(
+                num_col=3 * m, num_row=m + 1,
+                col_cost=np.concatenate(
+                    [np.zeros(m), np.ones(2 * m)]),
+                col_lower=np.concatenate(
+                    [np.full(m, -np.inf), np.zeros(2 * m)]),
+                col_upper=np.full(3 * m, np.inf),
+                row_lower=np.concatenate([np.zeros(m), [1.0]]),
+                row_upper=np.concatenate([np.zeros(m), [1.0]]),
+                a_matrix=HighsSparseMatrix.from_scipy(amat))
+            cond.passModel(lp2)
+            cond.run()
+            if cond.getModelStatus() != HighsModelStatus.kOptimal:
+                return HighsStatus.kError, None, None
+            sol = np.asarray(cond.getSolution().col_value)
+            y = sol[:m]
+            resid_norm = float(
+                cond.getInfo().objective_function_value)
+        else:
+            # min e'(u+w)  s.t.  Op y - s + t = 0,  y - u + w = 0,
+            #                    e'y = 1,  e'(s+t) <= bound
+            amat = sp.vstack([
+                sp.hstack([op, -sp.identity(m), sp.identity(m),
+                           sp.csr_matrix((m, 2 * m))]),
+                sp.hstack([sp.identity(m), sp.csr_matrix((m, 2 * m)),
+                           -sp.identity(m), sp.identity(m)]),
+                sp.hstack([sp.csr_matrix(np.ones((1, m))),
+                           sp.csr_matrix((1, 4 * m))]),
+                sp.hstack([sp.csr_matrix((1, m)),
+                           sp.csr_matrix(np.ones((1, 2 * m))),
+                           sp.csr_matrix((1, 2 * m))])]).tocsc()
+            lp2 = HighsLp(
+                num_col=5 * m, num_row=2 * m + 2,
+                col_cost=np.concatenate(
+                    [np.zeros(3 * m), np.ones(2 * m)]),
+                col_lower=np.concatenate(
+                    [np.full(m, -np.inf), np.zeros(4 * m)]),
+                col_upper=np.full(5 * m, np.inf),
+                row_lower=np.concatenate(
+                    [np.zeros(2 * m), [1.0], [-np.inf]]),
+                row_upper=np.concatenate(
+                    [np.zeros(2 * m), [1.0],
+                     [float(ill_conditioning_bound)]]),
+                a_matrix=HighsSparseMatrix.from_scipy(amat))
+            cond.passModel(lp2)
+            cond.run()
+            st2 = cond.getModelStatus()
+            if st2 == HighsModelStatus.kInfeasible:
+                # bound insufficient for analysis (reference logs and
+                # returns kOk with nothing extracted)
+                return HighsStatus.kOk, HighsIllConditioning(), None
+            if st2 != HighsModelStatus.kOptimal:
+                return HighsStatus.kError, None, None
+            sol = np.asarray(cond.getSolution().col_value)
+            y = sol[:m]
+            resid_norm = float(np.abs(sol[m:2 * m]).sum() +
+                               np.abs(sol[2 * m:3 * m]).sum())
+        norm1 = float(np.abs(y).sum())
+        if norm1 <= 0:
+            return HighsStatus.kError, None, None
+        measure = resid_norm / norm1
+        out = HighsIllConditioning()
+        mult = y / norm1
+        order = np.argsort(np.abs(mult))[::-1]
+        for i in order:
+            if abs(mult[i]) <= 1e-6:
+                continue
+            out.record.append(
+                HighsIllConditioningRecord(int(i), float(mult[i])))
+        return HighsStatus.kOk, out, measure
+
     def writeBasis(self, filename: str) -> HighsStatus:
         if not self._basis.valid:
             return HighsStatus.kError

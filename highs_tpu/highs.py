@@ -36,6 +36,8 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         self._model = HighsModel()
         self._options = HighsOptions()
         self._info = HighsInfo()
+        from .run_data import HighsRunData
+        self._run_data = HighsRunData()
         self._solution = HighsSolution()
         self._basis = HighsBasis()
         self._model_status = HighsModelStatus.kNotset
@@ -283,7 +285,90 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         finally:
             self._timer.stop("run")
         self._run_time = time.perf_counter() - t0
+        self._fill_run_data()
         return status
+
+    def _fill_run_data(self):
+        """Populate the post-run metric registry (reference
+        HighsRunData.h:29-47) from the phase clocks and the dispatch's
+        presolved-model dimensions."""
+        rd = self._run_data
+        rd.invalidate()
+        rd.valid = True
+        rd.presolve_time = self._timer.read("presolve")
+        rd.solve_time = self._timer.read("solve")
+        rd.postsolve_time = self._timer.read("postsolve")
+        rd.presolved_model_num_col = int(getattr(
+            self._info, "presolved_num_col",
+            getattr(self, "_rd_presolved_cols", self._model.lp.num_col)))
+        rd.presolved_model_num_row = int(getattr(
+            self._info, "presolved_num_row", self._model.lp.num_row))
+        rd.presolved_model_num_nz = int(getattr(
+            self._info, "presolved_num_nz",
+            self._model.lp.a_matrix.num_nz))
+        # our postsolve replays the dual/basis exactly (no clean-up
+        # simplex re-solve), so the post-postsolve iteration count is
+        # structurally zero unless a repair solve ran
+        rd.num_simplex_iterations_after_postsolve = int(getattr(
+            self._info, "postsolve_cleanup_iterations", 0))
+
+    def getRunData(self):
+        """The post-run metric registry (reference Highs::getRunData,
+        Highs.h:414)."""
+        return self._run_data
+
+    def getRunDataValue(self, name: str):
+        """Value of one run-data record by name (reference
+        Highs::getRunDataValue, Highs.h:421-429)."""
+        return self._run_data.get(name)
+
+    def getRunDataType(self, name: str):
+        """Type of one run-data record (reference getRunDataType)."""
+        from .run_data import HighsRunData as _RD
+        return _RD.type_of(name)
+
+    # ------------------------------------------------------------------
+    # Basis freeze/unfreeze (reference Highs::freezeBasis /
+    # unfreezeBasis / frozenBasisAllDataClear, Highs.h:1574-1596; the
+    # internal NLA-freeze bookkeeping of HSimplexNlaFreeze.cpp).  The
+    # reference deprecated the public entry points; here they WORK: a
+    # frozen id snapshots the basis, unfreeze restores it (the native
+    # node engine then hot-starts from it at minimal cost — the role
+    # the reference's frozen NLA served for its MIP solver).
+    # ------------------------------------------------------------------
+    def freezeBasis(self):
+        """Snapshot the current basis; returns (status, id)."""
+        if not self._basis.valid:
+            return HighsStatus.kError, -1
+        store = getattr(self, "_frozen_bases", None)
+        if store is None:
+            store = {}
+            self._frozen_bases = store
+            self._frozen_next_id = 0
+        fid = self._frozen_next_id
+        self._frozen_next_id += 1
+        import copy as _copy
+        store[fid] = _copy.deepcopy(self._basis)
+        return HighsStatus.kOk, fid
+
+    def unfreezeBasis(self, frozen_basis_id: int) -> HighsStatus:
+        """Restore (and release) a frozen basis by id."""
+        store = getattr(self, "_frozen_bases", None)
+        if not store or frozen_basis_id not in store:
+            return HighsStatus.kError
+        basis = store.pop(frozen_basis_id)
+        lp = self._model.lp
+        if len(basis.col_status) != lp.num_col or \
+                len(basis.row_status) != lp.num_row:
+            return HighsStatus.kError  # model changed shape since
+        self._basis = basis
+        return HighsStatus.kOk
+
+    def frozenBasisAllDataClear(self) -> HighsStatus:
+        """kOk when no frozen basis data remains (reference
+        frozenBasisAllDataClear semantics)."""
+        store = getattr(self, "_frozen_bases", None)
+        return HighsStatus.kOk if not store else HighsStatus.kError
 
     def _optimize_model(self) -> HighsStatus:
         lp = self._model.lp
@@ -352,6 +437,11 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         if getattr(lp_info, "basis", None) is not None:
             self._basis = lp_info.basis
         self._fill_info_lp(lp, lp_info)
+        for _rd_attr in ("presolved_num_col", "presolved_num_row",
+                         "presolved_num_nz"):
+            if hasattr(lp_info, _rd_attr):
+                setattr(self._info, _rd_attr,
+                        getattr(lp_info, _rd_attr))
         if self._options.highs_debug_level > 0:
             # reference HighsDebug/HighsSolutionDebug layer: optional
             # post-solve consistency checks, free when the level is 0
@@ -420,6 +510,9 @@ class Highs(HighsModelApi, HighsAnalysisApi):
         status, solution, mip_info = solve_mip(
             mip_lp, self._options, log=self._log,
             callbacks=self._callbacks)
+        self._info.presolved_num_col = mip_lp.num_col
+        self._info.presolved_num_row = mip_lp.num_row
+        self._info.presolved_num_nz = mip_lp.a_matrix.num_nz
         if presolve_result is not None and presolve_result.reduced and \
                 solution.value_valid:
             solution, _ = postsolve_lp(lp, presolve_result, solution)

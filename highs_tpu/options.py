@@ -233,7 +233,7 @@ _opt("keep_n_rows", int, -1,
      -1, 1, advanced=True)
 _opt("ipx_dualize_strategy", int, 0, "IPX dualization strategy", -1, 3,
      advanced=True)
-_opt("simplex_dualize_strategy", int, -1, "Simplex dualization strategy",
+_opt("simplex_dualize_strategy", int, 0, "Simplex dualization strategy",
      -1, 1, advanced=True)
 _opt("simplex_permute_strategy", int, -1, "Simplex permutation strategy",
      -1, 1, advanced=True)

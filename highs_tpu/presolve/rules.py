@@ -456,6 +456,10 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     (d_vals, (d_rows, d_cols)), shape=a.shape)
                 a = (a + delta).tocsc()
                 a_csr = a.tocsr()
+                # substitutions rewrote matrix entries: new
+                # cancellation candidates may exist, so re-arm the
+                # sparsify scan even if a previous pass found nothing
+                _sparsify_off[0] = False
             if infeasible:
                 break
 

@@ -109,6 +109,12 @@ def solve_lp(lp: HighsLp, options: HighsOptions, log=None,
         status, solution, raw_info = _solve_core(
             reduced_lp, options, solver, log, basis, warm_solution)
 
+    # presolved-model dimensions for the run-data registry (reference
+    # HighsRunData.h:29-47; equal to the full model when presolve is
+    # off or reduced nothing)
+    info.presolved_num_col = reduced_lp.num_col
+    info.presolved_num_row = reduced_lp.num_row
+    info.presolved_num_nz = reduced_lp.a_matrix.num_nz
     info.iterations = raw_info.iterations
     info.solve_time = raw_info.solve_time
     ipm_iters = getattr(raw_info, "ipm_iterations", -1)

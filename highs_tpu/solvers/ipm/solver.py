@@ -236,6 +236,13 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
             import scipy.sparse.linalg as _sla2
             try:
                 _splu_h = _sla2.splu(mmat.tocsc())
+                # splu only raises on EXACT singularity; a
+                # successful-but-near-singular factor can return
+                # huge/NaN columns.  Probe with a unit solve and fall
+                # back to the regularized LDL' path on a bad factor.
+                _probe = _splu_h.solve(np.ones(mmat.shape[0]))
+                if not np.all(np.isfinite(_probe)):
+                    use_splu = False
             except Exception:
                 use_splu = False
         if not use_splu:
@@ -264,6 +271,18 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
             for _ in range(2):
                 r = rhs - mmat @ x
                 x = x + base(r)
+            if not np.all(np.isfinite(x)):
+                # near-singular factor slipped through: regularize
+                # explicitly and retry once (the LDL path applies
+                # reg_floor; mirror it here instead of returning NaNs)
+                reg = max(1e-10, float(reg_d)) * (
+                    1.0 + float(np.abs(mmat.diagonal()).max()))
+                import scipy.sparse.linalg as _sla3
+                hreg = _sla3.splu(
+                    (mmat + _sp.diags(
+                        np.full(mmat.shape[0], reg))).tocsc())
+                x = hreg.solve(rhs)
+                x = x + hreg.solve(rhs - mmat @ x)
             return x
     elif newton == "chol":
         at_weighted = problem.a * theta_x[None, :]

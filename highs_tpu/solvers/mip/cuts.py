@@ -532,101 +532,125 @@ def _mir_on_leq_py(cols: np.ndarray, vals: np.ndarray, rhs: float,
             xh[k] = sign2[k] * (x[icols[k]] - ob)
         if bh <= 10 * feastol:
             return None
-        # --- cover selection (determineCover, lpSol path) -------------
-        cand_c = [k for k in range(len(icols)) if xh[k] > feastol]
-        if not cand_c:
+        # --- cover selection: saturated columns seed the cover, then
+        # fractional ones join in LP-value-weighted order until the
+        # total weight strictly exceeds the capacity (the classical
+        # minimal-cover heuristic on the LP point; reference analogue
+        # HighsCutGeneration::determineCover) ------------------------
+        active = np.nonzero(xh > feastol)[0]
+        if len(active) == 0:
             return None
-        at_upper = [k for k in cand_c if xh[k] >= widths[k] - feastol]
-        rest = [k for k in cand_c if xh[k] < widths[k] - feastol]
-        rest.sort(key=lambda k: (-(xh[k] * ah[k]), -ah[k], k))
-        coverweight = float(sum(ah[k] * widths[k] for k in at_upper))
-        cover = list(at_upper)
-        minlam = max(10 * feastol, feastol * abs(bh))
-        ri = 0
-        while coverweight - bh <= minlam and ri < len(rest):
-            cover.append(rest[ri])
-            coverweight += ah[rest[ri]] * widths[rest[ri]]
-            ri += 1
-        lam = coverweight - bh
-        if not cover or lam <= minlam:
+        sat = xh[active] >= widths[active] - feastol
+        seed = active[sat]
+        frac = active[~sat]
+        # vectorized ordering key: largest LP contribution first,
+        # weight and index as tie-breaks
+        if len(frac):
+            order_f = np.lexsort(
+                (frac, -ah[frac], -(xh[frac] * ah[frac])))
+            frac = frac[order_f]
+        weight_of = ah * widths
+        excess_floor = max(10 * feastol, feastol * abs(bh))
+        total = float(weight_of[seed].sum())
+        take = 0
+        while total - bh <= excess_floor and take < len(frac):
+            total += float(weight_of[frac[take]])
+            take += 1
+        cover = np.concatenate([seed, frac[:take]]).astype(int)
+        lam = total - bh
+        if len(cover) == 0 or lam <= excess_floor:
             return None
         cov_set = np.zeros(len(icols), dtype=bool)
         cov_set[cover] = True
-        cvals = sorted((float(ah[k]) for k in cover), reverse=True)
+        cw = np.sort(np.array([float(ah[k]) for k in cover]))[::-1]
         gi = np.zeros(len(icols))
         if len(slack_defs) == 0:
-            # --- pure-integer knapsack lifting ------------------------
-            csz = len(cvals)
-            abar = cvals[0]
-            sigma = lam
-            for i in range(1, csz):
-                kdelta = i * (abar - cvals[i])
-                if kdelta < sigma:
-                    abar = cvals[i]
-                    sigma -= kdelta
-                else:
-                    abar -= sigma / i
-                    sigma = 0.0
-                    break
-            if sigma > 0:
-                abar = bh / csz
-            S = np.cumsum(np.minimum(abar, cvals))
-            cplus = sum(1 for v in cvals if v > abar + feastol)
-            halfint = [False]
-
-            def g_lift(z):
-                hfrac = z / abar if abar > _EPS else 0.0
-                coef = 0.0
-                h = math.floor(hfrac + 0.5)
-                if h != 0 and abs(hfrac - h) * max(1.0, abar) <= 1e-9 \
-                        and h <= cplus - 1:
-                    halfint[0] = True
-                    coef = 0.5
-                h = max(h - 1, 0)
-                while h < csz and z > S[h] + feastol:
-                    h += 1
-                return coef + h
-
-            grhs = float(csz - 1)
-            for k in range(len(icols)):
-                if abs(ah[k]) <= _EPS:
-                    gi[k] = 0.0
-                elif cov_set[k] and ah[k] <= abar + feastol:
-                    gi[k] = 1.0
-                else:
-                    gi[k] = g_lift(float(ah[k]))
-            if halfint[0]:
+            # --- pure-integer knapsack cover, superadditive lifting
+            # (Gu–Nemhauser–Savelsbergh sequence-independent lifting
+            # with the Letchford–Souli half-integral strengthening).
+            # Vectorized over the lifted columns; the reference reaches
+            # the same inequality family through
+            # HighsCutGeneration::separateLiftedKnapsackCover.
+            #
+            # The residual divisor mu: shaving every cover weight down
+            # to mu must absorb exactly the cover excess lam.  With the
+            # weights sorted descending and pre_i their prefix sums,
+            # shaving the first i weights to cw[i] absorbs
+            # pre_{i-1} - i*cw[i] (a telescoping sum) — so mu sits in
+            # the first prefix whose absorption reaches lam, at
+            # mu = (pre_{i-1} - lam) / i, and lam exceeding the total
+            # absorption means every weight shaves to the average.
+            K = len(cw)
+            pre = np.cumsum(cw)
+            if K > 1:
+                ii = np.arange(1, K)
+                absorb = pre[:-1] - ii * cw[1:]
+                hit = np.nonzero(absorb >= lam)[0]
+            else:
+                hit = np.zeros(0, dtype=int)
+            if len(hit):
+                i_star = int(hit[0]) + 1
+                mu = (pre[i_star - 1] - lam) / i_star
+            else:
+                mu = bh / K
+            # superadditive step function: levels[h] is the largest
+            # weight a column may carry and still lift to h+1
+            levels = np.cumsum(np.minimum(mu, cw))
+            n_big = int(np.count_nonzero(cw > mu + feastol))
+            # columns: cover members at-or-below mu lift to 1; all
+            # others through the step function
+            small_cover = cov_set & (ah <= mu + feastol) & \
+                (np.abs(ah) > _EPS)
+            lift_mask = ~small_cover & (np.abs(ah) > _EPS)
+            zl = ah[lift_mask]
+            steps = np.searchsorted(levels, zl - feastol, side="left")
+            # half-integral strengthening: a weight equal to a
+            # multiple h*mu (h below the count of above-mu cover
+            # weights) supports a 1/2 contribution; doubling then
+            # restores integrality of the whole inequality
+            if mu > _EPS:
+                ratio = zl / mu
+                near = np.floor(ratio + 0.5)
+                at_mult = (near != 0) & \
+                    (np.abs(ratio - near) * max(1.0, mu) <= 1e-9) & \
+                    (near <= n_big - 1)
+            else:
+                at_mult = np.zeros(len(zl), dtype=bool)
+            base = np.maximum(near.astype(int) - 1, 0) \
+                if mu > _EPS else np.zeros(len(zl), dtype=int)
+            steps = np.maximum(steps, base)
+            lifted = steps.astype(float) + np.where(at_mult, 0.5, 0.0)
+            gi[small_cover] = 1.0
+            gi[lift_mask] = lifted
+            grhs = float(K - 1)
+            if bool(at_mult.any()):
                 grhs *= 2
                 gi *= 2
             gc = np.zeros(0)
         else:
-            # --- mixed-binary cover lifting ---------------------------
-            S = []
-            ssum = 0.0
-            for v in cvals:
-                if v - lam <= 1e-12:
-                    break
-                ssum += v
-                S.append(ssum)
-            p = len(S)
-            if p == 0:
+            # --- mixed-binary cover: lift through the piecewise-linear
+            # superadditive function of the cover's heavy weights
+            # (reference analogue: separateLiftedMixedBinaryCover).
+            # The function climbs lam per completed heavy weight and
+            # linearly inside the top lam-wide band of each.
+            heavy = cw[cw - lam > 1e-12]
+            if len(heavy) == 0:
                 return None
-
-            def phi(a):
-                for i in range(p):
-                    if a <= S[i] - lam:
-                        return i * lam
-                    if a <= S[i]:
-                        return (i + 1) * lam + (a - S[i])
-                return p * lam + (a - S[p - 1])
-
+            tops = np.cumsum(heavy)            # band upper edges
             grhs = -lam
-            for k in range(len(icols)):
-                if cov_set[k]:
-                    gi[k] = min(float(ah[k]), lam)
-                    grhs += gi[k]
-                else:
-                    gi[k] = phi(float(ah[k]))
+            cov_vals = np.minimum(ah[cov_set], lam)
+            gi[cov_set] = cov_vals
+            grhs += float(cov_vals.sum())
+            zl = ah[~cov_set]
+            # band index: position of each weight among the edges
+            bi = np.searchsorted(tops, zl, side="left")
+            bi_c = np.minimum(bi, len(tops) - 1)
+            in_band = (bi < len(tops)) & (zl > tops[bi_c] - lam)
+            flat = bi.astype(float) * lam
+            climb = (bi + 1) * lam + (zl - tops[bi_c])
+            over = len(tops) * lam + (zl - tops[-1])
+            gi[~cov_set] = np.where(
+                bi >= len(tops), over, np.where(in_band, climb, flat))
             # continuous slacks: negative kept, positive relaxed away
             gc = np.minimum(acs, 0.0)
         act = float(gi @ xh) + (float(gc @ s_vals) if len(gc) else 0.0)
@@ -806,10 +830,11 @@ def separate_mir(a_csr: sp.csr_matrix, row_lower: np.ndarray,
     # batched native c-MIR call (hx_mir_batch): the per-row ctypes
     # round trip cost ~30us x thousands of rows per round
     trials = []
+    indptr_, indices_, data_ = a_csr.indptr, a_csr.indices, a_csr.data
     for i in order[:400]:
-        r = a_csr[i]
-        cols = r.indices.astype(np.int32)
-        vals = r.data.astype(np.float64)
+        s_, e_ = indptr_[i], indptr_[i + 1]
+        cols = indices_[s_:e_].astype(np.int32)
+        vals = data_[s_:e_].astype(np.float64)
         # rows qualify with direct integer support OR continuous
         # variables whose variable bounds bring integers in at
         # substitution time (fixed-charge flow rows are pure-continuous)
@@ -868,10 +893,12 @@ class CliqueTable:
         binary = is_int & (lo >= -feastol) & (up <= 1 + feastol) & \
             (up - lo > 0.5)
         m = a_csr.shape[0]
+        indptr_, indices_, data_ = (a_csr.indptr, a_csr.indices,
+                                    a_csr.data)
         for i in range(m):
-            r = a_csr[i]
-            cols = r.indices
-            vals = r.data
+            s_, e_ = indptr_[i], indptr_[i + 1]
+            cols = indices_[s_:e_]
+            vals = data_[s_:e_]
             if cols.size < 2 or cols.size > 200:
                 continue
             if not np.all(binary[cols]):

@@ -238,9 +238,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # re-detection+verification cost ~0.3s per restart (gesa2 x3)
         from ...presolve.symmetry import (detect_symmetry, orbits,
                                           symmetry_breaking_rows)
+        # budget scales with model size: a deep IR dive costs ~30ms per
+        # generator in Python, and on small models (sp150x300d) 16
+        # generators cost more than the whole reference solve while
+        # orbital branching buys nothing (measured: identical node
+        # counts with symmetry off across the whole anchored suite) —
+        # larger models get proportionally more search
+        _sym_budget = min(2.0, 0.05 * options.time_limit,
+                          max(0.1, 2e-5 * lp.a_matrix.num_nz))
         gens = detect_symmetry(
-            lp, max_generators=16,
-            time_budget=min(2.0, 0.05 * options.time_limit))
+            lp, max_generators=16, time_budget=_sym_budget)
         if gens:
             # packing/partitioning orbitopes (reference
             # HighsSymmetry.h:58-126): staircase-fix the lex-max
@@ -1041,7 +1048,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # may not exceed ~a third of the whole solve's elapsed time —
         # on root-dominated instances the dozen RINS/RENS re-solves
         # were 40% of the wall clock (gesa2)
-        if _submip_spent[0] > 0.5 + 0.35 * (time.perf_counter() - t0):
+        if _submip_spent[0] > 0.3 + 0.25 * (time.perf_counter() - t0):
             return False
         if np.any(lo2 > up2 + feastol):
             return False
@@ -1065,8 +1072,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                       max(2000, 30 * int(is_int.sum())))
             got = native_submip(
                 lo3, up3, source, _nb,
-                max(0.3, min(remaining0 * 0.1,
-                             0.5 + 20.0 * options.mip_heuristic_effort)))
+                max(0.15, min(remaining0 * 0.1,
+                              0.2 + 8.0 * options.mip_heuristic_effort)))
             if got is not None:
                 return got
         sub = lp.copy()
@@ -1340,7 +1347,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # rows) are permanent.  This is what lets separation run to
         # reference-scale cut counts (~2600 on sp150x300d) without the
         # LP bloating: the ACTIVE set stays near the original row count.
-        _m_perm = lp.num_row + _Relax.num_cut_rows  # non-ageable prefix
+        # non-ageable prefix = EVERY row currently in the relaxation
+        # (original rows + clique-partition cut rows + symmetry-breaking
+        # rows, the latter added without touching num_cut_rows) — the
+        # ageable suffix starts at the actual current row count, not at
+        # lp.num_row + num_cut_rows which misses the symmetry rows
+        _m_perm = _Relax.a_csc.shape[0]
         lp_cut_keys: list = []  # keys of ageable cut rows, in row order
         lp_cut_age = np.zeros(0, dtype=int)
         _rens_mid = [False]  # one mid-loop RENS incumbent attempt
@@ -1357,54 +1369,114 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             _sep_scope = _clk("separation")
             _sep_scope.__enter__()
             found = []
-            # tableau (GMI) cuts only in early rounds: GMI derived from
-            # a tableau that already contains GMI rows compounds
-            # coefficient dynamism and degeneracy (reference analogue:
-            # cut aging + limited separation rounds)
-            if root_basis is not None and _round < 3:
-                try:
-                    found += separate_gomory(
-                        _Relax.a_csc, root_lo_p, root_up_p,
-                        _Relax.row_lower, _Relax.row_upper,
-                        root_basis, root_x, is_int, feastol)
-                except Exception:
-                    pass
-            # tableau-aggregation c-MIR every round (reference
-            # HighsTableauSeparator: B^-1-row aggregates through the
-            # full c-MIR pipeline — much stronger than plain GMI);
-            # top-level solve only — in sub-MIPs the per-round Python
-            # cost outweighs the heuristic payoff
-            if root_basis is not None and _sep_sub == 0:
-                from .cuts import separate_tableau_mir
-                try:
-                    found += separate_tableau_mir(
-                        _Relax.a_csc, root_lo_p, root_up_p,
-                        _Relax.row_lower, _Relax.row_upper,
-                        root_basis, root_x, is_int, feastol)
-                except Exception:
-                    pass
-            # separate from the RELAXATION rows (strengthened
-            # coefficients + previously added cuts): successive rounds
-            # compound, and the c-MIR variable-bound substitution sees
-            # the tightened big-M values (reference: HighsTransformedLp
-            # works on the presolved + cut-augmented LP)
             sep_csr = _Relax.a_csc.tocsr() if use_simplex else a_csr
             sep_rl = _Relax.row_lower if use_simplex else lp.row_lower
             sep_ru = _Relax.row_upper if use_simplex else lp.row_upper
-            found += separate_mir(sep_csr, sep_rl, sep_ru,
-                                  root_lo_p, root_up_p, root_x, is_int,
-                                  feastol, max_cuts=200)
-            # path aggregation under a CUMULATIVE root budget — it is
-            # the most expensive separator, and cheap instances must
-            # not spend their whole solve in it (sub-MIPs skip it:
-            # heuristic solves only need the cheap separators)
-            if path_sep_budget[0] > 0.02 and _sep_sub == 0:
-                _tps = time.perf_counter()
-                found += separate_path_mir(
-                    sep_csr, sep_rl, sep_ru, root_lo_p,
-                    root_up_p, root_x, is_int, feastol,
-                    time_budget=path_sep_budget[0])
-                path_sep_budget[0] -= time.perf_counter() - _tps
+            # ---- NATIVE batched separation (hx_root_cuts in
+            # separate-only mode): ONE ctypes call runs tableau-MIR
+            # (from the engine's own factorization of the passed
+            # basis), single-row c-MIR over the relaxation rows, and
+            # path-aggregation c-MIR — replacing the per-round Python
+            # separate_gomory/tableau/mir/path calls at ~1/10 the
+            # cost.  The returned cuts are postprocessed + diversity
+            # filtered natively; efficacy is recomputed here for the
+            # pool ordering.
+            _native_sep = None
+            if use_simplex and \
+                    not _osmod.environ.get("HX_NO_NATIVE_ROOT"):
+                try:
+                    from ..simplex import dual_native as _dnr
+                    if _dnr.get_lib() is not None:
+                        _native_sep = _dnr
+                except Exception:
+                    _native_sep = None
+            if _native_sep is not None:
+                _nb = root_basis if root_basis is not None and \
+                    len(root_basis) == lp.num_col + sep_csr.shape[0] \
+                    else None
+                (_ns, _ncuts_r, _nb_, _nx_, _nz_, _nbas_, _nit_,
+                 _nr_) = _native_sep.root_cuts(
+                    _Relax.a_csc, sep_csr, sense * lp.col_cost,
+                    root_lo_p, root_up_p, sep_rl, sep_ru,
+                    np.ascontiguousarray(is_int, dtype=np.int8),
+                    basis_in=_nb, feastol=feastol, max_rounds=1,
+                    max_cuts_round=1000, separate_only=True,
+                    time_budget=2.0)
+                if _ns == 0:
+                    from .cuts import Cut as _CutCls
+                    for (cc, vv, rr) in _ncuts_r:
+                        _viol = float(vv @ root_x[cc]) - rr
+                        _nrm = float(np.linalg.norm(vv))
+                        if _nrm > 0 and _viol / _nrm > 1e-6:
+                            found.append(_CutCls(
+                                cc.astype(np.int32), vv, float(rr),
+                                _viol / _nrm))
+                # pure-GMI stays Python-side in the early rounds (the
+                # native loop's tableau path runs the c-MIR pipeline,
+                # not the plain Gomory mixed-integer rounding)
+                if root_basis is not None and _round < 3:
+                    try:
+                        found += separate_gomory(
+                            _Relax.a_csc, root_lo_p, root_up_p,
+                            _Relax.row_lower, _Relax.row_upper,
+                            root_basis, root_x, is_int, feastol)
+                    except Exception:
+                        pass
+                if _osmod.environ.get("HX_SEP_AB"):
+                    _pyf = []
+                    from .cuts import separate_tableau_mir as _stm
+                    try:
+                        _pyf += _stm(
+                            _Relax.a_csc, root_lo_p, root_up_p,
+                            _Relax.row_lower, _Relax.row_upper,
+                            root_basis, root_x, is_int, feastol)
+                    except Exception:
+                        pass
+                    _pyf += separate_mir(
+                        sep_csr, sep_rl, sep_ru, root_lo_p, root_up_p,
+                        root_x, is_int, feastol, max_cuts=200)
+                    _pyf += separate_path_mir(
+                        sep_csr, sep_rl, sep_ru, root_lo_p, root_up_p,
+                        root_x, is_int, feastol, time_budget=2.0)
+                    from .cuts import select_diverse_cuts as _sdc
+                    print(f"AB round={_round} native={len(found)} "
+                          f"py={len(_pyf)} pyDiv={len(_sdc(_pyf, 600))}"
+                          f" nat_eff="
+                          f"{max((c.efficacy for c in found), default=0):.4f} "
+                          f"py_eff="
+                          f"{max((c.efficacy for c in _pyf), default=0):.4f}",
+                          flush=True)
+            else:
+                # Python fallback: tableau (GMI) cuts in early rounds,
+                # tableau-aggregation c-MIR every round (reference
+                # HighsTableauSeparator), single-row c-MIR, path c-MIR
+                if root_basis is not None and _round < 3:
+                    try:
+                        found += separate_gomory(
+                            _Relax.a_csc, root_lo_p, root_up_p,
+                            _Relax.row_lower, _Relax.row_upper,
+                            root_basis, root_x, is_int, feastol)
+                    except Exception:
+                        pass
+                if root_basis is not None and _sep_sub == 0:
+                    from .cuts import separate_tableau_mir
+                    try:
+                        found += separate_tableau_mir(
+                            _Relax.a_csc, root_lo_p, root_up_p,
+                            _Relax.row_lower, _Relax.row_upper,
+                            root_basis, root_x, is_int, feastol)
+                    except Exception:
+                        pass
+                found += separate_mir(sep_csr, sep_rl, sep_ru,
+                                      root_lo_p, root_up_p, root_x,
+                                      is_int, feastol, max_cuts=200)
+                if path_sep_budget[0] > 0.02 and _sep_sub == 0:
+                    _tps = time.perf_counter()
+                    found += separate_path_mir(
+                        sep_csr, sep_rl, sep_ru, root_lo_p,
+                        root_up_p, root_x, is_int, feastol,
+                        time_budget=path_sep_budget[0])
+                    path_sep_budget[0] -= time.perf_counter() - _tps
             # mod-k with a productivity probe (same self-gating idea as
             # the mixing separator): when the first rounds return
             # almost nothing, the congruence structure is absent and

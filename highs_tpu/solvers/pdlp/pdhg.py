@@ -634,6 +634,14 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
     _STALL_CHECKS = 150
     merit_best = None
     merit_stall = 0
+    # uncapped step sizes (opt-in) need an explicit divergence backoff:
+    # past the spectral bound PDHG convergence is no longer guaranteed,
+    # so if the KKT residuals GROW across consecutive check windows the
+    # step is too long — shrink eta and re-anchor.  env read hoisted
+    # out of the hot loop (advisor r4).
+    _eta_uncap = bool(_os.environ.get("HX_ETA_UNCAP"))
+    _res_prev = None
+    _res_grow = 0
 
     # --- mixed-precision step operator ------------------------------------
     step_op = None
@@ -782,6 +790,22 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
         if log is not None:
             log(total_iters, pobj, dobj, rel_p, rel_d, rel_gap)
 
+        if _eta_uncap:
+            _res_now = max(rel_p, rel_d)
+            if _res_prev is not None and _res_now > 1.02 * _res_prev:
+                _res_grow += 1
+            else:
+                _res_grow = 0
+            _res_prev = _res_now
+            if _res_grow >= 3 and float(state.eta) > eta0:
+                # three consecutive growing windows above the spectral
+                # bound: the long step is diverging.  Back off to the
+                # guaranteed-stable step; the next adaptation may grow
+                # it again from a converging trajectory.
+                state = state._replace(
+                    eta=jnp.asarray(eta0, dtype=dtype))
+                _res_grow = 0
+
         if rel_p < eps and rel_d < eps and (settings.ignore_gap or
                                             rel_gap < eps):
             status = HighsModelStatus.kOptimal
@@ -884,9 +908,7 @@ def solve_pdhg(problem: PdhgProblem, n: int, m: int,
                 # growth past eta0 up to the safeguarded local limit,
                 # capped at 8x spectral; restarts and the KKT check
                 # contain any transient divergence.
-                import os as _os_eta
-                _cap = (8.0 * eta0 if _os_eta.environ.get("HX_ETA_UNCAP")
-                        else eta0)
+                _cap = 8.0 * eta0 if _eta_uncap else eta0
                 eta_new = min(max(eta_new, 0.25 * eta0), _cap)
                 if eta_new > 0 and abs(eta_new - eta_cur) > \
                         1e-12 * eta_cur:

@@ -46,9 +46,12 @@ MIP_CALLBACK = ctypes.CFUNCTYPE(
     ctypes.POINTER(ctypes.c_double), ctypes.c_int)
 
 
+_SRC_CUTS = _NATIVE_DIR / "hcuts.cpp"  # linked in for hx_root_cuts
+
+
 def _build() -> pathlib.Path:
     cmd = ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
-           str(_SRC), "-o", str(_LIB)]
+           str(_SRC), str(_SRC_CUTS), "-o", str(_LIB)]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         raise NativeBuildError(
@@ -62,7 +65,8 @@ def get_lib():
         if _lib is not None:
             return _lib
         if not _LIB.exists() or \
-                _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+                _LIB.stat().st_mtime < _SRC.stat().st_mtime or \
+                _LIB.stat().st_mtime < _SRC_CUTS.stat().st_mtime:
             _build()
         lib = ctypes.CDLL(str(_LIB))
         i64p = np.ctypeslib.ndpointer(np.int64)
@@ -108,6 +112,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.hx_root_cuts.restype = ctypes.c_int
+        lib.hx_root_cuts.argtypes = [
+            ctypes.c_int, ctypes.c_int, i64p, i32p, f64p, i64p, i32p,
+            f64p, f64p, f64p, f64p, f64p, f64p, i8p,
+            ctypes.c_void_p,  # basis_in (nullable)
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int,
+            i64p, i64p, f64p, f64p,
+            ctypes.POINTER(ctypes.c_double), f64p, f64p, i8p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int)]
         lib.hx_dual_solve.restype = ctypes.c_int
         lib.hx_dual_solve.argtypes = [
             ctypes.c_int, ctypes.c_int, i64p, i32p, f64p, i64p, i32p,
@@ -322,3 +339,69 @@ def dual_solve(a_csc, a_csr, col_cost, col_lower, col_upper, row_lower,
         tol_p, tol_d, int(max_iter), float(time_limit), x, y, z,
         basis_out, ctypes.byref(iters), ctypes.byref(status))
     return int(status.value), x, y, z, basis_out, int(iters.value)
+
+
+def root_cuts(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
+              is_int, basis_in=None, feastol=1e-6, tol_p=1e-9,
+              tol_d=1e-9, max_rounds=60, max_cuts_round=200,
+              cut_cap=4000, nnz_cap=500000, time_budget=5.0,
+              separate_only=False):
+    """Native root separation loop (hx_root_cuts): the reference's
+    evaluateRootNode cut rounds (HighsMipSolverData.cpp:1987-2143) run
+    entirely in C++ — per round the dual engine re-solves the
+    relaxation and tableau-MIR / single-row c-MIR / path-aggregation
+    c-MIR separate against it, with aging + tailing-off.
+
+    Returns (status, cuts, bound, x, z, basis, lp_iters, rounds) where
+    cuts is a list of (cols int64[], vals f64[], rhs) rows valid as
+    a'x <= rhs, basis covers n + m + len(cuts) statuses, and status is
+    0 = root optimal, 1 = infeasible, 2 = numerical trouble (outputs
+    beyond `cuts` are then meaningless)."""
+    lib = get_lib()
+    m, n = a_csc.shape
+    big = 1e30
+    ap = np.ascontiguousarray(a_csc.indptr, dtype=np.int64)
+    ai = np.ascontiguousarray(a_csc.indices, dtype=np.int32)
+    ax = np.ascontiguousarray(a_csc.data, dtype=np.float64)
+    rp = np.ascontiguousarray(a_csr.indptr, dtype=np.int64)
+    ri = np.ascontiguousarray(a_csr.indices, dtype=np.int32)
+    rx = np.ascontiguousarray(a_csr.data, dtype=np.float64)
+    c = _finite(cost)
+    cl = _finite(np.where(np.isfinite(col_lo), col_lo, -big))
+    cu = _finite(np.where(np.isfinite(col_up), col_up, big))
+    rl = _finite(np.where(np.isfinite(row_lo), row_lo, -big))
+    ru = _finite(np.where(np.isfinite(row_up), row_up, big))
+    ii = np.ascontiguousarray(is_int, dtype=np.int8)
+    basis_ptr = None
+    if basis_in is not None:
+        bas = np.ascontiguousarray(basis_in, dtype=np.int8)
+        basis_ptr = bas.ctypes.data_as(ctypes.c_void_p)
+    cut_indptr = np.zeros(cut_cap + 1, dtype=np.int64)
+    cut_cols = np.zeros(nnz_cap, dtype=np.int64)
+    cut_vals = np.zeros(nnz_cap, dtype=np.float64)
+    cut_rhs = np.zeros(cut_cap, dtype=np.float64)
+    bound = ctypes.c_double(-np.inf)
+    x = np.zeros(n)
+    z = np.zeros(n)
+    basis_out = np.zeros(n + m + cut_cap, dtype=np.int8)
+    n_cuts = ctypes.c_int(0)
+    lp_iters = ctypes.c_int64(0)
+    rounds = ctypes.c_int(0)
+    status = lib.hx_root_cuts(
+        m, n, ap, ai, ax, rp, ri, rx, c, cl, cu, rl, ru, ii,
+        basis_ptr, float(feastol), float(tol_p), float(tol_d),
+        int(max_rounds), int(max_cuts_round), int(cut_cap),
+        int(nnz_cap), float(time_budget), int(bool(separate_only)),
+        cut_indptr, cut_cols, cut_vals, cut_rhs,
+        ctypes.byref(bound), x, z, basis_out,
+        ctypes.byref(n_cuts), ctypes.byref(lp_iters),
+        ctypes.byref(rounds))
+    k = int(n_cuts.value)
+    cuts = []
+    for t in range(k):
+        s, e = cut_indptr[t], cut_indptr[t + 1]
+        cuts.append((cut_cols[s:e].copy(), cut_vals[s:e].copy(),
+                     float(cut_rhs[t])))
+    return (int(status), cuts, float(bound.value), x, z,
+            basis_out[:n + m + k].copy(), int(lp_iters.value),
+            int(rounds.value))

@@ -82,6 +82,36 @@ def solve_lp_simplex(lp: HighsLp, options: HighsOptions, log=None,
              for s in list(basis.col_status) + list(basis.row_status)],
             dtype=np.int8)
 
+    # ---- dualization strategy (reference HApp.h:206-214 via
+    # simplex_dualize_strategy): cold-started tall LPs solve their
+    # bounded-variable dual (n rows instead of m), then the status
+    # guess mapped back warm-starts the native engine, which certifies
+    # the solution primal-side (the undualize() role)
+    _dz_strat = int(getattr(options, "simplex_dualize_strategy", -1))
+    if basis_in is None and \
+            not getattr(options, "_in_dualize", False):
+        from .dualize import (build_dual_lp, primal_status_guess,
+                              should_dualize)
+        if should_dualize(lp, _dz_strat, False):
+            built = build_dual_lp(lp, sense)
+            if built is not None:
+                import copy as _copy
+                dual_lp, _dz_meta = built
+                d_opts = _copy.copy(options)
+                d_opts._in_dualize = True
+                d_opts.simplex_dualize_strategy = -1
+                if log is not None:
+                    log(f"Simplex dualize: solving the dual "
+                        f"({dual_lp.num_row} rows x "
+                        f"{dual_lp.num_col} cols)")
+                _dst, _dsol, _dinfo = solve_lp_simplex(
+                    dual_lp, d_opts, log=None)
+                if _dst == HighsModelStatus.kOptimal:
+                    _guess = primal_status_guess(lp, sense, _dsol,
+                                                 _dz_meta)
+                    if _guess is not None:
+                        basis_in = _guess
+
     # native pivot budget: highly degenerate instances (e.g. greenbea)
     # crawl in primal phase 1; past this budget the IPM + crossover
     # route is faster and still ends at a vertex basis (the reference

@@ -1696,6 +1696,760 @@ bool node_propagate(const Engine& e, const double* row_lo,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// NATIVE ROOT CUT LOOP (hx_root_cuts)
+//
+// The role of the reference's evaluateRootNode separation rounds
+// (highs/mip/HighsMipSolverData.cpp:1987-2143 + HighsSeparation.cpp:43-160)
+// run entirely in native code: per round it solves the relaxation with the
+// persistent dual engine above, separates tableau-MIR aggregates (from the
+// engine's OWN basis factorization — HighsTableauSeparator.cpp role),
+// single-row c-MIR (HighsCutGeneration role) and path-aggregation c-MIR
+// (HighsPathSeparator role, via hx_path_mir from hcuts.cpp, linked into
+// this library), postprocesses + dedups + diversity-filters the cuts, ages
+// slack cut rows out of the LP, and applies the reference's tailing-off
+// rules.  The Python orchestration keeps only the exotic separators
+// (cliques, mixing, network cut-sets, mod-k) for the rounds after this
+// loop plateaus — the ~100ms/round Python glue was the dominant cost of
+// small-MIP solves.
+// ---------------------------------------------------------------------------
+
+// from hcuts.cpp (compiled into this shared library):
+extern "C" int hx_mir_on_leq(
+    int nnz, const int64_t* cols, const double* vals, double rhs,
+    const double* x, const double* lo, const double* up,
+    const int8_t* is_int, double feastol, int prefer_vbds,
+    int64_t n_vb, const int64_t* vb_ptr, const int32_t* vb_y,
+    const double* vb_c1, const double* vb_c0, const uint8_t* vb_isub,
+    int out_cap, int64_t* out_cols, double* out_vals, double* out_rhs,
+    double* out_eff);
+extern "C" double hx_integral_scale(const double* values, int n,
+                                    double deltadown, double deltaup,
+                                    long long max_denom,
+                                    double max_scale);
+extern "C" int hx_path_mir(
+    int m, int n, const int64_t* rp, const int32_t* ri, const double* rx,
+    const double* row_lower, const double* row_upper, const double* lo,
+    const double* up, const double* x, const int8_t* is_int,
+    double feastol, int max_path, int max_starts, uint64_t seed,
+    double time_budget_s, int64_t n_vb, const int64_t* vb_ptr,
+    const int32_t* vb_y, const double* vb_c1, const double* vb_c0,
+    const uint8_t* vb_isub, int max_cuts, int64_t nnz_cap,
+    int64_t* out_indptr, int64_t* out_cols, double* out_vals,
+    double* out_rhs, double* out_eff);
+
+#include <algorithm>
+#include <array>
+#include <memory>
+#include <unordered_set>
+
+namespace {
+
+struct RCut {
+  std::vector<int64_t> cols;  // structural space, sorted ascending
+  std::vector<double> vals;
+  double rhs = 0.0;
+  double eff = 0.0;
+  uint64_t key = 0;
+};
+
+// content key over the normalized cut (mirror of cuts.Cut.key():
+// quantized (cols, vals/||v||, rhs/||v||))
+uint64_t rc_key(const std::vector<int64_t>& cols,
+                const std::vector<double>& vals, double rhs) {
+  double sq = 0.0;
+  for (double v : vals) sq += v * v;
+  double nrm = std::sqrt(sq);
+  if (nrm <= 0.0) nrm = 1.0;
+  uint64_t h = 1469598103934665603ULL;
+  auto mix = [&h](uint64_t v) {
+    h ^= v;
+    h *= 1099511628211ULL;
+    h ^= h >> 29;
+  };
+  for (size_t k = 0; k < cols.size(); ++k) {
+    mix((uint64_t)cols[k]);
+    mix((uint64_t)(int64_t)llround(vals[k] / nrm * 1e9));
+  }
+  mix((uint64_t)(int64_t)llround(rhs / nrm * 1e9));
+  return h;
+}
+
+// numerical hygiene shared by all native separators (mirror of
+// cuts._clean_cut / reference HighsCutGeneration::postprocessCut):
+// drop tiny coefficients via the worst-case bound, reject huge
+// dynamism, scale to integral coefficients when a small rational
+// scale exists, else normalize to unit max coefficient.
+bool rc_clean(std::vector<int64_t>& cols, std::vector<double>& vals,
+              double& rhs, const double* lo, const double* up) {
+  size_t w = 0;
+  for (size_t k = 0; k < cols.size(); ++k)
+    if (std::fabs(vals[k]) > 1e-12) {
+      cols[w] = cols[k];
+      vals[w] = vals[k];
+      ++w;
+    }
+  cols.resize(w);
+  vals.resize(w);
+  if (cols.empty()) return false;
+  double amax = 0.0;
+  for (double v : vals) amax = std::max(amax, std::fabs(v));
+  bool any_small = false;
+  for (double v : vals)
+    if (std::fabs(v) < 1e-9 * std::max(1.0, amax)) {
+      any_small = true;
+      break;
+    }
+  if (any_small) {
+    w = 0;
+    for (size_t k = 0; k < cols.size(); ++k) {
+      const double a = vals[k];
+      if (std::fabs(a) < 1e-9 * std::max(1.0, amax)) {
+        const double b = a > 0 ? lo[cols[k]] : up[cols[k]];
+        if (std::fabs(b) >= kInf) return false;
+        rhs -= a * b;
+      } else {
+        cols[w] = cols[k];
+        vals[w] = vals[k];
+        ++w;
+      }
+    }
+    cols.resize(w);
+    vals.resize(w);
+    if (cols.empty()) return false;
+    amax = 0.0;
+    for (double v : vals) amax = std::max(amax, std::fabs(v));
+  }
+  double amin = HUGE_VAL;
+  for (double v : vals) amin = std::min(amin, std::fabs(v));
+  if (amax / std::max(amin, 1e-12) > 1e5) return false;
+  if (!std::isfinite(rhs) || std::fabs(rhs) > 1e15) return false;
+  const double s =
+      hx_integral_scale(vals.data(), (int)vals.size(), 1e-9, 1e-9,
+                        1024, 1e6);
+  if (s > 0.0 && s * amax <= 1e4) {
+    for (auto& v : vals) v = std::floor(v * s + 0.5);
+    rhs *= s;
+  } else {
+    for (auto& v : vals) v /= amax;
+    rhs /= amax;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int hx_root_cuts(
+    int m, int n, const int64_t* Ap, const int32_t* Ai, const double* Ax,
+    const int64_t* Rp, const int32_t* Ri, const double* Rx,
+    const double* cost, const double* col_lo, const double* col_up,
+    const double* row_lo, const double* row_up, const int8_t* is_int,
+    const int8_t* basis_in, double feastol, double tol_p, double tol_d,
+    int max_rounds, int max_cuts_round, int cut_cap, int64_t nnz_cap,
+    double time_budget_s, int separate_only,
+    // outputs
+    int64_t* out_cut_indptr, int64_t* out_cut_cols,
+    double* out_cut_vals, double* out_cut_rhs, double* bound_out,
+    double* x_out, double* z_out, int8_t* basis_out, int* n_cuts_out,
+    int64_t* lp_iters_out, int* rounds_out) {
+  const auto t_start = std::chrono::steady_clock::now();
+  auto elapsed = [&]() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now() - t_start)
+        .count();
+  };
+  *n_cuts_out = 0;
+  out_cut_indptr[0] = 0;
+  *bound_out = -HUGE_VAL;
+  *lp_iters_out = 0;
+  *rounds_out = 0;
+  // ---- variable bounds from two-nonzero rows (mirror of
+  //      cuts.collect_variable_bounds, flattened layout of
+  //      hx_mir_on_leq: per column vlbs first then vubs) -------------
+  std::vector<std::vector<std::array<double, 3>>> vlb(n), vub(n);
+  for (int r = 0; r < m; ++r) {
+    if (Rp[r + 1] - Rp[r] != 2) continue;
+    const int64_t k0 = Rp[r];
+    const int c0 = Ri[k0], c1 = Ri[k0 + 1];
+    const double v0 = Rx[k0], v1 = Rx[k0 + 1];
+    if ((is_int[c0] != 0) == (is_int[c1] != 0)) continue;
+    int ycol, xcol;
+    double ay, ax;
+    if (is_int[c0]) {
+      ycol = c0; ay = v0; xcol = c1; ax = v1;
+    } else {
+      ycol = c1; ay = v1; xcol = c0; ax = v0;
+    }
+    if (std::fabs(ax) <= 1e-12 || std::fabs(ay) <= 1e-12) continue;
+    const double bnds[2] = {row_up[r], row_lo[r]};
+    const double sgns[2] = {1.0, -1.0};
+    for (int t = 0; t < 2; ++t) {
+      const double b = bnds[t];
+      if (std::fabs(b) >= kInf) continue;
+      const double axs = sgns[t] * ax, ays = sgns[t] * ay,
+                   bs = sgns[t] * b;
+      auto& dst = (axs > 0) ? vub[xcol] : vlb[xcol];
+      if (dst.size() < 4)
+        dst.push_back({(double)ycol, -ays / axs, bs / axs});
+    }
+  }
+  std::vector<int64_t> vb_ptr(n + 1, 0);
+  for (int j = 0; j < n; ++j)
+    vb_ptr[j + 1] = vb_ptr[j] + (int64_t)(vlb[j].size() + vub[j].size());
+  const int64_t vb_total = vb_ptr[n];
+  std::vector<int32_t> vb_y(vb_total);
+  std::vector<double> vb_c1(vb_total), vb_c0(vb_total);
+  std::vector<uint8_t> vb_isub(vb_total);
+  {
+    int64_t p = 0;
+    for (int j = 0; j < n; ++j) {
+      for (auto& e3 : vlb[j]) {
+        vb_y[p] = (int32_t)e3[0]; vb_c1[p] = e3[1]; vb_c0[p] = e3[2];
+        vb_isub[p] = 0; ++p;
+      }
+      for (auto& e3 : vub[j]) {
+        vb_y[p] = (int32_t)e3[0]; vb_c1[p] = e3[1]; vb_c0[p] = e3[2];
+        vb_isub[p] = 1; ++p;
+      }
+    }
+  }
+  const int64_t n_vb = n;
+
+  // ---- growable cut storage (a'x <= rhs over structural cols) ------
+  std::vector<int64_t> cptr{0};
+  std::vector<int64_t> ccols;
+  std::vector<double> cvals;
+  std::vector<double> crhs;
+  std::vector<int> cage;
+  std::unordered_set<uint64_t> keys;
+  int ncuts = 0;
+
+  // seed the dedup key set with the <=-shaped rows already in the
+  // passed matrix: in separate-only mode the caller's earlier cut
+  // rows arrive as ordinary rows, and re-picking their duplicates
+  // every round wastes the whole per-round budget on cuts the
+  // caller's pool will reject anyway
+  for (int r = 0; r < m; ++r) {
+    if (row_lo[r] > -kInf || row_up[r] >= kInf) continue;
+    std::vector<int64_t> kc;
+    std::vector<double> kv;
+    for (int64_t q = Rp[r]; q < Rp[r + 1]; ++q) {
+      kc.push_back(Ri[q]);
+      kv.push_back(Rx[q]);
+    }
+    keys.insert(rc_key(kc, kv, row_up[r]));
+  }
+
+  std::vector<int8_t> basis;  // n + m + ncuts statuses
+  if (basis_in) basis.assign(basis_in, basis_in + n + m);
+
+  std::vector<double> x(n), z(n), act;
+  double bound = -HUGE_VAL, best_bound = -HUGE_VAL;
+  double first_bound = 0.0;
+  bool have_first = false;
+  int stall = 0, hard_stall = 0, last_added = 0;
+  int64_t iters_total = 0;
+  int round = 0;
+  int status = 0;
+
+  // scratch for matrix assembly
+  std::vector<int64_t> rp2, ap2;
+  std::vector<int32_t> ri2, ai2;
+  std::vector<double> rx2, ax2, rl2, ru2;
+
+  for (round = 0; round < max_rounds; ++round) {
+    // ---- assemble [A; C] in CSR and CSC -------------------------
+    const int mc = m + ncuts;
+    const int64_t nnz_a = Rp[m];
+    const int64_t nnz_c = cptr[ncuts];
+    rp2.resize(mc + 1);
+    ri2.resize(nnz_a + nnz_c);
+    rx2.resize(nnz_a + nnz_c);
+    std::memcpy(rp2.data(), Rp, sizeof(int64_t) * (m + 1));
+    std::memcpy(ri2.data(), Ri, sizeof(int32_t) * nnz_a);
+    std::memcpy(rx2.data(), Rx, sizeof(double) * nnz_a);
+    for (int k = 0; k < ncuts; ++k) {
+      rp2[m + k + 1] = rp2[m + k] + (cptr[k + 1] - cptr[k]);
+      for (int64_t q = cptr[k]; q < cptr[k + 1]; ++q) {
+        ri2[nnz_a + q] = (int32_t)ccols[q];
+        rx2[nnz_a + q] = cvals[q];
+      }
+    }
+    // CSC by counting sort over the CSR
+    ap2.assign(n + 1, 0);
+    for (int64_t q = 0; q < (int64_t)ri2.size(); ++q) ++ap2[ri2[q] + 1];
+    for (int j = 0; j < n; ++j) ap2[j + 1] += ap2[j];
+    ai2.resize(ri2.size());
+    ax2.resize(ri2.size());
+    {
+      std::vector<int64_t> fill(ap2.begin(), ap2.end() - 1);
+      for (int r = 0; r < mc; ++r)
+        for (int64_t q = rp2[r]; q < rp2[r + 1]; ++q) {
+          const int64_t p = fill[ri2[q]]++;
+          ai2[p] = r;
+          ax2[p] = rx2[q];
+        }
+    }
+    rl2.resize(mc);
+    ru2.resize(mc);
+    std::memcpy(rl2.data(), row_lo, sizeof(double) * m);
+    std::memcpy(ru2.data(), row_up, sizeof(double) * m);
+    for (int k = 0; k < ncuts; ++k) {
+      rl2[m + k] = -kInf;
+      ru2[m + k] = crhs[k];
+    }
+
+    // ---- solve --------------------------------------------------
+    std::unique_ptr<Engine> e(build_engine(
+        mc, n, ap2.data(), ai2.data(), ax2.data(), rp2.data(),
+        ri2.data(), rx2.data(), cost, col_lo, col_up, rl2.data(),
+        ru2.data()));
+    set_basis_from(*e, basis.empty() ? nullptr : basis.data());
+    int it = 0;
+    const double remaining = time_budget_s - elapsed();
+    const int res = engine_solve_escalated(
+        *e, tol_p, tol_d, 100000, std::max(remaining, 0.05), &it, kInf);
+    iters_total += it;
+    if (res == kInfeasible) {
+      status = 1;
+      break;
+    }
+    if (res != kOptimal) {
+      status = 2;
+      break;
+    }
+    basis.resize(n + mc);
+    std::vector<double> y_dummy(mc);
+    export_solution(*e, x.data(), y_dummy.data(), z.data(),
+                    basis.data());
+    const double prev_bound = bound;
+    bound = 0.0;
+    for (int j = 0; j < n; ++j) bound += cost[j] * x[j];
+    best_bound = std::max(best_bound, bound);
+    // snapshot the SOLVED state (x/z/basis AND the cut set the solve
+    // ran with): later appends/aging mutate the working storage, and
+    // a failed next solve must not leave mismatched outputs
+    std::memcpy(x_out, x.data(), sizeof(double) * n);
+    std::memcpy(z_out, z.data(), sizeof(double) * n);
+    std::memcpy(basis_out, basis.data(), (size_t)(n + mc));
+    out_cut_indptr[0] = 0;
+    for (int k = 0; k < ncuts; ++k) {
+      out_cut_indptr[k + 1] = cptr[k + 1];
+      out_cut_rhs[k] = crhs[k];
+    }
+    for (int64_t q = 0; q < cptr[ncuts]; ++q) {
+      out_cut_cols[q] = ccols[q];
+      out_cut_vals[q] = cvals[q];
+    }
+    *n_cuts_out = ncuts;
+
+    // ---- stall rules (mirror of the Python loop / reference
+    //      HighsMipSolverData.cpp:2264 tailing-off) ----------------
+    if (!have_first) {
+      have_first = true;
+      first_bound = bound;
+    } else {
+      if (bound < prev_bound - 1e-6 * (1.0 + std::fabs(prev_bound)))
+        break;  // numerical regression: stop separating
+      const double improve = bound - prev_bound;
+      const double prog_prev = prev_bound - first_bound;
+      const double bar =
+          std::max(0.001 * std::max(prog_prev, 0.0),
+                   1e-4 * (1.0 + std::fabs(bound)));
+      stall = improve <= bar ? stall + 1 : 0;
+      const int patience = last_added < 30 ? 3 : 6;
+      if (stall >= patience) break;
+      const bool trickle =
+          last_added < 5 &&
+          improve <= 1e-9 * std::max(1.0, std::fabs(bound));
+      hard_stall = trickle ? hard_stall + 1 : 0;
+      if (hard_stall >= 2) break;
+    }
+    if (!separate_only &&
+        (elapsed() > time_budget_s || round == max_rounds - 1 ||
+         ncuts >= cut_cap - max_cuts_round ||
+         (int64_t)ccols.size() >= nnz_cap - 64 * max_cuts_round))
+      break;
+
+    // ---- activities + extended space ----------------------------
+    act.assign(mc, 0.0);
+    for (int r = 0; r < mc; ++r) {
+      double a = 0.0;
+      for (int64_t q = rp2[r]; q < rp2[r + 1]; ++q)
+        a += rx2[q] * x[ri2[q]];
+      act[r] = a;
+    }
+    const int next = n + mc;
+    std::vector<double> x_ext(next), lo_ext(next), up_ext(next);
+    std::vector<int8_t> int_ext(next, 0);
+    for (int j = 0; j < n; ++j) {
+      x_ext[j] = x[j];
+      lo_ext[j] = col_lo[j];
+      up_ext[j] = col_up[j];
+      int_ext[j] = is_int[j];
+    }
+    for (int r = 0; r < mc; ++r) {
+      x_ext[n + r] = std::min(std::max(act[r], rl2[r]), ru2[r]);
+      lo_ext[n + r] = rl2[r];
+      up_ext[n + r] = ru2[r];
+    }
+
+    // ---- candidate collection -----------------------------------
+    std::vector<RCut> cand;
+    const int mir_cap = 4 * next + 16;
+    std::vector<int64_t> mir_cols(mir_cap);
+    std::vector<double> mir_vals(mir_cap);
+    auto push_candidate = [&](const int64_t* cc, const double* vv,
+                              int cnt, double rhs) {
+      // fold extended (slack) coefficients back through the rows
+      std::vector<double> dense(n, 0.0);
+      for (int k = 0; k < cnt; ++k) {
+        const int64_t c = cc[k];
+        if (c < n) {
+          dense[c] += vv[k];
+        } else {
+          const int r = (int)(c - n);
+          for (int64_t q = rp2[r]; q < rp2[r + 1]; ++q)
+            dense[ri2[q]] += vv[k] * rx2[q];
+        }
+      }
+      RCut rc;
+      for (int j = 0; j < n; ++j)
+        if (std::fabs(dense[j]) > 1e-12) {
+          rc.cols.push_back(j);
+          rc.vals.push_back(dense[j]);
+        }
+      rc.rhs = rhs;
+      if (rc.cols.empty()) return;
+      if (!rc_clean(rc.cols, rc.vals, rc.rhs, col_lo, col_up)) return;
+      double viol = -rc.rhs, sq = 0.0;
+      for (size_t k = 0; k < rc.cols.size(); ++k) {
+        viol += rc.vals[k] * x[rc.cols[k]];
+        sq += rc.vals[k] * rc.vals[k];
+      }
+      const double nrm = std::sqrt(sq);
+      if (nrm <= 1e-12 || viol / nrm <= 1e-6) return;
+      rc.eff = viol / nrm;
+      rc.key = rc_key(rc.cols, rc.vals, rc.rhs);
+      if (keys.count(rc.key)) return;
+      cand.push_back(std::move(rc));
+    };
+    auto mir_both_signs = [&](const std::vector<int64_t>& acols,
+                              const std::vector<double>& avals,
+                              double rhs0, bool neg_too, int prefer) {
+      std::vector<double> negv;
+      for (int sgn_i = 0; sgn_i < (neg_too ? 2 : 1); ++sgn_i) {
+        const double* use = avals.data();
+        double userhs = rhs0;
+        if (sgn_i == 1) {
+          negv.resize(avals.size());
+          for (size_t k = 0; k < avals.size(); ++k)
+            negv[k] = -avals[k];
+          use = negv.data();
+          userhs = -rhs0;
+        }
+        double rhs_out = 0.0, eff_out = 0.0;
+        const int n_mir = hx_mir_on_leq(
+            (int)acols.size(), acols.data(), use, userhs, x_ext.data(),
+            lo_ext.data(), up_ext.data(), int_ext.data(), feastol,
+            prefer, n_vb, vb_ptr.data(), vb_y.data(),
+            vb_c1.data(), vb_c0.data(), vb_isub.data(), mir_cap,
+            mir_cols.data(), mir_vals.data(), &rhs_out, &eff_out);
+        if (n_mir > 0)
+          push_candidate(mir_cols.data(), mir_vals.data(), n_mir,
+                         rhs_out);
+      }
+    };
+
+    // (a) tableau-MIR from the engine's basis factorization
+    // (HighsTableauSeparator role): aggregate ALL rows with weights
+    // e_p'B^{-1} for each fractional basic integer variable.
+    {
+      struct TC { double score; int pos; };
+      std::vector<TC> tcand;
+      for (int p = 0; p < mc; ++p) {
+        const int j = e->basic[p];
+        if (j >= n || !is_int[j]) continue;
+        const double fr = x[j] - std::floor(x[j]);
+        const double frac = std::min(fr, 1.0 - fr);
+        if (frac <= 10 * feastol) continue;
+        tcand.push_back({fr * (1.0 - fr), p});
+      }
+      std::sort(tcand.begin(), tcand.end(),
+                [](const TC& a, const TC& b) { return a.score > b.score; });
+      if (tcand.size() > 200) tcand.resize(200);
+      std::vector<double> eb(mc), yrow(mc);
+      std::vector<int64_t> acols;
+      std::vector<double> avals;
+      const double max_w = 1.0 / std::max(feastol, 1e-9);
+      for (const TC& tc : tcand) {
+        std::fill(eb.begin(), eb.end(), 0.0);
+        eb[tc.pos] = 1.0;
+        btran_vec(*e, eb.data(), yrow.data());
+        // weight hygiene (mirror of separate_tableau_mir)
+        int nzr = 0;
+        double wmax = 0.0, wmin = HUGE_VAL;
+        for (int r = 0; r < mc; ++r) {
+          const double w = std::fabs(yrow[r]);
+          if (w > 1e-11) {
+            ++nzr;
+            wmax = std::max(wmax, w);
+            wmin = std::min(wmin, w);
+          }
+        }
+        if (nzr <= 1 || nzr > 1000) continue;
+        if (wmax / std::max(wmin, 1e-300) > 1e6 || wmax > max_w)
+          continue;
+        // extended-space aggregate: struct coefs A'y, slack coefs -y
+        acols.clear();
+        avals.clear();
+        std::vector<double> sc(n, 0.0);
+        for (int r = 0; r < mc; ++r) {
+          const double w = yrow[r];
+          if (std::fabs(w) <= 1e-11) continue;
+          for (int64_t q = rp2[r]; q < rp2[r + 1]; ++q)
+            sc[ri2[q]] += w * rx2[q];
+        }
+        for (int j = 0; j < n; ++j)
+          if (std::fabs(sc[j]) > 1e-12) {
+            acols.push_back(j);
+            avals.push_back(sc[j]);
+          }
+        for (int r = 0; r < mc; ++r)
+          if (std::fabs(yrow[r]) > 1e-11) {
+            acols.push_back(n + r);
+            avals.push_back(-yrow[r]);
+          }
+        mir_both_signs(acols, avals, 0.0, true, /*prefer_vbds=*/1);
+      }
+    }
+
+    // (b) single-row c-MIR over the tightest rows (both senses),
+    // original + cut rows (HighsCutGeneration on single rows)
+    {
+      struct TR { double tight; int r; };
+      std::vector<TR> rows;
+      for (int r = 0; r < mc; ++r) {
+        if (rp2[r + 1] - rp2[r] < 2) continue;
+        double t = HUGE_VAL;
+        if (ru2[r] < kInf) t = std::min(t, std::fabs(act[r] - ru2[r]));
+        if (rl2[r] > -kInf) t = std::min(t, std::fabs(act[r] - rl2[r]));
+        if (t < HUGE_VAL) rows.push_back({t, r});
+      }
+      std::sort(rows.begin(), rows.end(),
+                [](const TR& a, const TR& b) { return a.tight < b.tight; });
+      if (rows.size() > 400) rows.resize(400);
+      std::vector<int64_t> acols;
+      std::vector<double> avals;
+      for (const TR& tr : rows) {
+        const int r = tr.r;
+        // qualify: integer support or substitutable continuous
+        bool ok = false;
+        for (int64_t q = rp2[r]; q < rp2[r + 1] && !ok; ++q) {
+          const int c = ri2[q];
+          if (is_int[c] || vb_ptr[c + 1] > vb_ptr[c]) ok = true;
+        }
+        if (!ok) continue;
+        acols.clear();
+        avals.clear();
+        for (int64_t q = rp2[r]; q < rp2[r + 1]; ++q) {
+          acols.push_back(ri2[q]);
+          avals.push_back(rx2[q]);
+        }
+        if (ru2[r] < kInf)
+          mir_both_signs(acols, avals, ru2[r], false, /*prefer_vbds=*/0);
+        if (rl2[r] > -kInf) {
+          std::vector<double> neg(avals.size());
+          for (size_t k = 0; k < avals.size(); ++k) neg[k] = -avals[k];
+          mir_both_signs(acols, neg, -rl2[r], false, /*prefer_vbds=*/0);
+        }
+      }
+    }
+
+    // (c) path-aggregation c-MIR (hx_path_mir) on the full matrix
+    {
+      const double pm_budget =
+          std::min(0.02, std::max(0.0, time_budget_s - elapsed()));
+      if (pm_budget > 0.001) {
+        const int pm_max = 100;
+        const int64_t pm_nnz = 64LL * pm_max;
+        std::vector<int64_t> p_ptr(pm_max + 1, 0);
+        std::vector<int64_t> p_cols(pm_nnz);
+        std::vector<double> p_vals(pm_nnz), p_rhs(pm_max),
+            p_eff(pm_max);
+        const int k_pm = hx_path_mir(
+            mc, n, rp2.data(), ri2.data(), rx2.data(), rl2.data(),
+            ru2.data(), col_lo, col_up, x.data(), is_int, feastol,
+            /*max_path=*/6, /*max_starts=*/400,
+            /*seed=*/163 + (uint64_t)round, pm_budget, n_vb,
+            vb_ptr.data(), vb_y.data(), vb_c1.data(), vb_c0.data(),
+            vb_isub.data(), pm_max, pm_nnz, p_ptr.data(),
+            p_cols.data(), p_vals.data(), p_rhs.data(), p_eff.data());
+        for (int k = 0; k < k_pm; ++k) {
+          RCut rc;
+          for (int64_t q = p_ptr[k]; q < p_ptr[k + 1]; ++q) {
+            rc.cols.push_back(p_cols[q]);
+            rc.vals.push_back(p_vals[q]);
+          }
+          rc.rhs = p_rhs[k];
+          if (!rc_clean(rc.cols, rc.vals, rc.rhs, col_lo, col_up))
+            continue;
+          double viol = -rc.rhs, sq = 0.0;
+          for (size_t kk = 0; kk < rc.cols.size(); ++kk) {
+            viol += rc.vals[kk] * x[rc.cols[kk]];
+            sq += rc.vals[kk] * rc.vals[kk];
+          }
+          const double nrm = std::sqrt(sq);
+          if (nrm <= 1e-12 || viol / nrm <= 1e-6) continue;
+          rc.eff = viol / nrm;
+          rc.key = rc_key(rc.cols, rc.vals, rc.rhs);
+          if (keys.count(rc.key)) continue;
+          cand.push_back(std::move(rc));
+        }
+      }
+    }
+
+    // ---- selection: efficacy order + diversity filter (mirror of
+    //      cuts.select_diverse_cuts / HighsCutPool selection) -------
+    std::sort(cand.begin(), cand.end(),
+              [](const RCut& a, const RCut& b) { return a.eff > b.eff; });
+    std::vector<const RCut*> picked;
+    std::vector<std::vector<double>> pdense;
+    std::unordered_set<uint64_t> round_keys;
+    // separate-only callers run their own pool + diversity selection
+    // and need EVERY candidate (the rejected ones feed the cut pool's
+    // later violated-re-collection); the diversity filter below only
+    // protects the internal loop's own LP
+    const double par_limit = separate_only ? 2.0 : 0.9;
+    for (const RCut& rc : cand) {
+      if ((int)picked.size() >= max_cuts_round) break;
+      if (round_keys.count(rc.key)) continue;
+      double sq = 0.0;
+      for (double v : rc.vals) sq += v * v;
+      const double nrm = std::sqrt(sq);
+      if (nrm <= 1e-12) continue;
+      std::vector<double> dn(n, 0.0);
+      for (size_t k = 0; k < rc.cols.size(); ++k)
+        dn[rc.cols[k]] = rc.vals[k] / nrm;
+      bool parallel = false;
+      for (const auto& pd : pdense) {
+        double dot = 0.0;
+        for (size_t k = 0; k < rc.cols.size(); ++k)
+          dot += pd[rc.cols[k]] * dn[rc.cols[k]];
+        if (std::fabs(dot) > par_limit) {
+          parallel = true;
+          break;
+        }
+      }
+      if (parallel) continue;
+      round_keys.insert(rc.key);
+      picked.push_back(&rc);
+      pdense.push_back(std::move(dn));
+    }
+    last_added = (int)picked.size();
+    if (std::getenv("HX_ROOT_DEBUG"))
+      std::fprintf(stderr,
+                   "hx_root round=%d bound=%.8f cand=%d picked=%d "
+                   "ncuts=%d iters=%lld\n",
+                   round, bound, (int)cand.size(), last_added, ncuts,
+                   (long long)iters_total);
+    if (separate_only) {
+      // separate-only mode: export the PICKED candidates themselves
+      // (the caller owns the LP, pool, aging and the re-solve); the
+      // x/z/basis snapshot above describes the LP they cut.
+      int64_t q = 0;
+      int k = 0;
+      out_cut_indptr[0] = 0;
+      for (const RCut* rc : picked) {
+        if (k >= cut_cap || q + (int64_t)rc->cols.size() > nnz_cap)
+          break;
+        for (size_t t = 0; t < rc->cols.size(); ++t) {
+          out_cut_cols[q] = rc->cols[t];
+          out_cut_vals[q] = rc->vals[t];
+          ++q;
+        }
+        out_cut_rhs[k] = rc->rhs;
+        ++k;
+        out_cut_indptr[k] = q;
+      }
+      *n_cuts_out = k;
+      *bound_out = best_bound;
+      *lp_iters_out = iters_total;
+      *rounds_out = 1;
+      return 0;
+    }
+    if (picked.empty()) break;
+
+    // ---- append cut rows; slack logicals enter basic -------------
+    for (const RCut* rc : picked) {
+      for (size_t k = 0; k < rc->cols.size(); ++k) {
+        ccols.push_back(rc->cols[k]);
+        cvals.push_back(rc->vals[k]);
+      }
+      cptr.push_back((int64_t)ccols.size());
+      crhs.push_back(rc->rhs);
+      cage.push_back(0);
+      keys.insert(rc->key);
+      ++ncuts;
+      basis.push_back(kBasic);
+    }
+
+    // ---- aging: cut rows slack at this optimum twice in a row
+    //      leave the LP once it has bloated (mirror of the Python
+    //      per-round aging / reference HighsLpRelaxation row aging).
+    //      NOTE: ages refer to the PREVIOUS solve's activities; the
+    //      newly added rows have age 0 and are never dropped here.
+    if (ncuts > std::max(500, 2 * m)) {
+      // activities of cut rows at the current x (pre-append rows only)
+      std::vector<char> drop(ncuts, 0);
+      int ndrop = 0;
+      for (int k = 0; k + last_added < ncuts; ++k) {
+        double a = 0.0;
+        for (int64_t q = cptr[k]; q < cptr[k + 1]; ++q)
+          a += cvals[q] * x[ccols[q]];
+        const double slack = crhs[k] - a;
+        if (slack <= 1e-6 * (1.0 + std::fabs(crhs[k]))) {
+          cage[k] = 0;
+        } else if (++cage[k] >= 2 && basis[n + m + k] == kBasic) {
+          drop[k] = 1;
+          ++ndrop;
+        }
+      }
+      if (ndrop) {
+        std::vector<int64_t> nptr{0};
+        std::vector<int64_t> ncols_v;
+        std::vector<double> nvals, nrhs;
+        std::vector<int> nage;
+        std::vector<int8_t> nb(basis.begin(), basis.begin() + n + m);
+        for (int k = 0; k < ncuts; ++k) {
+          if (drop[k]) continue;
+          for (int64_t q = cptr[k]; q < cptr[k + 1]; ++q) {
+            ncols_v.push_back(ccols[q]);
+            nvals.push_back(cvals[q]);
+          }
+          nptr.push_back((int64_t)ncols_v.size());
+          nrhs.push_back(crhs[k]);
+          nage.push_back(cage[k]);
+          nb.push_back(basis[n + m + k]);
+        }
+        cptr.swap(nptr);
+        ccols.swap(ncols_v);
+        cvals.swap(nvals);
+        crhs.swap(nrhs);
+        cage.swap(nage);
+        basis.swap(nb);
+        ncuts -= ndrop;
+      }
+    }
+  }
+
+  // cut/solution outputs were snapshotted after each successful solve
+  *bound_out = best_bound;
+  *lp_iters_out = iters_total;
+  *rounds_out = round;
+  return status;
+}
+
 extern "C" {
 
 // ---- persistent-engine C API ------------------------------------------------

@@ -373,3 +373,62 @@ def test_highs_debug_level_checks(instances_dir):
     findings = debug_check_lp_solution(
         h._model.lp, bad, None, h._options, h.getModelStatus())
     assert findings
+
+
+def test_get_ill_conditioning_methods():
+    # reference Highs::getIllConditioning (Highs.h:644-751): a basis
+    # exists after an optimal simplex solve; both views and methods
+    # return normalized multipliers summing to unit 1-norm
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel("/root/reference/check/instances/afiro.mps")
+    h.run()
+    for constraint in (True, False):
+        st, ill, measure = h.getIllConditioning(constraint, method=0)
+        assert st == HighsStatus.kOk
+        assert ill.record, "well-posed basis still yields multipliers"
+        norm1 = sum(abs(r.multiplier) for r in ill.record)
+        assert abs(norm1 - 1.0) < 1e-4
+        # sorted by decreasing magnitude
+        mags = [abs(r.multiplier) for r in ill.record]
+        assert mags == sorted(mags, reverse=True)
+        assert measure is not None and measure >= 0
+    # method 1 with a generous bound solves; tiny bound -> empty kOk
+    st, ill, measure = h.getIllConditioning(True, method=1,
+                                            ill_conditioning_bound=1e2)
+    assert st == HighsStatus.kOk
+    st2, ill2, _ = h.getIllConditioning(True, method=1,
+                                        ill_conditioning_bound=1e-300)
+    assert st2 in (HighsStatus.kOk, HighsStatus.kError)
+
+
+def test_run_data_registry():
+    # reference lp_data/HighsRunData.h:29-47: post-run metric registry
+    from highs_tpu.run_data import HighsRunData
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.readModel("/root/reference/check/instances/adlittle.mps")
+    rd0 = h.getRunData()
+    assert not rd0.valid
+    h.run()
+    rd = h.getRunData()
+    assert rd.valid
+    assert rd.presolved_model_num_col > 0
+    assert rd.presolved_model_num_row > 0
+    assert rd.presolved_model_num_nz > 0
+    assert rd.solve_time >= 0 and rd.presolve_time >= 0
+    # presolve reduced adlittle: fewer columns than the full model
+    assert rd.presolved_model_num_col <= h.getNumCol()
+    # name access and typed census
+    assert h.getRunDataValue("presolved_model_num_col") == \
+        rd.presolved_model_num_col
+    assert h.getRunDataType("solve_time") is float
+    names = [n for (n, t, d) in HighsRunData.records()]
+    assert "num_simplex_iterations_after_postsolve" in names
+    # MIP path fills the registry too
+    h2 = Highs()
+    h2.setOptionValue("output_flag", False)
+    h2.readModel("/root/reference/check/instances/flugpl.mps")
+    h2.run()
+    assert h2.getRunData().valid
+    assert h2.getRunData().presolved_model_num_col > 0

@@ -293,3 +293,20 @@ def test_orbitope_fixing_preserves_optimum():
         os.environ.pop("HX_NO_SYM", None)
     assert abs(h.getInfo().objective_function_value -
                h2.getInfo().objective_function_value) < 1e-6
+
+
+def test_symmetric_mip_python_search_with_cut_aging():
+    # Regression: symmetry-breaking rows are added to the relaxation
+    # WITHOUT incrementing num_cut_rows, so the root cut-aging code
+    # must measure the permanent prefix from the actual row count.
+    # With tpu_mip_native_search=False this previously crashed in
+    # round-1 aging with a broadcast ValueError (advisor r4, high).
+    lp = _identical_items_knapsack(6)
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("tpu_mip_native_search", False)
+    h.passModel(lp)
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    # objective: 2k-1 = 11 capacity / 2 per item -> 5 items, obj -5
+    assert abs(h.getInfo().objective_function_value - (-5.0)) < 1e-6
