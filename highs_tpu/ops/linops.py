@@ -427,7 +427,8 @@ def from_scipy_ell(mat: sp.spmatrix, dtype=jnp.float64) -> EllMatrix:
     return EllMatrix(i_a, v_a, i_t, v_t, s_a, c_a, t_a, s_t, c_t, t_t)
 
 
-LinOp = Union[DenseMatrix, BcooMatrix, EllMatrix, PanelEllMatrix]
+LinOp = Union[DenseMatrix, BcooMatrix, EllMatrix, PanelEllMatrix,
+              "OneHotSpmv"]
 
 
 def linop_dtype(op) -> jnp.dtype:
@@ -493,6 +494,14 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
                 fmt = "blockcsr"
             else:
                 import jax as _jax
+                # scattered structure: panel-gather ELL by default.
+                # The one-hot padded-cell layout (ops/onehot_spmv.py,
+                # fmt="onehot") replaces every per-element gather with
+                # lane-iota expansion in VMEM — on the tunneled
+                # v5e-lite (150 GB/s HBM, ~1/5 VPU) it lands at ~2.7
+                # ms/matvec vs panel-ELL's ~1.4 on the 50k flagship,
+                # so it ships opt-in; on full-grade parts the
+                # expansion is VPU-bound and the balance flips.
                 fmt = ("panelell"
                        if _jax.default_backend() != "cpu"
                        and m % 128 == 0 and n % 128 == 0 else "ell")
@@ -508,6 +517,9 @@ def from_scipy(mat: sp.spmatrix, fmt: str = "choose",
         return from_scipy_bucket_panel_ell(mat, dtype=dtype)
     if fmt == "ell":
         return from_scipy_ell(mat, dtype=dtype)
+    if fmt == "onehot":
+        from .onehot_spmv import from_scipy_onehot
+        return from_scipy_onehot(mat, dtype=dtype)
     if fmt == "blockcsr":
         from .block_csr import from_scipy_block_csr
         return from_scipy_block_csr(mat, dtype=dtype)

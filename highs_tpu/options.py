@@ -394,7 +394,7 @@ _opt("tpu_dtype", str, "choose",
      "step AND ~10x slower to compile); f32 solves are driven to "
      "f64-grade KKT by shifted-iterate refinement in the PDLP wrapper")
 _opt("tpu_matrix_format", str, "choose",
-     "Device matrix format: dense / bcoo / blockcsr / choose")
+     "Device matrix format: dense / bcoo / blockcsr / onehot / ell / panelell / bucketell / choose")
 _opt("tpu_check_interval", int, 40,
      "Device-resident PDHG steps per convergence check "
      "(the jitted inner block length)", 1)
