@@ -48,13 +48,19 @@ def run_suite(details):
         path = os.path.join(INSTANCES, f"{name}.mps")
         ours = None
         obj = None
-        for rep in range(2):
+        reps = []
+        # best of 3 (matching the reference binary's best-of-3 anchor
+        # protocol) with the per-rep spread recorded: round-over-round
+        # geomean deltas below the observed run-to-run noise are not
+        # real (VERDICT r4: ~12% drift between same-day captures)
+        for rep in range(3):
             h = Highs()
             h.setOptionValue("output_flag", False)
             h.readModel(path)
             t0 = time.perf_counter()
             h.run()
             dt = time.perf_counter() - t0
+            reps.append(round(dt, 4))
             if ours is None or dt < ours:
                 ours = dt
                 obj = h.getInfo().objective_function_value
@@ -69,6 +75,10 @@ def run_suite(details):
             "kind": rec["kind"],
             "ref_seconds": rec["ref_seconds"],
             "our_seconds": round(ours, 4),
+            "rep_seconds": reps,
+            "rep_spread_pct": (round(100.0 * (max(reps) - min(reps)) /
+                                     max(min(reps), 1e-9), 1)
+                               if len(reps) > 1 else 0.0),
             "speedup": round(ratio, 4),
             "our_objective": obj,
             "ref_objective": ref_obj,

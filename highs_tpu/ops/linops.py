@@ -169,6 +169,112 @@ class BucketPanelEllMatrix(NamedTuple):
                           self.tail_col_t, self.tail_val_t)
 
 
+@jax.tree_util.register_pytree_node_class
+class BucketPermEllMatrix:
+    """Bucket-panel ELL over a PRE-PERMUTED matrix: the caller bakes
+    the bucket row/column orders into the problem itself (rows sorted
+    by nonzero-count bucket for `mv`, columns likewise for `rmv`), so
+    the bucket outputs concatenate STRAIGHT into the result — no
+    un-permute gather, nothing to break XLA's fusion of the PDHG
+    elementwise chain (the cost that made plain bucket ELL slower
+    in-loop despite the lower slot count, r4 note above)."""
+
+    def __init__(self, fwd, fwd_t, tails, shape):
+        self.fwd = fwd          # per-bucket (panel, lane, val)
+        self.fwd_t = fwd_t
+        self.tails = tails      # (seg, col, val, seg_t, col_t, val_t)
+        self._shape = tuple(shape)
+
+    def tree_flatten(self):
+        return ((self.fwd, self.fwd_t, self.tails), (self._shape,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fwd, fwd_t, tails = children
+        return cls(fwd, fwd_t, tails, aux[0])
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def _half(self, x, buckets, m, tail_seg, tail_col, tail_val):
+        xp = x.reshape(x.shape[0] // 128, 128)
+        lanes = jnp.arange(128, dtype=jnp.int32)
+        outs = []
+        done = 0
+        for (panel, lane, val) in buckets:
+            mb, w = panel.shape
+            out = jnp.zeros((mb,), x.dtype)
+            for k in range(w):
+                rows = xp[panel[:, k]]
+                pick = jnp.sum(
+                    jnp.where(lanes[None, :] == lane[:, k, None],
+                              rows, 0),
+                    axis=1)
+                out = out + val[:, k] * pick
+            outs.append(out)
+            done += mb
+        if done < m:
+            outs.append(jnp.zeros((m - done,), x.dtype))
+        out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        if tail_seg.shape[0]:
+            out = out + jax.ops.segment_sum(
+                tail_val * x[tail_col], tail_seg, num_segments=m,
+                indices_are_sorted=True)
+        return out
+
+    def mv(self, x):
+        s, c, v, _, _, _ = self.tails
+        return self._half(x, self.fwd, self._shape[0], s, c, v)
+
+    def rmv(self, y):
+        _, _, _, s, c, v = self.tails
+        return self._half(y, self.fwd_t, self._shape[1], s, c, v)
+
+
+def bucket_row_perm(csr: sp.csr_matrix) -> np.ndarray:
+    """The row order `_bucket_panel_half` would assign: width buckets
+    ascending, then long rows, then empty rows — pre-permuting a
+    matrix by this makes its bucket outputs naturally ordered."""
+    cnt = np.diff(csr.indptr)
+    order = []
+    prev = 0
+    for w in _BUCKET_WIDTHS:
+        sel = np.nonzero((cnt > prev) & (cnt <= w))[0]
+        prev = w
+        if sel.size:
+            order.append(sel)
+    long_rows = np.nonzero(cnt > _BUCKET_WIDTHS[-1])[0]
+    if long_rows.size:
+        order.append(long_rows)
+    empty = np.nonzero(cnt == 0)[0]
+    if empty.size:
+        order.append(empty)
+    return (np.concatenate(order) if order
+            else np.zeros(0, dtype=np.int64))
+
+
+def from_scipy_bucket_perm(mat: sp.spmatrix,
+                           dtype=jnp.float64) -> BucketPermEllMatrix:
+    """Build the presorted-bucket operator.  `mat` must ALREADY be
+    permuted by (bucket_row_perm(mat), bucket_row_perm(mat.T)) — the
+    constructor verifies the resulting internal order is trivial."""
+    m, n = mat.shape
+    if m % 128 or n % 128:
+        raise ValueError(f"128-aligned shape required, got {(m, n)}")
+    csr = mat.tocsr()
+    csr.sum_duplicates()
+    csr_t = csr.T.tocsr()
+    b_a, i_a, s_a, c_a, t_a = _bucket_panel_half(csr, dtype)
+    b_t, i_t, s_t, c_t, t_t = _bucket_panel_half(csr_t, dtype)
+    if not np.array_equal(np.asarray(i_a), np.arange(m)) or \
+            not np.array_equal(np.asarray(i_t), np.arange(n)):
+        raise ValueError("matrix not in bucket order — permute with "
+                         "bucket_row_perm first")
+    return BucketPermEllMatrix(
+        b_a, b_t, (s_a, c_a, t_a, s_t, c_t, t_t), (m, n))
+
+
 _BUCKET_WIDTHS = (2, 4, 6, 8, 12, 16, 24, 32, 48, 64)
 
 

@@ -197,6 +197,28 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
                                              dtype=scaled_a.indptr.dtype)])),
                                 shape=(m_pad, n_pad))
     _fmt_opt = options.tpu_matrix_format
+    # bucket-permuted ELL (fmt "bucketperm"): bake the bucket row and
+    # column orders into the PROBLEM — rows of K sorted by
+    # nonzero-count bucket, columns by transpose bucket — so the
+    # bucket-ladder SpMV (minimal padded slots) needs no un-permute
+    # gather inside the fused step.  Everything downstream (problem
+    # vectors, refinement oracle, checkpoint state) lives consistently
+    # in the permuted space; the inverse applies once at recovery.
+    perm_maps = None
+    if mesh is None and _fmt_opt == "bucketperm":
+        from ...ops.linops import bucket_row_perm
+        _rp = bucket_row_perm(scaled_pad.tocsr())
+        _cp = bucket_row_perm(scaled_pad.T.tocsr())
+        scaled_pad = scaled_pad.tocsr()[_rp][:, _cp].tocsr()
+        _padr_nat, _padc_nat = padr, padc
+
+        def padr(v, fill, _p=_padr_nat, _q=_rp):  # noqa: F811
+            return _p(v, fill)[_q]
+
+        def padc(v, fill, _p=_padc_nat, _q=_cp):  # noqa: F811
+            return _p(v, fill)[_q]
+
+        perm_maps = (np.argsort(_rp), np.argsort(_cp))
     if mesh is not None and (
             _fmt_opt in ("ell", "panelell", "blockcsr") or
             (_fmt_opt == "choose" and
@@ -209,6 +231,9 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
             fmt = "panelell" if jax.default_backend() != "cpu" else "ell"
         k_op, _ = make_row_sharded(scaled_pad, mesh,
                                    "rows", fmt=fmt, dtype=dtype)
+    elif perm_maps is not None:
+        from ...ops.linops import from_scipy_bucket_perm
+        k_op = from_scipy_bucket_perm(scaled_pad, dtype=dtype)
     else:
         k_op = linops.from_scipy(scaled_pad,
                                  fmt=options.tpu_matrix_format,
@@ -484,6 +509,11 @@ def _solve_lp_pdlp_impl(lp: HighsLp, options: HighsOptions,
     info.solve_time = _tm.perf_counter() - t_all
     info.restarts = total_restarts
 
+    if perm_maps is not None:
+        _irp, _icp = perm_maps
+        x_uns = np.asarray(x_uns)[_icp]
+        y_uns = np.asarray(y_uns)[_irp]
+        z_uns = np.asarray(z_uns)[_icp]
     col_value, row_dual, col_dual = recover_solution(
         std, x_uns[:n_std], y_uns[:m_std], z_uns[:n_std])
     row_value = (lp.a_matrix.to_scipy() @ col_value if lp.num_row

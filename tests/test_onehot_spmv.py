@@ -62,3 +62,18 @@ def test_linops_onehot_format():
     y = np.asarray(op.mv(jnp.asarray(x)))
     ref = np.asarray(A.sum(axis=1)).ravel()
     assert np.abs(y[:256] - ref).max() < 1e-4
+
+
+def test_bucketperm_format_end_to_end():
+    # bucket-permuted ELL: permutation baked into the problem, inverse
+    # applied at recovery (solvers/pdlp/wrapper.py perm_maps)
+    from highs_tpu import Highs, HighsModelStatus
+    h = Highs()
+    h.setOptionValue("output_flag", False)
+    h.setOptionValue("solver", "pdlp")
+    h.setOptionValue("tpu_matrix_format", "bucketperm")
+    h.readModel("/root/reference/check/instances/afiro.mps")
+    h.run()
+    assert h.getModelStatus() == HighsModelStatus.kOptimal
+    assert abs(h.getInfo().objective_function_value -
+               (-464.7531429)) < 1e-3
