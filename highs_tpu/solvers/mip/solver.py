@@ -1183,7 +1183,12 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         # time-boxed per mip_heuristic_effort (reference option),
         # scaled to the instance: a 2s jump on a 500-column model
         # costs more than solving it
-        size_cap = max(0.1, 2e-6 * lp.num_nz + 2e-4 * lp.num_col)
+        # floor low enough that small / restarted models don't burn a
+        # fixed 0.1s per attempt (p0548: 4 attempts ~ 0.4s against a
+        # 0.1s reference solve)
+        size_cap = max(0.03, 1e-6 * lp.num_nz + 1e-4 * lp.num_col)
+        if int(getattr(options, "_mip_restart_count", 0)) > 0:
+            size_cap = min(size_cap, 0.05)  # restarted model: light FJ
         budget = effort * min(
             max(2.0, options.mip_heuristic_effort *
                 min(options.time_limit, 600.0)),
@@ -1242,6 +1247,10 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         if n_binary <= 512 and lp.num_row <= 20000 and \
                 int(getattr(options, "_sub_mip_level", 0)) == 0:
             probe_budget = n_binary
+        if int(getattr(options, "_mip_restart_count", 0)) > 0:
+            # the pre-restart solve already probed this structure; the
+            # re-presolved model only needs a light re-pass
+            probe_budget = min(probe_budget, 24)
         new_lo, new_up = implications.probe(
             probe_cand, root_lo_p, root_up_p,
             max_probes=probe_budget)
@@ -1401,7 +1410,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     np.ascontiguousarray(is_int, dtype=np.int8),
                     basis_in=_nb, feastol=feastol, max_rounds=1,
                     max_cuts_round=1000, separate_only=True,
-                    time_budget=2.0)
+                    x_at=root_x, time_budget=2.0)
                 if _ns == 0:
                     from .cuts import Cut as _CutCls
                     for (cc, vv, rr) in _ncuts_r:

@@ -120,6 +120,7 @@ def get_lib():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             ctypes.c_double, ctypes.c_int,
+            ctypes.c_void_p,  # x_in (nullable)
             i64p, i64p, f64p, f64p,
             ctypes.POINTER(ctypes.c_double), f64p, f64p, i8p,
             ctypes.POINTER(ctypes.c_int),
@@ -345,7 +346,7 @@ def root_cuts(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
               is_int, basis_in=None, feastol=1e-6, tol_p=1e-9,
               tol_d=1e-9, max_rounds=60, max_cuts_round=200,
               cut_cap=4000, nnz_cap=500000, time_budget=5.0,
-              separate_only=False):
+              separate_only=False, x_at=None):
     """Native root separation loop (hx_root_cuts): the reference's
     evaluateRootNode cut rounds (HighsMipSolverData.cpp:1987-2143) run
     entirely in C++ — per round the dual engine re-solves the
@@ -392,6 +393,9 @@ def root_cuts(a_csc, a_csr, cost, col_lo, col_up, row_lo, row_up,
         basis_ptr, float(feastol), float(tol_p), float(tol_d),
         int(max_rounds), int(max_cuts_round), int(cut_cap),
         int(nnz_cap), float(time_budget), int(bool(separate_only)),
+        (np.ascontiguousarray(x_at, dtype=np.float64)
+         .ctypes.data_as(ctypes.c_void_p) if x_at is not None
+         else None),
         cut_indptr, cut_cols, cut_vals, cut_rhs,
         ctypes.byref(bound), x, z, basis_out,
         ctypes.byref(n_cuts), ctypes.byref(lp_iters),

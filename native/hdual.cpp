@@ -1847,6 +1847,10 @@ extern "C" int hx_root_cuts(
     const int8_t* basis_in, double feastol, double tol_p, double tol_d,
     int max_rounds, int max_cuts_round, int cut_cap, int64_t nnz_cap,
     double time_budget_s, int separate_only,
+    const double* x_in,  // nullable: with separate_only, use THIS LP
+                         // point + the passed basis verbatim (factor
+                         // only, no pivoting) so tableau cuts come
+                         // from the caller's exact vertex
     // outputs
     int64_t* out_cut_indptr, int64_t* out_cut_cols,
     double* out_cut_vals, double* out_cut_rhs, double* bound_out,
@@ -2005,23 +2009,41 @@ extern "C" int hx_root_cuts(
         ri2.data(), rx2.data(), cost, col_lo, col_up, rl2.data(),
         ru2.data()));
     set_basis_from(*e, basis.empty() ? nullptr : basis.data());
-    int it = 0;
-    const double remaining = time_budget_s - elapsed();
-    const int res = engine_solve_escalated(
-        *e, tol_p, tol_d, 100000, std::max(remaining, 0.05), &it, kInf);
-    iters_total += it;
-    if (res == kInfeasible) {
-      status = 1;
-      break;
+    const bool verbatim = separate_only && x_in != nullptr &&
+                          !basis.empty();
+    if (verbatim) {
+      // caller-supplied vertex: factor the given basis (for the
+      // tableau BTRANs) but do NOT pivot — the cuts must separate
+      // the caller's exact LP point, or degenerate re-solves drift
+      // to a different optimal basis and change the tableau family
+      // (measured: bell5 tree 4288 -> 8331 nodes from that drift)
+      if (!factor(*e)) {
+        status = 2;
+        break;
+      }
+      basis.resize(n + mc);
+      std::memcpy(x.data(), x_in, sizeof(double) * n);
+      std::memset(z.data(), 0, sizeof(double) * n);
+    } else {
+      int it = 0;
+      const double remaining = time_budget_s - elapsed();
+      const int res = engine_solve_escalated(
+          *e, tol_p, tol_d, 100000, std::max(remaining, 0.05), &it,
+          kInf);
+      iters_total += it;
+      if (res == kInfeasible) {
+        status = 1;
+        break;
+      }
+      if (res != kOptimal) {
+        status = 2;
+        break;
+      }
+      basis.resize(n + mc);
+      std::vector<double> y_dummy(mc);
+      export_solution(*e, x.data(), y_dummy.data(), z.data(),
+                      basis.data());
     }
-    if (res != kOptimal) {
-      status = 2;
-      break;
-    }
-    basis.resize(n + mc);
-    std::vector<double> y_dummy(mc);
-    export_solution(*e, x.data(), y_dummy.data(), z.data(),
-                    basis.data());
     const double prev_bound = bound;
     bound = 0.0;
     for (int j = 0; j < n; ++j) bound += cost[j] * x[j];
