@@ -94,6 +94,8 @@ class IpmSettings:
 # matrix's pattern is constant across a solve, so one symbolic
 # analysis serves every iteration
 _LDL_CACHE: dict = {}
+_BANDED_CACHE: dict = {}
+_BANDED_REJECT: set = set()
 
 
 class _JaxLinalg:
@@ -231,7 +233,49 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
         # SuperLU's partial pivoting destroys the 2x2 sign structure)
         # and the fallback when splu fails.
         h = None
+        use_banded = False
         use_splu = mmat.shape[0] >= 20000
+        if use_splu:
+            # ON-DEVICE route first (VERDICT r4 item 6): after an RCM
+            # ordering, structured normal matrices (grid/network
+            # flows, staircase LPs) are banded, and the blocked banded
+            # Cholesky runs the whole factorization as one lax.scan of
+            # MXU-shaped (128x128) chol/trsm/syrk steps
+            # (banded_chol.py; reference role DenseFactHybrid.cpp).
+            # Symbolic (RCM + bandwidth probe) is cached per pattern.
+            from .banded_chol import BandedCholesky
+            _bc = _BANDED_CACHE.get(id(a))
+            if _bc is None and id(a) not in _BANDED_REJECT:
+                _bc = BandedCholesky.from_spd(mmat)
+                if _bc is None:
+                    _BANDED_REJECT.add(id(a))
+                else:
+                    _BANDED_CACHE.clear()
+                    _BANDED_CACHE[id(a)] = _bc
+            if _bc is not None:
+                try:
+                    _bc.factor(mmat)
+                    # precision gate: the device factor is f32, and an
+                    # ill-conditioned normal matrix (late-IPM Theta
+                    # swings; flow Laplacians) makes f32 refinement
+                    # non-contracting (cond * eps_f32 >= 1).  Accept
+                    # the device route only while a probe solve
+                    # actually reaches f64-grade residuals; past that
+                    # the solve hands off to the host f64 route for
+                    # the remaining iterations.
+                    _pb = np.ones(mmat.shape[0])
+                    _px = _bc.solve_refined(_pb, refine=3)
+                    _pr = np.linalg.norm(mmat @ _px - _pb) / \
+                        np.sqrt(mmat.shape[0])
+                    if np.isfinite(_pr) and _pr < 1e-6:
+                        use_banded = True
+                        use_splu = False
+                    else:
+                        _BANDED_CACHE.pop(id(a), None)
+                        _BANDED_REJECT.add(id(a))
+                except Exception:
+                    _BANDED_CACHE.pop(id(a), None)
+                    _BANDED_REJECT.add(id(a))
         if use_splu:
             import scipy.sparse.linalg as _sla2
             try:
@@ -245,7 +289,7 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
                     use_splu = False
             except Exception:
                 use_splu = False
-        if not use_splu:
+        if not use_splu and not use_banded:
             h = _LDL_CACHE.get(id(a))
             if h is None or not h.matches(mmat):
                 from .sparse_ldl import SparseLdl
@@ -266,9 +310,17 @@ def _ipm_step_impl(problem: IpmProblem, state: IpmState, regs,
             # refined solve recovers the accuracy the dense path gets
             # from breakdown-escalation (HiPO: KrylovMethods/Refine.cpp)
             rhs = np.asarray(rhs_y)
-            base = _splu_h.solve if use_splu else h.solve
+            if use_banded:
+                # device-resident refined solve (banded_chol.py): the
+                # band-matvec refinement happens on device, so each
+                # Newton rhs costs ONE device call; the host loop
+                # below then only tops up in f64
+                base = lambda v: _BANDED_CACHE[id(a)].solve_refined(
+                    v, refine=3)
+            else:
+                base = _splu_h.solve if use_splu else h.solve
             x = base(rhs)
-            for _ in range(2):
+            for _ in range(1 if use_banded else 2):
                 r = rhs - mmat @ x
                 x = x + base(r)
             if not np.all(np.isfinite(x)):

@@ -107,3 +107,31 @@ def test_sparse_ipm_netlib_agreement():
         st, sol, info = solve_lp_ipm_native(lp, opts)
         assert st == HighsModelStatus.kOptimal, name
         assert abs(info.primal_obj - ref) <= 1e-6 * (1 + abs(ref)), name
+
+
+def test_banded_cholesky_device_route():
+    # VERDICT r4 item 6: on-device blocked banded Cholesky replaces
+    # the host SuperLU route for structured large SPD systems
+    import scipy.sparse as sp
+    from highs_tpu.solvers.ipm.banded_chol import BandedCholesky
+    rng = np.random.default_rng(3)
+    g = 30
+    m = g * g
+    G = sp.diags([np.full(m, 8.0), np.full(m - 1, -1.0),
+                  np.full(m - 1, -1.0), np.full(m - g, -1.0),
+                  np.full(m - g, -1.0)], [0, 1, -1, g, -g],
+                 format="csr")
+    bc = BandedCholesky.from_spd(G)
+    assert bc is not None
+    bc.factor(G)
+    rhs = rng.standard_normal(m)
+    x = bc.solve(rhs)
+    assert np.linalg.norm(G @ x - rhs) / np.linalg.norm(rhs) < 1e-3
+    # refinement (the solver's protocol) reaches f64-grade accuracy
+    for _ in range(3):
+        x = x + bc.solve(rhs - G @ x)
+    assert np.linalg.norm(G @ x - rhs) / np.linalg.norm(rhs) < 1e-10
+    # an unstructured matrix is rejected -> callers keep the fallback
+    R = sp.random(600, 600, density=0.05, random_state=1)
+    R = (R + R.T + sp.diags(np.full(600, 50.0))).tocsr()
+    assert BandedCholesky.from_spd(R, max_block_bw=2) is None
