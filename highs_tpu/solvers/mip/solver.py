@@ -2388,6 +2388,61 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                                          daemon=True)
                 _wk_thread.start()
 
+            # ---- RACING second search worker (reference parallel MIP
+            # search, HighsMipSolver.cpp:197-420: concurrent dives
+            # with solution sync).  A second native B&B runs the SAME
+            # subproblem with cheap strong branching (reliable=1 —
+            # a different tree shape), both searches share the
+            # ext_upper incumbent-objective buffer, and full solution
+            # vectors sync at chunk boundaries on the main thread.
+            # The ctypes call releases the GIL, so the racer gets the
+            # second core.  Nondeterministic by nature (as is the
+            # reference's); the deterministic test mode
+            # (mip_search_simulate_concurrency) disables it.
+            _race_stop = [False]
+            _race_best = {"obj": math.inf, "x": None}
+            _race_thread = None
+
+            def _race_cb(what, primal, dual, nds, lpit, xs):
+                if what == 1 and xs is not None:
+                    with _wk_lock:
+                        if primal < _race_best["obj"] - 1e-12:
+                            _race_best["obj"] = primal
+                            _race_best["x"] = np.asarray(
+                                xs, dtype=np.float64).copy()
+                            if primal < ext_upper[0] - 1e-12:
+                                ext_upper[0] = primal
+                return 1 if _race_stop[0] else 0
+
+            def _race_worker():
+                try:
+                    _bb(a_bb, a_bb_csr, cost_bb, lo_bb, up_bb, rl_bb,
+                        ru_bb, is_int, root_basis,
+                        min(incumbent_obj, user_cutoff),
+                        _obj_scale or 0.0, abs_gap, rel_gap,
+                        lp.offset, best_dual, feastol=feastol,
+                        max_nodes=10**12,
+                        time_limit=max(1.0, options.time_limit -
+                                       (time.perf_counter() - t0)),
+                        reliable=1, callback=_race_cb,
+                        tol_scale=(np.concatenate([1.0 / c_bb, r_bb])
+                                   if sc_bb is not None else None),
+                        sym_gens=(np.concatenate(
+                            [np.asarray(g, np.int32)
+                             for g in sym_gens]) if sym_gens
+                            else None),
+                        ext_upper=ext_upper)
+                except Exception:
+                    pass
+
+            if sub_level == 0 and options.threads != 1 and \
+                    not getattr(options,
+                                "mip_search_simulate_concurrency",
+                                0) and debug_sol is None:
+                _race_thread = _thr.Thread(target=_race_worker,
+                                           daemon=True)
+                _race_thread.start()
+
             # chunked search: interleave the native dive loop with the
             # Python heuristics (RINS around the best point) so exact
             # optima are found the way the reference's in-search
@@ -2431,6 +2486,16 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                         _wx = _wk_best["x"]
                     if _wx is not None:
                         try_incumbent(_wx, "parallel FJ worker")
+                    if math.isfinite(incumbent_obj) and \
+                            incumbent_obj < ext_upper[0] - 1e-12:
+                        ext_upper[0] = incumbent_obj
+                if _race_thread is not None:
+                    with _wk_lock:
+                        _rx = _race_best["x"]
+                    if _rx is not None:
+                        _rx_rec = _rx * c_bb if sc_bb is not None \
+                            else _rx
+                        try_incumbent(_rx_rec, "racing search worker")
                     if math.isfinite(incumbent_obj) and \
                             incumbent_obj < ext_upper[0] - 1e-12:
                         ext_upper[0] = incumbent_obj
@@ -2502,6 +2567,17 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     _wx = _wk_best["x"]
                 if _wx is not None:
                     try_incumbent(_wx, "parallel FJ worker")
+        except Exception:
+            pass
+        try:
+            if _race_thread is not None:
+                _race_stop[0] = True
+                _race_thread.join(timeout=10.0)
+                with _wk_lock:
+                    _rx = _race_best["x"]
+                if _rx is not None:
+                    _rx_rec = _rx * c_bb if sc_bb is not None else _rx
+                    try_incumbent(_rx_rec, "racing search worker")
         except Exception:
             pass
         if st_n in (0, 2):
