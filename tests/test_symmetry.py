@@ -169,9 +169,16 @@ def test_orbital_branching_reduces_nodes():
         h.setOptionValue("output_flag", False)
         h.setOptionValue("presolve", "off")
         h.setOptionValue("mip_rel_gap", 0.0)
+        # node-count comparison needs a deterministic tree: the
+        # racing search worker (threads != 1) perturbs trajectories
+        h.setOptionValue("threads", 1)
         return h
 
     results = {}
+    # isolate ORBITAL BRANCHING: the native root separation stack is
+    # its own (trajectory-chaotic) variable — hold it fixed off so the
+    # on/off node comparison measures the symmetry machinery alone
+    os.environ["HX_NO_NATIVE_ROOT"] = "1"
     for label, env in [("on", None), ("off", "1")]:
         if env:
             os.environ["HX_NO_SYM"] = env
@@ -184,6 +191,7 @@ def test_orbital_branching_reduces_nodes():
                               h.getInfo().mip_node_count)
         finally:
             os.environ.pop("HX_NO_SYM", None)
+    os.environ.pop("HX_NO_NATIVE_ROOT", None)
     assert abs(results["on"][0] - 13.0) < 1e-6
     assert abs(results["off"][0] - 13.0) < 1e-6
     assert results["on"][1] < results["off"][1]
