@@ -2435,13 +2435,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 except Exception:
                     pass
 
-            if sub_level == 0 and options.threads != 1 and \
-                    not getattr(options,
-                                "mip_search_simulate_concurrency",
-                                0) and debug_sol is None:
-                _race_thread = _thr.Thread(target=_race_worker,
-                                           daemon=True)
-                _race_thread.start()
+            _race_ok = (sub_level == 0 and options.threads != 1 and
+                        not getattr(
+                            options,
+                            "mip_search_simulate_concurrency", 0) and
+                        debug_sol is None)
 
             # chunked search: interleave the native dive loop with the
             # Python heuristics (RINS around the best point) so exact
@@ -2499,6 +2497,14 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                     if math.isfinite(incumbent_obj) and \
                             incumbent_obj < ext_upper[0] - 1e-12:
                         ext_upper[0] = incumbent_obj
+                elif _race_ok and st_n == 2:
+                    # the first chunk did NOT exhaust the tree: this
+                    # instance is search-heavy — start the racing
+                    # worker now (starting it up front taxed the many
+                    # sub-second suite instances on a 2-core host)
+                    _race_thread = _thr.Thread(target=_race_worker,
+                                               daemon=True)
+                    _race_thread.start()
                 import os as _osdb
                 if _osdb.environ.get('HX_NATIVE_DEBUG'):
                     print(f'[native bb] st={st_n} found={found_n} '
