@@ -165,7 +165,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         _mask_cache["csr"] = (key, out, mat)
         return out
 
-    max_passes = 6
+    max_passes = int(__import__('os').environ.get('HX_PRE_PASSES', '6'))
     infeasible = False
     unbounded = False
     changed_any = False
@@ -942,7 +942,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
         # Markowitz ordering.
         if _rule_on(options, PresolveRuleType.kAggregator) and \
                 getattr(options, "presolve_aggregator", False) and \
-                not has_semi and _pass < 2:
+                not has_semi:
             a2 = masked_csc(a)
             a2r = a2.tocsr()
             col_nnz4 = np.diff(a2.indptr)
@@ -1013,15 +1013,18 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
             in_eq4 = (patp4.T @ eq_mask4 + patn4.T @ eq_mask4) > 0
             cand = np.nonzero(col_active & ~is_int & implied_free &
                               in_eq4 &
-                              (col_nnz4 >= 2) & (col_nnz4 <= 6))[0]
+                              (col_nnz4 >= 2) & (col_nnz4 <= int(__import__('os').environ.get('HX_AGG_DEG','6'))))[0]
             g_rows: List[int] = []
             g_cols: List[int] = []
             g_vals: List[float] = []
             touched_r: set = set()
             touched_c: set = set()
             nsub = 0
+            import os as _osag
+            _ag_cap = int(_osag.environ.get("HX_AGG_CAP", "300"))
+            _ag_fill = int(_osag.environ.get("HX_AGG_FILL", "0"))
             for j in cand:
-                if nsub >= 300:
+                if nsub >= _ag_cap:
                     break
                 if int(j) in touched_c or not col_active[j]:
                     continue
@@ -1055,7 +1058,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                 # Accept only net-nonzero-REDUCING substitutions — a
                 # crude product cap let fill-positive substitutions
                 # through and made every downstream simplex slower.
-                if (len(rows_j) - 1) * (len(cols_e) - 1) > 16:
+                if (len(rows_j) - 1) * (len(cols_e) - 1) > int(__import__('os').environ.get('HX_AGG_PROD','16')):
                     continue
                 ke0 = cols_e != j
                 oc0 = set(int(c) for c in cols_e[ke0])
@@ -1069,7 +1072,7 @@ def run_presolve_rules(lp: HighsLp, options: HighsOptions) -> PresolveResult:
                     rc, _rv = row_cols(rr)
                     have = set(int(c) for c in rc)
                     fill += len(oc0 - have)
-                    if fill >= removed:
+                    if fill >= removed + _ag_fill:
                         ok_fill = False
                         break
                 if not ok_fill:
