@@ -1070,6 +1070,13 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # whose root already closes the gap)
             _nb = min(40 * node_budget,
                       max(2000, 30 * int(is_int.sum())))
+            # restarted solves re-run the whole heuristic battery on a
+            # shrunk model: the dives get cheaper boxes, so a fraction
+            # of the budget finds the same incumbents (gesa2 restarts
+            # 3x and its submips were 28% of wall-clock)
+            _rc_nb = int(getattr(options, "_mip_restart_count", 0))
+            if _rc_nb:
+                _nb = max(1000, _nb // (2 * _rc_nb))
             got = native_submip(
                 lo3, up3, source, _nb,
                 max(0.15, min(remaining0 * 0.1,
