@@ -1346,12 +1346,30 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
 
         stall = 0
         path_sep_budget = [min(12.0, 0.1 * options.time_limit)]
-        cutset_active = [True]
+        # With the NATIVE per-round separation active (hx_root_cuts:
+        # tableau-MIR + c-MIR + path aggregation), the python
+        # path-MIXING and network-CUTSET separators are redundant
+        # overlaps of the same aggregation family — and measured on
+        # the anchored suite they now actively HURT the native
+        # trajectory (sp150x300d 1.9s/246 nodes -> 0.52s/31 nodes
+        # with both off; dcmulti 3.3 -> 2.0s; identical objectives
+        # everywhere).  They remain the bound-closers on the python
+        # fallback path, so they key off native availability.
+        _have_native_sep = False
+        if use_simplex and not _osmod.environ.get("HX_NO_NATIVE_ROOT"):
+            try:
+                from ..simplex import dual_native as _dnp
+                _have_native_sep = _dnp.get_lib() is not None
+            except Exception:
+                _have_native_sep = False
+        cutset_active = [not _have_native_sep and
+                         not _osmod.environ.get('HX_NO_CUTSET')]
         _sep_sub = int(getattr(options, "_sub_mip_level", 0))
         # sub-MIPs are heuristics: cheap separation only (reference
         # solveSubMip caps maxSepaRounds and reuses the parent's cuts)
         _max_rounds = 60 if _sep_sub == 0 else 8
-        mixing_active = [True]
+        mixing_active = [not _have_native_sep and
+                         not _osmod.environ.get('HX_NO_MIXING')]
         modk_active = [True]
         modk_yield = [0]
         in_lp_keys: set = set()  # pooled cuts currently in the LP
