@@ -1370,7 +1370,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         _max_rounds = 60 if _sep_sub == 0 else 8
         mixing_active = [not _have_native_sep and
                          not _osmod.environ.get('HX_NO_MIXING')]
-        modk_active = [True]
+        modk_active = [not _have_native_sep and
+                       not _osmod.environ.get('HX_NO_MODK')]
         modk_yield = [0]
         in_lp_keys: set = set()  # pooled cuts currently in the LP
         # per-round row aging (reference HighsLpRelaxation row aging,
@@ -1448,7 +1449,8 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 # pure-GMI stays Python-side in the early rounds (the
                 # native loop's tableau path runs the c-MIR pipeline,
                 # not the plain Gomory mixed-integer rounding)
-                if root_basis is not None and _round < 3:
+                if root_basis is not None and _round < 3 and \
+                        not _osmod.environ.get('HX_NO_GOMORY'):
                     try:
                         found += separate_gomory(
                             _Relax.a_csc, root_lo_p, root_up_p,
@@ -1555,8 +1557,11 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
                 if not cs and _round == 0:
                     cutset_active[0] = False  # no network: skip rounds
                 found += cs
-            found += implications.separate(root_x, root_lo_p, root_up_p)
-            found += clique_table.separate(root_x)
+            if not _osmod.environ.get('HX_NO_IMPSEP'):
+                found += implications.separate(root_x, root_lo_p,
+                                               root_up_p)
+            if not _osmod.environ.get('HX_NO_CLIQUESEP'):
+                found += clique_table.separate(root_x)
             _sep_scope.__exit__()
             added = [c for c in found if cutpool.add(c)]
             # cut-POOL separation (reference HighsSeparation round
