@@ -1069,7 +1069,9 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
             # (sp150x300d: 5 x 1.7s of root RENS/RINS on an instance
             # whose root already closes the gap)
             _nb = min(40 * node_budget,
-                      max(2000, 30 * int(is_int.sum())))
+                      max(2000, int(__import__('os').environ.get(
+                          'HX_SUBMIP_SCALE', '8')) *
+                      int(is_int.sum())))
             # restarted solves re-run the whole heuristic battery on a
             # shrunk model: the dives get cheaper boxes, so a fraction
             # of the budget finds the same incumbents (gesa2 restarts
