@@ -1255,7 +1255,7 @@ def solve_mip(lp: HighsLp, options: HighsOptions, log=None,
         probe_budget = min(64, max(8, lp.num_col // 4))
         if n_binary <= 512 and lp.num_row <= 20000 and \
                 int(getattr(options, "_sub_mip_level", 0)) == 0:
-            probe_budget = n_binary
+            probe_budget = min(n_binary, int(__import__('os').environ.get('HX_PROBE_CAP', '512')))
         if int(getattr(options, "_mip_restart_count", 0)) > 0:
             # the pre-restart solve already probed this structure; the
             # re-presolved model only needs a light re-pass
